@@ -1,0 +1,485 @@
+"""Index build — the ``create-index!`` / ``index!`` path re-expressed as
+a Spark DataFrame pipeline.
+
+Reference surface mirrored (lucene.clj:16-24, indexer.clj:79-111):
+``create_index(spark, docs_df, fields, ...)`` normalizes + validates the
+schema once, compiles per-field analysis once (the reference's main
+measured optimization — compile encoders once per batch, never per row:
+README.org:103-110, document.clj:92-99), builds the index tables, and
+optionally persists them. ``:memory`` indexes are cached DataFrames;
+``:disk`` indexes are a parquet directory tree with the field specs
+serialized alongside (``_field_specs.json`` — the "schema travels with
+the index" contract, reference schema.clj:121-140).
+
+Index tables (all ordinary DataFrames — SURVEY.md §1.4):
+
+- ``docs``      doc_id:long + stored columns + __dl_<f> per text field
+- ``postings``  field, term, doc_id, tf:int, dl:int (denormalized,
+                avoids a docs join per query), positions:array<int>
+- ``terms``     field, term, df:long, ctf:long
+- ``stats``     driver-side dict: per field N / sum_dl / avgdl
+- ``suggest``   field, completion, completion_key, weight, contexts,
+                doc_id  (reference's $suggest-* shadow fields,
+                document.clj:8,14-21 — a plain table instead of a
+                completion postings codec)
+
+Scale notes (designed for 1000-executor / 10^12-doc deployments, tested
+on local[32]):
+
+- The postings aggregation keys on (field, term, doc_id) — doc_id in
+  the key means hot terms ("the") are spread across ALL partitions; the
+  classic hot-term shuffle skew appears only at segment-encode time and
+  is handled there by bounded (term, doc_block) group keys
+  (segments.py), not by fragile salting.
+- On write, postings gain ``bucket = pmod(xxhash64(term), n_buckets)``
+  and are directory-partitioned by it, sorted by (field, term, doc_id)
+  within files → term lookups prune to one directory and row-group
+  min/max statistics skip within it.
+- Dense doc_ids are assigned WITHOUT a global single-task sort:
+  range-repartition on the order key, count per partition (tiny
+  driver-side offset map), then a partition-local row_number + offset —
+  deterministic across parallelism levels (SURVEY.md §7 hard-part #4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_clj_spark import bm25
+from lucene_clj_spark.analysis import Analyzer, STANDARD, resolve_analyzer
+from lucene_clj_spark.errors import UnknownFieldError, ValidationError
+from lucene_clj_spark.schema import (
+    FieldSpec,
+    normalize_field_specs,
+    specs_from_json,
+    specs_to_json,
+)
+
+DEFAULT_BUCKETS = 32
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_by: list[str],
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 0-based ids in global ``order_by`` order, without a
+    single-task global sort: range-partition, per-partition counts to a
+    broadcast offset map, partition-local row_number + offset.
+    Deterministic for any parallelism level."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = df.repartitionByRange(n, *order_by).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = {r["__pid"]: r["cnt"] for r in
+              parts.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offs = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        parts.withColumn(
+            id_col,
+            (F.row_number().over(w) - 1 + F.element_at(offs, F.col("__pid"))).cast(
+                "long"
+            ),
+        )
+        .drop("__pid")
+    )
+
+
+@dataclass
+class Index:
+    """An opened index: the queryable table set + compiled analyzers."""
+
+    spark: SparkSession
+    specs: dict[str, FieldSpec]
+    analyzers: dict[str, Analyzer]
+    docs: DataFrame
+    postings: DataFrame
+    terms: DataFrame
+    stats: dict[str, dict[str, float]]
+    suggest: DataFrame | None = None
+    path: str | None = None
+    buckets: int | None = None
+
+    def n_buckets(self) -> int:
+        return self.buckets or DEFAULT_BUCKETS
+
+    # --- query entry points (implemented in search.py / suggest.py) ---
+    def search(self, query: Any, **opts) -> DataFrame:
+        from lucene_clj_spark.search import search
+
+        return search(self, query, **opts)
+
+    def suggest_(self, field: str, prefix: str, **opts) -> DataFrame:
+        from lucene_clj_spark.suggest import suggest
+
+        return suggest(self, field, prefix, **opts)
+
+    def analyzer_for(self, field: str) -> Analyzer:
+        return self.analyzers.get(field, self.analyzers.get(None, STANDARD))
+
+    def field_stats(self, field: str) -> dict[str, float]:
+        try:
+            return self.stats[field]
+        except KeyError:
+            raise ValidationError(
+                f"field {field!r} has no indexed text statistics",
+                {"field": field},
+            ) from None
+
+    # --- persistence (schema travels with the index) ------------------
+    def write(self, path: str, n_buckets: int = DEFAULT_BUCKETS) -> "Index":
+        os.makedirs(path, exist_ok=True)
+        self.docs.write.mode("overwrite").parquet(f"{path}/docs")
+        (
+            self.postings.withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+            )
+            .repartition("bucket")
+            .sortWithinPartitions("field", "term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/postings")
+        )
+        self.terms.write.mode("overwrite").parquet(f"{path}/terms")
+        if self.suggest is not None:
+            (
+                self.suggest.repartition(1)
+                .sortWithinPartitions("field", "completion_key")
+                .write.mode("overwrite")
+                .parquet(f"{path}/suggest")
+            )
+        with open(f"{path}/_field_specs.json", "w") as f:
+            f.write(specs_to_json(self.specs))
+        with open(f"{path}/_stats.json", "w") as f:
+            json.dump(
+                {
+                    "stats": self.stats,
+                    "n_buckets": n_buckets,
+                    "analyzers": {
+                        str(k): a.kind for k, a in self.analyzers.items()
+                    },
+                },
+                f,
+                indent=1,
+            )
+        self.path = path
+        return self
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "Index":
+        """Reopen a persisted index; field specs come back from the
+        sidecar (contract: typed queries work after reopen, reference
+        contract_test.clj:90-119)."""
+        with open(f"{path}/_field_specs.json") as f:
+            specs = specs_from_json(f.read())
+        with open(f"{path}/_stats.json") as f:
+            meta = json.load(f)
+        analyzers = {
+            (None if k == "None" else k): Analyzer(kind)
+            for k, kind in meta["analyzers"].items()
+        }
+        sug_path = f"{path}/suggest"
+        return Index(
+            spark=spark,
+            specs=specs,
+            analyzers=analyzers,
+            docs=spark.read.parquet(f"{path}/docs"),
+            postings=spark.read.parquet(f"{path}/postings"),
+            terms=spark.read.parquet(f"{path}/terms"),
+            stats=meta["stats"],
+            suggest=spark.read.parquet(sug_path)
+            if os.path.isdir(sug_path)
+            else None,
+            path=path,
+            buckets=meta.get("n_buckets"),
+        )
+
+    def truncate(self) -> None:
+        """``clear!`` analogue (reference indexer.clj:68-77)."""
+        empty = self.docs.sparkSession.createDataFrame([], self.docs.schema)
+        self.docs = empty
+        self.postings = self.postings.limit(0)
+        self.terms = self.terms.limit(0)
+        for s in self.stats.values():
+            s.update(N=0, sum_dl=0, avgdl=0.0)
+
+
+def _suggest_rows(
+    docs: DataFrame, name: str, fs: FieldSpec, analyzer: Analyzer
+) -> DataFrame:
+    """Rows for the suggest table from one suggest-enabled field
+    (reference document.clj:14-21, 53-75)."""
+    sug = fs.suggest
+    base_val = F.col(name)
+    vals = base_val if fs.multi_valued else F.array(base_val)
+    ctx = sug.contexts_from
+    if ctx is None:
+        ctx_col = F.array().cast("array<string>")
+    elif isinstance(ctx, str):
+        c = F.col(ctx)
+        ctx_col = (
+            c.cast("array<string>")
+            if isinstance(docs.schema[ctx].dataType, T.ArrayType)
+            else F.array(c.cast("string"))
+        )
+    elif isinstance(ctx, (list, tuple)):
+        cols = []
+        for c in ctx:
+            col = F.col(c)
+            cols.append(
+                col.cast("array<string>")
+                if isinstance(docs.schema[c].dataType, T.ArrayType)
+                else F.array(col.cast("string"))
+            )
+        ctx_col = F.concat(*cols)
+    elif callable(ctx):
+        # the reference's arbitrary-fn contexts surface
+        # (document.clj:72-75) — Arrow-batched over a struct of the row
+        import pandas as pd
+
+        fn = ctx
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def derive(rows: pd.DataFrame) -> pd.Series:
+            return rows.apply(lambda r: [str(x) for x in fn(r.to_dict())], axis=1)
+
+        ctx_col = derive(F.struct(*[F.col(c) for c in docs.columns]))
+    else:
+        raise ValidationError(
+            "contexts_from must be a field name, list of names, or callable",
+            {"contexts_from": ctx},
+        )
+    rows = docs.select(
+        F.col("doc_id"),
+        F.explode(vals).alias("completion"),
+        ctx_col.alias("contexts"),
+    )
+    key = F.array_join(analyzer.column(F.col("completion")), " ")
+    return rows.select(
+        F.lit(name).alias("field"),
+        F.col("completion").cast("string").alias("completion"),
+        key.alias("completion_key"),
+        F.lit(sug.weight).cast("long").alias("weight"),
+        "contexts",
+        "doc_id",
+    )
+
+
+def create_index(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    fields: dict[str, Any],
+    *,
+    id_column: str | None = None,
+    order_by: list[str] | None = None,
+    analyzer: Any = None,
+    per_field_analyzers: dict[str, Any] | None = None,
+    path: str | None = None,
+    index_type: str = "memory",
+    re_create: bool = False,
+    ignore_extra_columns: bool = False,
+    cache: bool = True,
+) -> Index:
+    """Build an index over ``docs_df`` per the field specs.
+
+    Mirrors ``create-index!`` + ``index!`` (reference lucene.clj:16-24)
+    collapsed into one batch build — the natural Spark shape. Options
+    mirror the reference's: ``index_type`` in {memory, disk}
+    (indexer.clj:79-87), ``re_create`` wipes an existing disk index
+    (indexer.clj:64-66), ``analyzer`` is the default with
+    ``per_field_analyzers`` overrides (analyzers.clj:22-26).
+    """
+    if index_type not in ("memory", "disk"):
+        raise ValidationError(
+            f"index_type must be 'memory' or 'disk', got {index_type!r}",
+            {"index_type": index_type},
+        )
+    if index_type == "disk" and not path:
+        raise ValidationError("disk index requires a path", {})
+    if path and os.path.isdir(path) and os.listdir(path) and not re_create:
+        raise ValidationError(
+            f"index path {path} exists; pass re_create=True to wipe",
+            {"path": path},
+        )
+    specs = normalize_field_specs(fields)
+
+    extra = set(docs_df.columns) - set(specs) - {id_column}
+    if extra and not ignore_extra_columns:
+        raise UnknownFieldError(
+            f"document columns not in schema: {sorted(extra)} "
+            "(reference document.clj:85-90; pass ignore_extra_columns=True "
+            "to keep them as stored-only)",
+            {"columns": extra},
+        )
+
+    default_an = resolve_analyzer(analyzer, STANDARD)
+    analyzers: dict[str | None, Analyzer] = {None: default_an}
+    for fname, fs in specs.items():
+        if fs.analyzer:
+            analyzers[fname] = resolve_analyzer(fs.analyzer)
+        elif per_field_analyzers and fname in per_field_analyzers:
+            analyzers[fname] = resolve_analyzer(per_field_analyzers[fname])
+
+    # --- doc ids ------------------------------------------------------
+    if id_column:
+        docs = docs_df.withColumn("doc_id", F.col(id_column).cast("long"))
+        if id_column != "doc_id":
+            docs = docs.drop(id_column) if id_column not in specs else docs
+    else:
+        keys = order_by or [
+            n for n, fs in specs.items() if fs.type in ("keyword", "text")
+        ][:1]
+        if not keys:
+            raise ValidationError(
+                "need id_column or order_by to assign deterministic doc ids", {}
+            )
+        docs = assign_dense_ids(docs_df, keys)
+
+    # --- analysis + doc lengths (compile-once per field) --------------
+    text_fields = [
+        n for n, fs in specs.items() if fs.indexed and fs.type == "text"
+    ]
+    kw_fields = [
+        n for n, fs in specs.items() if fs.indexed and fs.type == "keyword"
+    ]
+    tok_cols = {}
+    for name in text_fields:
+        an = analyzers.get(name, default_an)
+        src = F.col(name)
+        if specs[name].multi_valued:
+            # concatenate values with a single separator token gap
+            src = F.array_join(src, " \x1f ")
+        tok_cols[name] = an.column(src)
+    analyzed = docs
+    for name, c in tok_cols.items():
+        analyzed = analyzed.withColumn(f"__tok_{name}", c).withColumn(
+            f"__dl_{name}", F.size(f"__tok_{name}")
+        )
+    if cache:
+        analyzed = analyzed.cache()
+
+    # --- postings -----------------------------------------------------
+    posting_parts = []
+    for name in text_fields:
+        p = (
+            analyzed.select(
+                "doc_id",
+                F.col(f"__dl_{name}").alias("dl"),
+                F.posexplode(f"__tok_{name}").alias("pos", "term"),
+            )
+            .where(F.col("term") != "\x1f")
+            .groupBy("term", "doc_id", "dl")
+            .agg(
+                F.count("*").cast("int").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+            .select(
+                F.lit(name).alias("field"),
+                "term",
+                "doc_id",
+                "tf",
+                "dl",
+                "positions",
+            )
+        )
+        posting_parts.append(p)
+    for name in kw_fields:
+        vals = (
+            F.col(name)
+            if specs[name].multi_valued
+            else F.array(F.col(name))
+        )
+        p = (
+            analyzed.select("doc_id", F.explode(vals).alias("term"))
+            .where(F.col("term").isNotNull())
+            .distinct()
+            .select(
+                F.lit(name).alias("field"),
+                F.col("term").cast("string").alias("term"),
+                "doc_id",
+                F.lit(1).cast("int").alias("tf"),
+                F.lit(1).cast("int").alias("dl"),
+                F.lit(None).cast("array<int>").alias("positions"),
+            )
+        )
+        posting_parts.append(p)
+    if not posting_parts:
+        raise ValidationError("no indexed text/keyword fields in schema", {})
+    postings = posting_parts[0]
+    for p in posting_parts[1:]:
+        postings = postings.unionByName(p)
+    if cache:
+        postings = postings.cache()
+
+    terms = postings.groupBy("field", "term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("ctf")
+    )
+    if cache:
+        terms = terms.cache()
+
+    # --- corpus stats (tiny driver-side aggregate; BM25 globals) ------
+    stats: dict[str, dict[str, float]] = {}
+    n_docs = analyzed.count()
+    for name in text_fields:
+        row = analyzed.agg(F.sum(f"__dl_{name}").alias("s")).collect()[0]
+        sum_dl = int(row["s"] or 0)
+        stats[name] = {
+            "N": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        }
+    for name in kw_fields:
+        stats[name] = {"N": n_docs, "sum_dl": n_docs, "avgdl": 1.0}
+
+    # --- suggest table ------------------------------------------------
+    sug_parts = [
+        _suggest_rows(analyzed, n, fs, analyzers.get(n, default_an))
+        for n, fs in specs.items()
+        if fs.suggest is not None
+    ]
+    suggest_df = None
+    if sug_parts:
+        suggest_df = sug_parts[0]
+        for p in sug_parts[1:]:
+            suggest_df = suggest_df.unionByName(p)
+        if cache:
+            suggest_df = suggest_df.cache()
+
+    stored_cols = ["doc_id"] + [
+        n for n, fs in specs.items() if fs.stored
+    ] + (sorted(extra) if ignore_extra_columns else [])
+    docs_out = analyzed.select(
+        *stored_cols, *[f"__dl_{n}" for n in text_fields]
+    )
+
+    idx = Index(
+        spark=spark,
+        specs=specs,
+        analyzers=analyzers,
+        docs=docs_out,
+        postings=postings,
+        terms=terms,
+        stats=stats,
+        suggest=suggest_df,
+    )
+    if index_type == "disk":
+        idx.write(path)
+        loaded = Index.load(spark, path)
+        analyzed.unpersist() if cache else None
+        return loaded
+    return idx

@@ -1,0 +1,388 @@
+"""Shape-driven query compiler — mirror of reference query.clj.
+
+One ``parse`` dispatches on the Python data shape of the query form
+(reference query.clj:18-19 protocol over Clojure shapes; cheat-sheet
+README.org:834-857). The IR here is a small AST (the analogue of the
+reference's Lucene ``Query`` tree); compilation to a scored DataFrame
+happens in search.py.
+
+Shape -> semantics (reference loc):
+- AST ``Node``           passthrough escape hatch         (query.clj:50-52)
+- ``list`` / ``tuple``   AND (BooleanClause MUST)         (query.clj:54-56)
+- ``set`` / ``frozenset`` OR (SHOULD)                     (query.clj:58-60)
+- ``dict``               AND across fields; the key overrides field_name
+                         for its value sub-expression     (query.clj:62-64, 29-37)
+- ``str``                typed field -> exact query; else single token ->
+                         term query, whitespace -> phrase query (decided
+                         by a whitespace regex on the RAW string)
+                                                          (query.clj:66-77)
+- ``Enum``               treated as its name (Named)      (query.clj:79-81)
+- ``int/float/bool/datetime`` typed EXACT query; raises unless the field
+                         is declared long/double/boolean/instant
+                                                          (query.clj:83-113)
+- ``parse_dsl``          classic Lucene QueryParser subset (query.clj:115-124)
+- fuzzy map              per-field FuzzyQuery, OR-combined; only
+                         text/keyword fields              (query.clj:126-147)
+
+Boolean scoring semantics match Lucene: a BooleanQuery's score is the
+SUM of the scores of its matching clauses; MUST clauses are required,
+SHOULD clauses optional (contributing score when present) unless there
+are no MUSTs, in which case at least one SHOULD must match.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import enum
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from lucene_clj_spark.errors import ValidationError, ValueTypeError
+from lucene_clj_spark.schema import FieldSpec
+from lucene_clj_spark.values import (
+    normalize_boolean,
+    normalize_double,
+    normalize_instant,
+    normalize_long,
+    normalize_text,
+)
+
+MUST = "MUST"
+SHOULD = "SHOULD"
+
+_WS = re.compile(r"\s")
+
+
+@dataclass(frozen=True)
+class Node:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermQ(Node):
+    field: str = ""
+    term: str = ""
+
+
+@dataclass(frozen=True)
+class PhraseQ(Node):
+    field: str = ""
+    terms: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class ExactQ(Node):
+    """Typed exact point/term query (constant-score for point types,
+    norm-less BM25 for keyword — reference field_types.clj:166-182)."""
+
+    field: str = ""
+    value: Any = None
+    value_type: str = "keyword"
+
+
+@dataclass(frozen=True)
+class FuzzyQ(Node):
+    field: str = ""
+    term: str = ""
+    max_edits: int = 2           # FuzzyQuery default (query.clj:126-147)
+    prefix_length: int = 0
+    max_expansions: int = 50     # Lucene FuzzyQuery.defaultMaxExpansions
+
+
+@dataclass(frozen=True)
+class BoolQ(Node):
+    clauses: tuple[tuple[str, Node], ...] = ()
+
+    def musts(self) -> list[Node]:
+        return [n for occ, n in self.clauses if occ == MUST]
+
+    def shoulds(self) -> list[Node]:
+        return [n for occ, n in self.clauses if occ == SHOULD]
+
+
+@dataclass(frozen=True)
+class MatchNone(Node):
+    pass
+
+
+def _field_spec(specs: dict[str, FieldSpec], field_name: str | None) -> FieldSpec | None:
+    if field_name is None:
+        return None
+    return specs.get(field_name)
+
+
+def _require_field(field_name: str | None, shape: str) -> str:
+    if not field_name:
+        raise ValidationError(
+            f"{shape} query forms require a field_name "
+            "(reference validation.clj:46-72)",
+            {"shape": shape},
+        )
+    return field_name
+
+
+def _string_query(
+    s: str, field_name: str | None, specs, analyzers, boost: float
+) -> Node:
+    fname = _require_field(field_name, "string")
+    fs = _field_spec(specs, fname)
+    if fs is not None and fs.type != "text":
+        # typed field -> exact query (reference query.clj:68-69)
+        if fs.type == "keyword":
+            return ExactQ(boost, fname, s, "keyword")
+        if fs.type == "boolean":
+            return ExactQ(boost, fname, s.lower() == "true", "boolean")
+        raise ValueTypeError(
+            f"string query against {fs.type} field {fname!r} requires a "
+            "typed value",
+            {"field": fname, "value": s},
+        )
+    analyzer = analyzers.get(fname) or analyzers.get(None)
+    toks = analyzer.tokens(s)
+    if not toks:
+        return MatchNone(boost)
+    # whitespace decides phrase-ness on the RAW string (query.clj:70-72)
+    if _WS.search(s):
+        if len(toks) == 1:
+            return TermQ(boost, fname, toks[0])
+        return PhraseQ(boost, fname, tuple(toks))
+    if len(toks) == 1:
+        return TermQ(boost, fname, toks[0])
+    # single word analyzed to several tokens -> boolean OR
+    # (QueryBuilder.createBooleanQuery default occur SHOULD)
+    return BoolQ(boost, tuple((SHOULD, TermQ(1.0, fname, t)) for t in toks))
+
+
+def parse(
+    form: Any,
+    specs: dict[str, FieldSpec],
+    analyzers: dict,
+    field_name: str | None = None,
+    boost: float = 1.0,
+) -> Node:
+    """Shape dispatch — see module docstring."""
+    if isinstance(form, Node):
+        return form
+    if isinstance(form, enum.Enum):  # Named (query.clj:79-81)
+        return parse(form.name, specs, analyzers, field_name, boost)
+    if isinstance(form, str):
+        return _string_query(form, field_name, specs, analyzers, boost)
+    if isinstance(form, (set, frozenset)):
+        clauses = tuple(
+            (SHOULD, parse(e, specs, analyzers, field_name))
+            for e in sorted(form, key=repr)
+        )
+        return BoolQ(boost, clauses)
+    if isinstance(form, (list, tuple)):
+        clauses = tuple(
+            (MUST, parse(e, specs, analyzers, field_name)) for e in form
+        )
+        return BoolQ(boost, clauses)
+    if isinstance(form, dict):
+        clauses = tuple(
+            (MUST, parse(v, specs, analyzers, str(k)))
+            for k, v in form.items()
+        )
+        return BoolQ(boost, clauses)
+    if isinstance(form, bool):
+        return _typed_exact(form, "boolean", field_name, specs, boost,
+                            "Boolean query values require a boolean field "
+                            "definition")
+    if isinstance(form, int):
+        return _typed_exact(form, "long", field_name, specs, boost,
+                            "Numeric query values require a long or double "
+                            "field definition")
+    if isinstance(form, float):
+        return _typed_exact(form, "double", field_name, specs, boost,
+                            "Numeric query values require a long or double "
+                            "field definition")
+    if isinstance(form, (dt.datetime, dt.date)):
+        return _typed_exact(form, "instant", field_name, specs, boost,
+                            "Instant query values require an instant field "
+                            "definition")
+    raise ValidationError(
+        f"unsupported query form of type {type(form).__name__}",
+        {"form": form},
+    )
+
+
+def _typed_exact(value, want_type, field_name, specs, boost, msg) -> Node:
+    fname = _require_field(field_name, want_type)
+    fs = _field_spec(specs, fname)
+    ok = fs is not None and (
+        fs.type == want_type
+        or (want_type == "long" and fs.type == "double")
+    )
+    if not ok:
+        raise ValueTypeError(
+            msg + f" (field {fname!r} is {fs.type if fs else 'undeclared'})",
+            {"field": fname, "value": value},
+        )
+    norm = {
+        "long": normalize_long,
+        "double": normalize_double,
+        "boolean": normalize_boolean,
+        "instant": normalize_instant,
+    }
+    v = float(value) if fs.type == "double" else norm[want_type](value)
+    return ExactQ(boost, fname, v, fs.type)
+
+
+def combine_fuzzy(
+    m: dict[str, str], specs: dict[str, FieldSpec]
+) -> Node:
+    """Fuzzy map {field: term} -> SHOULD-combined FuzzyQ nodes
+    (reference query.clj:132-147); only text/keyword fields."""
+    if not isinstance(m, dict):
+        raise ValidationError(
+            "fuzzy queries take a {field: term} mapping "
+            "(reference validation.clj)",
+            {"query": m},
+        )
+    clauses = []
+    for k, v in m.items():
+        fname = str(k)
+        fs = specs.get(fname)
+        if fs is not None and fs.type not in ("text", "keyword"):
+            raise ValueTypeError(
+                "Fuzzy queries are only supported for text and keyword "
+                f"fields ({fname!r} is {fs.type})",
+                {"field": fname, "value": v},
+            )
+        clauses.append((SHOULD, FuzzyQ(1.0, fname, normalize_text(v).lower())))
+    return BoolQ(1.0, tuple(clauses))
+
+
+# --- classic QueryParser DSL subset (query.clj:115-124) ----------------
+
+_DSL_TOKEN = re.compile(
+    r"""
+    \s*(
+        \( | \)
+      | "(?:[^"\\]|\\.)*"
+      | (?:AND|OR|NOT)\b
+      | [+\-]
+      | [^\s()^]+
+    )
+    """,
+    re.VERBOSE,
+)
+_BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
+
+
+def parse_dsl(
+    dsl: str,
+    default_field: str,
+    specs: dict[str, FieldSpec],
+    analyzers: dict,
+) -> Node:
+    """Classic Lucene QueryParser subset: whitespace-split clauses with
+    default-OR combination, ``field:value``, quoted phrases, ``^boost``,
+    AND/OR/NOT connectives, +required / -prohibited prefixes. Matches the
+    reference's parser configuration: split-on-whitespace true,
+    auto-generate-phrase-queries true (query.clj:119-123; behavior pinned
+    by lucene_test.clj:119-135)."""
+    default_field = str(default_field)
+    raw = [m.group(1) for m in _DSL_TOKEN.finditer(dsl)]
+    if not raw:
+        return MatchNone()
+
+    clauses: list[tuple[str, Node]] = []
+    pending_occur: str | None = None
+    connective: str | None = None
+    i = 0
+
+    def finish(node: Node):
+        nonlocal pending_occur, connective
+        occ = SHOULD
+        if pending_occur:
+            occ = pending_occur
+        elif connective == "AND":
+            occ = MUST
+            # retro-promote the previous clause to MUST (Lucene behavior)
+            if clauses and clauses[-1][0] == SHOULD:
+                clauses[-1] = (MUST, clauses[-1][1])
+        clauses.append((occ, node))
+        pending_occur = None
+        connective = None
+
+    while i < len(raw):
+        tok = raw[i]
+        i += 1
+        if tok in ("AND", "OR"):
+            connective = tok
+            continue
+        if tok == "NOT" or tok == "-":
+            pending_occur = "MUST_NOT"
+            continue
+        if tok == "+":
+            pending_occur = MUST
+            continue
+        if tok in ("(", ")"):
+            continue  # flat subset: parens only group boosts in render
+        boost = 1.0
+        m = _BOOST.search(tok)
+        if m:
+            boost = float(m.group(1))
+            tok = tok[: m.start()]
+        fname, value = default_field, tok
+        if ":" in tok and not tok.startswith('"'):
+            fname, value = tok.split(":", 1)
+            m2 = _BOOST.search(value)
+            if m2:
+                boost = float(m2.group(1))
+                value = value[: m2.start()]
+        if value.startswith('"') and value.endswith('"') and len(value) >= 2:
+            phrase = value[1:-1]
+            an = analyzers.get(fname) or analyzers.get(None)
+            toks = an.tokens(phrase)
+            node: Node = (
+                PhraseQ(boost, fname, tuple(toks))
+                if len(toks) > 1
+                else (TermQ(boost, fname, toks[0]) if toks else MatchNone())
+            )
+        else:
+            fs = specs.get(fname)
+            an = analyzers.get(fname) or analyzers.get(None)
+            if fs is not None and fs.type != "text":
+                node = _string_query(value, fname, specs, analyzers, boost)
+            else:
+                toks = an.tokens(value)
+                if not toks:
+                    node = MatchNone(boost)
+                elif len(toks) == 1:
+                    node = TermQ(boost, fname, toks[0])
+                else:
+                    # auto-generate-phrase-queries: one whitespace token
+                    # analyzing to several terms becomes a phrase
+                    node = PhraseQ(boost, fname, tuple(toks))
+        finish(node)
+
+    if len(clauses) == 1 and clauses[0][0] == SHOULD:
+        return clauses[0][1]
+    return BoolQ(1.0, tuple(clauses))
+
+
+def render(node: Node) -> str:
+    """Debug rendering loosely like Lucene's Query.toString (the
+    reference asserts on that string at lucene_test.clj:119-122)."""
+    if isinstance(node, TermQ):
+        s = f"{node.field}:{node.term}"
+    elif isinstance(node, PhraseQ):
+        s = f"{node.field}:\"{' '.join(node.terms)}\""
+    elif isinstance(node, ExactQ):
+        s = f"{node.field}:{node.value}"
+    elif isinstance(node, FuzzyQ):
+        s = f"{node.field}:{node.term}~{node.max_edits}"
+    elif isinstance(node, BoolQ):
+        parts = []
+        for occ, n in node.clauses:
+            prefix = "+" if occ == MUST else ("-" if occ == "MUST_NOT" else "")
+            parts.append(prefix + render(n))
+        s = " ".join(parts)
+    else:
+        s = "MatchNone"
+    if node.boost != 1.0:
+        s = f"({s})^{node.boost}"
+    return s
