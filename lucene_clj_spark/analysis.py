@@ -167,20 +167,21 @@ class Analyzer:
 
     def udf(self) -> Callable[..., Column]:
         """A vectorized pandas_udf: StringType -> ArrayType(StringType)."""
-        self_copy = self  # capture a frozen dataclass, not the method
+        from lucene_clj_spark._udfs import analyze_udf
 
-        @F.pandas_udf(T.ArrayType(T.StringType()))
-        def analyze(s: pd.Series) -> pd.Series:
-            return self_copy.tokens_series(s)
+        return analyze_udf(self)
 
-        return analyze
-
-    def column(self, col: Column | str) -> Column:
+    def column(self, col: Column | str, allow_fast: bool = False) -> Column:
         """Analysis as a Column expression.
 
         JVM-native (whole-stage-codegen'd, no Python worker) for the
-        analyzers whose semantics built-in functions can express exactly;
-        falls back to the Arrow UDF for the general standard analyzer.
+        analyzers whose semantics built-in functions express EXACTLY
+        (keyword/whitespace/simple); the standard analyzer uses the
+        Arrow UDF, which is token-exact. ``allow_fast=True`` opts the
+        standard analyzer into a JVM split on non-alnum runs — a
+        documented approximation (loses mid-word apostrophes/"3.14"
+        joining and CJK single-char rules) for corpora known to be
+        plain ``[a-z0-9 ]`` text.
         """
         c = F.col(col) if isinstance(col, str) else col
         if self.kind == "keyword":
@@ -191,11 +192,7 @@ class Analyzer:
         if self.kind == "simple":
             toks = F.filter(F.split(F.lower(c), r"[^\p{L}]+"), lambda t: t != F.lit(""))
             return toks
-        if self.kind == "standard" and not self.stop_words:
-            # Pure JVM fast path for the common subset: word runs of
-            # alnum with single mid-joiners between. Matches
-            # _standard_tokens for non-CJK text; CJK-bearing columns
-            # should use .udf() instead (see Index.build analyzer pick).
+        if self.kind == "standard" and not self.stop_words and allow_fast:
             pat = r"[^\p{L}\p{Nd}]+"
             toks = F.filter(F.split(F.lower(c), pat), lambda t: t != F.lit(""))
             return toks

@@ -92,10 +92,18 @@ def norm_byte_np(dl: np.ndarray) -> np.ndarray:
 # --- Column-expression implementation (JVM hot path) -------------------
 
 def quantized_dl_col(dl: Column) -> Column:
-    """Byte-quantized doc length as a JVM Column expression."""
-    nbits = F.length(F.bin(dl.cast("long")))
+    """Byte-quantized doc length as a JVM Column expression.
+
+    ``shiftleft/shiftright`` take only literal shift amounts in the
+    Column API, so the shift is done with exact power-of-two double
+    arithmetic: dl < 2^31 and 2^shift <= 2^27, so division, floor and
+    multiply are all exact in float64 — bit-identical to the integer
+    ``>>``/``<<`` the DuckDB oracle uses."""
+    d = dl.cast("long")
+    nbits = F.length(F.bin(d))
     shift = F.greatest(nbits - F.lit(4), F.lit(0))
-    return F.shiftleft(F.shiftright(dl.cast("long"), shift), shift)
+    p = F.pow(F.lit(2.0), shift.cast("double"))
+    return (F.floor(d.cast("double") / p) * p).cast("long")
 
 
 def idf_col(df_: Column, n_docs: Column) -> Column:

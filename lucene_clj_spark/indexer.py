@@ -250,15 +250,11 @@ def _suggest_rows(
     elif callable(ctx):
         # the reference's arbitrary-fn contexts surface
         # (document.clj:72-75) — Arrow-batched over a struct of the row
-        import pandas as pd
+        from lucene_clj_spark._udfs import contexts_udf
 
-        fn = ctx
-
-        @F.pandas_udf(T.ArrayType(T.StringType()))
-        def derive(rows: pd.DataFrame) -> pd.Series:
-            return rows.apply(lambda r: [str(x) for x in fn(r.to_dict())], axis=1)
-
-        ctx_col = derive(F.struct(*[F.col(c) for c in docs.columns]))
+        ctx_col = contexts_udf(ctx)(
+            F.struct(*[F.col(c) for c in docs.columns if not c.startswith("__")])
+        )
     else:
         raise ValidationError(
             "contexts_from must be a field name, list of names, or callable",

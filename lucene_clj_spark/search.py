@@ -98,14 +98,17 @@ def _scored_phrase(index, node: PhraseQ) -> DataFrame:
     terms = list(node.terms)
     if not terms:
         return _empty_scores(index)
+    def _shift(offset):
+        # NOTE: F.transform calls 2-arg lambdas as (elem, idx); keep a
+        # 1-arg closure so `offset` is the phrase offset, not the index.
+        return lambda x: x - F.lit(offset)
+
     parts = []
     for i, t in enumerate(terms):
         p = _term_postings(index, node.field, t).select(
             "doc_id",
             F.col("dl").alias(f"__dl_{i}"),
-            F.transform(
-                F.col("positions"), lambda x, i=i: x - F.lit(i)
-            ).alias(f"__pos_{i}"),
+            F.transform(F.col("positions"), _shift(i)).alias(f"__pos_{i}"),
         )
         parts.append(p)
     joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
