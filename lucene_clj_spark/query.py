@@ -260,10 +260,10 @@ _DSL_TOKEN = re.compile(
     r"""
     \s*(
         \( | \)
-      | "(?:[^"\\]|\\.)*"
+      | (?:[^\s():"]+:)?"(?:[^"\\]|\\.)*"(?:\^\d+(?:\.\d+)?)?
       | (?:AND|OR|NOT)\b
       | [+\-]
-      | [^\s()^]+
+      | [^\s()]+
     )
     """,
     re.VERBOSE,

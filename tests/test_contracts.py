@@ -1,0 +1,253 @@
+"""Contract/validation + typed round-trip tests — mirror of reference
+contract_test.clj and document_test.clj (SURVEY.md §5 levels 2-4)."""
+
+import datetime as dt
+
+import pytest
+
+from lucene_clj_spark.errors import (
+    CardinalityError,
+    SchemaError,
+    UnknownFieldError,
+    ValidationError,
+    ValueTypeError,
+)
+from lucene_clj_spark.schema import FieldSpec, normalize_field_specs
+from lucene_clj_spark.values import normalize_value
+
+
+# --- schema validation (contract_test.clj:176-186, schema.clj:93-109) --
+
+def test_unknown_type_rejected():
+    with pytest.raises(SchemaError):
+        normalize_field_specs({"f": "strange"})
+
+
+def test_empty_schema_rejected():
+    with pytest.raises(SchemaError):
+        normalize_field_specs({})
+
+
+def test_legacy_bucketed_options_rejected():
+    with pytest.raises(SchemaError):
+        normalize_field_specs({"stored-fields": ["a"]})
+
+
+def test_suggest_only_on_text_keyword():
+    with pytest.raises(SchemaError):
+        normalize_field_specs({"n": {"type": "long", "suggest": {"weight": 2}}})
+
+
+def test_field_must_do_something():
+    with pytest.raises(SchemaError):
+        normalize_field_specs({"f": {"type": "text", "stored": False,
+                                     "indexed": False}})
+
+
+def test_suggest_weight_positive():
+    with pytest.raises(SchemaError):
+        normalize_field_specs({"f": {"type": "text",
+                                     "suggest": {"weight": 0}}})
+
+
+def test_defaults_applied():
+    specs = normalize_field_specs({"f": "text"})
+    fs = specs["f"]
+    assert fs.stored and fs.indexed and not fs.multi_valued
+    assert fs.suggest is None
+
+
+# --- value normalization (document_test.clj:36-83, values.clj) ---------
+
+def test_nil_text_raises():
+    with pytest.raises(ValueTypeError):
+        normalize_value("text", None)
+
+
+def test_nested_map_raises():
+    with pytest.raises(ValueTypeError):
+        normalize_value("text", {"a": 1})
+
+
+def test_collection_on_single_valued_raises():
+    with pytest.raises(CardinalityError):
+        normalize_value("text", ["a", "b"], multi_valued=False)
+
+
+def test_multi_valued_normalizes_to_list():
+    assert normalize_value("keyword", ("a", "b"), multi_valued=True) == ["a", "b"]
+    assert normalize_value("keyword", "a", multi_valued=True) == ["a"]
+
+
+def test_long_range_checked():
+    assert normalize_value("long", 2**63 - 1) == 2**63 - 1
+    with pytest.raises(ValueTypeError):
+        normalize_value("long", 2**63)
+    with pytest.raises(ValueTypeError):
+        normalize_value("long", "42")
+
+
+def test_double_finiteness():
+    assert normalize_value("double", 1.5) == 1.5
+    with pytest.raises(ValueTypeError):
+        normalize_value("double", float("nan"))
+    with pytest.raises(ValueTypeError):
+        normalize_value("double", float("inf"))
+
+
+def test_boolean_strict():
+    assert normalize_value("boolean", True) is True
+    with pytest.raises(ValueTypeError):
+        normalize_value("boolean", "true")
+
+
+def test_instant_epoch_millis():
+    t = dt.datetime(2024, 1, 2, 3, 4, 5, tzinfo=dt.timezone.utc)
+    assert normalize_value("instant", t) == int(t.timestamp() * 1000)
+
+
+def test_text_coercions():
+    import uuid
+
+    assert normalize_value("text", 42) == "42"
+    assert normalize_value("text", True) == "true"
+    u = uuid.uuid4()
+    assert normalize_value("text", u) == str(u)
+
+
+# --- property tests (values_property_test.clj:28-37) -------------------
+
+def test_property_text_normalization_total():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = st.one_of(
+        st.text(max_size=30), st.integers(), st.booleans(),
+        st.floats(allow_nan=False, allow_infinity=False), st.uuids(),
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(scalars)
+    def check(v):
+        out = normalize_value("text", v)
+        assert isinstance(out, str)
+
+    check()
+
+
+def test_property_multi_value_cardinality_preserved():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.text(max_size=10), max_size=8))
+    def check(vs):
+        out = normalize_value("keyword", vs, multi_valued=True)
+        assert len(out) == len(vs)
+
+    check()
+
+
+# --- typed round-trip + reopen persistence (contract_test.clj:53-151) --
+
+@pytest.fixture(scope="module")
+def typed_index(spark, tmp_path_factory):
+    from lucene_clj_spark import create_index
+
+    rows = [
+        (0, "alpha", 1999, 4.5, dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc),
+         True),
+        (1, "beta", 2005, 3.25, dt.datetime(2021, 6, 2, tzinfo=dt.timezone.utc),
+         False),
+        (2, "gamma", 1999, 4.5, dt.datetime(2020, 1, 1, tzinfo=dt.timezone.utc),
+         False),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "title", "year", "rating", "published_at", "active"]
+    )
+    path = str(tmp_path_factory.mktemp("idx") / "typed")
+    return create_index(
+        spark,
+        df,
+        {
+            "title": "keyword",
+            "year": "long",
+            "rating": "double",
+            "published_at": "instant",
+            "active": "boolean",
+        },
+        id_column="doc_id",
+        path=path,
+        index_type="disk",
+        re_create=True,
+    )
+
+
+def test_exact_long(typed_index):
+    got = typed_index.search({"year": 1999}).collect()
+    assert sorted(r["title"] for r in got) == ["alpha", "gamma"]
+
+
+def test_exact_double(typed_index):
+    got = typed_index.search({"rating": 3.25}).collect()
+    assert [r["title"] for r in got] == ["beta"]
+
+
+def test_exact_boolean(typed_index):
+    got = typed_index.search({"active": True}).collect()
+    assert [r["title"] for r in got] == ["alpha"]
+
+
+def test_exact_instant(typed_index):
+    t = dt.datetime(2021, 6, 2, tzinfo=dt.timezone.utc)
+    got = typed_index.search({"published_at": t}).collect()
+    assert [r["title"] for r in got] == ["beta"]
+
+
+def test_exact_keyword(typed_index):
+    got = typed_index.search({"title": "alpha"}).collect()
+    assert [r["doc_id"] for r in got] == [0]
+
+
+def test_typed_value_on_wrong_field_raises(typed_index):
+    with pytest.raises(ValueTypeError):
+        typed_index.search({"title": 42}).collect()
+    with pytest.raises(ValueTypeError):
+        typed_index.search({"year": True}).collect()
+
+
+def test_reopen_persists_field_specs(spark, typed_index):
+    """Schema travels with the index (contract_test.clj:90-119)."""
+    from lucene_clj_spark import Index
+
+    reopened = Index.load(spark, typed_index.path)
+    assert reopened.specs["year"].type == "long"
+    got = reopened.search({"year": 1999}).collect()
+    assert sorted(r["title"] for r in got) == ["alpha", "gamma"]
+
+
+def test_session_reuse(sample_index):
+    """contract_test.clj:153-157 — one session, many searches."""
+    from lucene_clj_spark import open_session
+
+    with open_session(sample_index) as s:
+        a = s.search({"bio": "love"}).collect()
+        b = s.search({"bio": "antics"}).collect()
+        c = s.suggest("first_name", "S").collect()
+        assert a and b and c
+
+
+# --- create/index option validation (contract_test.clj:14-26) ----------
+
+def test_create_index_validation(spark, sample_docs):
+    from lucene_clj_spark import create_index
+
+    with pytest.raises(ValidationError):
+        create_index(spark, sample_docs, {"first_name": "text"},
+                     index_type="weird")
+    with pytest.raises(ValidationError):
+        create_index(spark, sample_docs, {"first_name": "text"},
+                     index_type="disk")  # no path
+    with pytest.raises(UnknownFieldError):
+        create_index(spark, sample_docs, {"first_name": "text"},
+                     id_column=None, order_by=["first_name"])

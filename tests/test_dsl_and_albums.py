@@ -1,0 +1,156 @@
+"""Classic DSL parser tests (lucene_test.clj:119-135) and an albums-style
+corpus exercising per-field analyzers, multi-valued keyword fields, and
+weighted suggestions (tests_common.clj:65-88)."""
+
+import pytest
+
+from lucene_clj_spark.analysis import KEYWORD, STANDARD
+from lucene_clj_spark.query import (
+    MUST,
+    SHOULD,
+    BoolQ,
+    PhraseQ,
+    TermQ,
+    parse_dsl,
+    render,
+)
+from lucene_clj_spark.schema import normalize_field_specs
+
+SPECS = normalize_field_specs({"name": "text", "real": "text", "bio": "text"})
+ANALYZERS = {None: STANDARD}
+
+
+def test_parse_dsl_default_field_and_boost():
+    # mirror: "Shikari Shambhu real:true^2" with default field "name"
+    # -> name:shikari name:shambhu (real:true)^2.0  (lucene_test.clj:119-122)
+    node = parse_dsl("Shikari Shambhu real:true^2", "name", SPECS, ANALYZERS)
+    assert isinstance(node, BoolQ)
+    occs = [occ for occ, _ in node.clauses]
+    assert occs == [SHOULD, SHOULD, SHOULD]
+    kids = [n for _, n in node.clauses]
+    assert kids[0] == TermQ(1.0, "name", "shikari")
+    assert kids[1] == TermQ(1.0, "name", "shambhu")
+    assert kids[2] == TermQ(2.0, "real", "true")
+    assert render(node) == "name:shikari name:shambhu (real:true)^2.0"
+
+
+def test_parse_dsl_quoted_phrase():
+    node = parse_dsl('bio:"love him"', "name", SPECS, ANALYZERS)
+    assert node == PhraseQ(1.0, "bio", ("love", "him"))
+
+
+def test_parse_dsl_and_promotes_must():
+    node = parse_dsl("name:a AND name:b", "name", SPECS, ANALYZERS)
+    assert [occ for occ, _ in node.clauses] == [MUST, MUST]
+
+
+def test_parse_dsl_not():
+    node = parse_dsl("name:a NOT name:b", "name", SPECS, ANALYZERS)
+    assert [occ for occ, _ in node.clauses] == [SHOULD, "MUST_NOT"]
+
+
+def test_dsl_search_end_to_end(sample_index):
+    from lucene_clj_spark.query import parse_dsl as pd_
+
+    node = pd_("shikari", "first_name", sample_index.specs,
+               sample_index.analyzers)
+    got = sample_index.search(node).collect()
+    assert [(r["first_name"], r["last_name"]) for r in got] == [
+        ("Shikari", "Shambhu")
+    ]
+    node2 = pd_("gender:f", "", sample_index.specs, sample_index.analyzers)
+    got2 = sample_index.search(node2).collect()
+    assert sorted((r["first_name"], r["last_name"]) for r in got2) == [
+        ("Pinki", "Sharma"), ("Wonder", "Woman"),
+    ]
+
+
+# --- albums-style corpus (multi-valued keyword, per-field analyzers,
+#     weighted suggest — schema mirror of tests_common.clj:65-88) -------
+
+ALBUMS = [
+    (0, "1", "1967", "Dawn Chorus", "The Larks", ["Rock", "Folk"],
+     ["Folk Rock"]),
+    (1, "2", "1971", "Midnight Harvest", "Moon Harvest", ["Rock"],
+     ["Hard Rock", "Blues Rock"]),
+    (2, "3", "1967", "Harvest Songs", "The Larks", ["Folk"], ["Folk Rock"]),
+    (3, "4", "1982", "Neon Rivers", "Glass Parade", ["Electronic"],
+     ["Synth-pop"]),
+    (4, "5", "1982", "River Dawn", "Moon Harvest", ["Rock", "Electronic"],
+     ["Synth-pop"]),
+]
+
+
+@pytest.fixture(scope="module")
+def album_index(spark):
+    from lucene_clj_spark import create_index
+
+    df = spark.createDataFrame(
+        ALBUMS,
+        ["doc_id", "Number", "Year", "Album", "Artist", "Genre", "Subgenre"],
+    )
+    return create_index(
+        spark,
+        df,
+        {
+            "Number": "text",
+            "Year": "keyword",
+            "Album": {"type": "text",
+                      "suggest": {"weight": 5, "contexts_from": "Genre"}},
+            "Artist": {"type": "text", "suggest": {"contexts_from": "Genre"}},
+            "Genre": {"type": "keyword", "multi_valued": True},
+            "Subgenre": {"type": "keyword", "multi_valued": True},
+        },
+        id_column="doc_id",
+    )
+
+
+def test_multivalued_keyword_exact(album_index):
+    got = album_index.search({"Genre": "Electronic"}).collect()
+    assert sorted(r["Album"] for r in got) == ["Neon Rivers", "River Dawn"]
+
+
+def test_year_keyword_exact(album_index):
+    got = album_index.search({"Year": "1982"}).collect()
+    assert sorted(r["Album"] for r in got) == ["Neon Rivers", "River Dawn"]
+
+
+def test_text_term_over_albums(album_index):
+    got = album_index.search("harvest", field_name="Album").collect()
+    assert sorted(r["Album"] for r in got) == [
+        "Harvest Songs", "Midnight Harvest",
+    ]
+
+
+def test_weighted_suggest_album_beats_artist(album_index):
+    """Album weight 5 vs Artist weight 1: completions from Album rank
+    first for a shared prefix (tests_common.clj:72-80 semantics)."""
+    a = album_index.suggest_("Album", "harvest", max_results=5).collect()
+    assert [r["completion"] for r in a] == ["Harvest Songs"]
+    b = album_index.suggest_("Artist", "moon", max_results=5).collect()
+    assert sorted(r["completion"] for r in b) == [
+        "Moon Harvest", "Moon Harvest",
+    ]
+
+
+def test_suggest_context_from_multivalued(album_index):
+    got = album_index.suggest_(
+        "Artist", "the", contexts=["Folk"], max_results=10
+    ).collect()
+    assert {r["completion"] for r in got} == {"The Larks"}
+
+
+def test_cross_field_and(album_index):
+    got = album_index.search(
+        {"Artist": "larks", "Year": "1967"}
+    ).collect()
+    assert sorted(r["Album"] for r in got) == ["Dawn Chorus", "Harvest Songs"]
+
+
+def test_or_set_over_multivalued(album_index):
+    got = album_index.search(
+        {"Subgenre": {"Synth-pop", "Blues Rock"}}
+    ).collect()
+    assert sorted(r["Album"] for r in got) == [
+        "Midnight Harvest", "Neon Rivers", "River Dawn",
+    ]
