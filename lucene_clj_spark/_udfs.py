@@ -19,6 +19,31 @@ def analyze_udf(analyzer):
     return analyze
 
 
+def shingle_udf(analyzer, n):
+    """StringType -> ArrayType(StringType): distinct word n-gram
+    shingles. Tokenize + shingle in one Arrow batch pass (Spark forbids
+    Python-UDF columns inside higher-order-function lambdas, so the
+    shingling cannot wrap the tokenizer column)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def shingles(s: pd.Series) -> pd.Series:
+        def sh(text):
+            toks = analyzer.tokens(text or "")
+            if len(toks) < n:
+                return []
+            seen, out = set(), []
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                if g not in seen:
+                    seen.add(g)
+                    out.append(g)
+            return out
+
+        return s.map(sh)
+
+    return shingles
+
+
 def contexts_udf(fn):
     """Struct(all columns) -> ArrayType(StringType): the reference's
     arbitrary contexts-from fn surface (document.clj:72-75)."""

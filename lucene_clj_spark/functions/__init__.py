@@ -1,0 +1,14 @@
+"""Training-data pipeline operators over document/embedding tables.
+
+Beyond the reference's own surface (SURVEY.md §2.12 lists what it lacks),
+these are the large-scale corpus-preparation operators a 100 TB web-text
+pipeline needs, built Spark-first:
+
+- dedup.py : exact, n-gram Jaccard, MinHash+LSH, SimHash near-dup
+- ann.py   : brute-force cosine top-k + LSH-bucketed approximate variant
+- text.py  : token/quality statistics, language-ID heuristic, document
+             fingerprinting
+
+Everything uses a PORTABLE hash (first 8 hex chars of md5 -> int64) so
+the same arithmetic runs as Spark Columns and as DuckDB oracle SQL.
+"""

@@ -1,0 +1,164 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Input: a table with (vec_id:long, embedding:array<float>).
+
+- ``cosine_topk``: exact brute-force cosine top-k for one query vector.
+  The query vector is a literal folded into the plan (no join); the
+  per-row dot product is a JVM ``aggregate``/``zip_with`` expression
+  (no Python), and top-k is TakeOrderedAndProject (bounded heaps, no
+  global sort). This is the CORRECTNESS baseline and is already the
+  right plan for one-off queries at scale: one scan, no shuffle.
+- ``rp_lsh_buckets`` / ``rp_lsh_topk``: the SCALE path — random
+  hyperplane (sign) LSH. Vectors hash to a b-bit bucket; a query probes
+  only its own bucket (and optionally multi-probe neighbors), turning a
+  full-corpus scan into a 1/2^b partition-pruned scan. Hyperplane
+  signs are derived from the portable hash, so bucketing is
+  deterministic and reproducible across engines (no stored model).
+- ``knn_join_bucketed``: all-pairs k-NN join via bucket equality —
+  linear shuffle instead of crossJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lucene_clj_spark.functions.text import portable_hash
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    exclude_vec_id: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+    Returns (vec_id, cos_sim) ordered (cos_sim desc, vec_id asc)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = embeddings.select(
+        "vec_id", cosine_sim(F.col(vec_col), q).alias("cos_sim")
+    )
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return out.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+def _plane_component(plane: int, i: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in {-1, +1}:
+    sign of bit 0 of portable_hash('p<plane>_<i>')."""
+    h = portable_hash(F.lit(f"plane{plane}_{i}"))
+    return F.when(F.pmod(h, F.lit(2)) == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def rp_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit j = [dot(v, plane_j) > 0].
+    Deterministic planes (see _plane_component) — no stored model; the
+    same expression re-derives the bucket for any query vector."""
+    bucket = None
+    for j in range(n_planes):
+        plane = F.array(*[_plane_component(j, i) for i in range(dim)])
+        bit = F.when(_dot(F.col(vec_col), plane) > 0, F.lit(2**j)).otherwise(
+            F.lit(0)
+        )
+        bucket = bit if bucket is None else (bucket + bit)
+    return embeddings.withColumn("bucket", bucket.cast("long"))
+
+
+def rp_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    exclude_vec_id: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket, exact
+    cosine within it. At scale the embeddings table is written
+    partitioned by bucket -> partition-pruned scan of ~1/2^b of data."""
+    import numpy as np
+
+    dim = len(query_vec)
+    bucketed = rp_lsh_buckets(embeddings, n_planes, dim, vec_col)
+    # driver-side bucket of the query vector (same plane derivation)
+    import hashlib
+
+    def plane_comp(j: int, i: int) -> float:
+        h = int(hashlib.md5(f"plane{j}_{i}".encode()).hexdigest()[:8], 16)
+        return 1.0 if h % 2 == 1 else -1.0
+
+    qb = 0
+    for j in range(n_planes):
+        d = sum(plane_comp(j, i) * float(query_vec[i]) for i in range(dim))
+        if d > 0:
+            qb += 2**j
+    out = bucketed.filter(F.col("bucket") == qb)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = out.select("vec_id", cosine_sim(F.col(vec_col), q).alias("cos_sim"))
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return out.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+def knn_join_bucketed(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-vectors k-NN join restricted to same-LSH-bucket candidates:
+    equality join on bucket (linear shuffle), exact cosine + per-vector
+    top-k window inside each bucket. Returns (vec_id, neighbor_id,
+    cos_sim, rank)."""
+    from pyspark.sql import Window
+
+    b = rp_lsh_buckets(embeddings, n_planes, dim, vec_col)
+    left = b.select(
+        F.col("vec_id"), F.col(vec_col).alias("__va"), "bucket"
+    )
+    right = b.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("__vb"),
+        "bucket",
+    )
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("vec_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine_sim(F.col("__va"), F.col("__vb")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("vec_id", "neighbor_id", "cos_sim", "rank")
+    )

@@ -1,0 +1,153 @@
+"""Text-analysis operators for corpus preparation.
+
+All operators take a docs DataFrame with (doc_id, <text_col>) and return
+DataFrames; the arithmetic is chosen to be expressible 1:1 in ANSI SQL
+(DuckDB) for oracle checking. Token streams come from the engine's
+standard analyzer (byte-identical to the index side).
+
+Portable hash: ``int64(parse_hex(md5(s)[0:8]))`` — identical in Spark
+(``conv(substr(md5(s),1,8),16,10)``) and DuckDB
+(``('0x' || substr(md5(s),1,8))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lucene_clj_spark.analysis import Analyzer, STANDARD
+
+# compact stop set used for quality scoring (fixed, documented — NOT the
+# analyzer stop set, which defaults to empty)
+QUALITY_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+
+def portable_hash(c: Column) -> Column:
+    """First 32 bits of md5 as a non-negative int64 (see module doc)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def portable_hash_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def tokens_col(text: Column, analyzer: Analyzer = STANDARD) -> Column:
+    return analyzer.udf()(text)
+
+
+def token_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    analyzer: Analyzer = STANDARD,
+) -> DataFrame:
+    """Per-document token statistics + a composite quality score.
+
+    Columns: doc_id, n_tokens, n_distinct, ttr (type/token ratio),
+    stopword_ratio, avg_token_len, quality — all double-rounded
+    downstream by callers that need hash-stable output.
+
+    quality = ttr * (1 - stopword_ratio) * min(n_tokens, 256)/256 —
+    a simple monotone heuristic: repetitive, stopword-heavy, or very
+    short documents score low.
+    """
+    toks = F.col("__toks")
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    out = (
+        docs.withColumn("__toks", tokens_col(F.col(text_col), analyzer))
+        .select(
+            "doc_id",
+            n_tokens.cast("long").alias("n_tokens"),
+            n_distinct.cast("long").alias("n_distinct"),
+            (n_distinct.cast("double") / n_tokens.cast("double")).alias("ttr"),
+            (n_stop.cast("double") / n_tokens.cast("double")).alias(
+                "stopword_ratio"
+            ),
+            (sum_len.cast("double") / n_tokens.cast("double")).alias(
+                "avg_token_len"
+            ),
+        )
+        .withColumn(
+            "quality",
+            F.col("ttr")
+            * (F.lit(1.0) - F.col("stopword_ratio"))
+            * (
+                F.least(F.col("n_tokens"), F.lit(256)).cast("double")
+                / F.lit(256.0)
+            ),
+        )
+    )
+    return out
+
+
+def fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    analyzer: Analyzer = STANDARD,
+) -> DataFrame:
+    """Deterministic content fingerprint: (doc_id, n_tokens,
+    min/max/sum-mod of token hashes). Join-key-sized digest for
+    content-lineage tracking across pipeline stages."""
+    toks = F.col("__toks")
+    hashes = F.transform(toks, lambda t: portable_hash(t))
+    return docs.withColumn(
+        "__toks", tokens_col(F.col(text_col), analyzer)
+    ).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.array_min(hashes).alias("min_hash"),
+        F.array_max(hashes).alias("max_hash"),
+        F.pmod(
+            F.aggregate(hashes, F.lit(0).cast("long"), lambda a, x: a + x),
+            F.lit(2**31 - 1),
+        ).alias("sum_hash_mod"),
+    )
+
+
+# Language-ID: tiny stopword-profile heuristic. The synthetic corpus has
+# an English-ish vocabulary, so this is exercised via pytest goldens on
+# constructed sentences (rows-only for the driver oracle).
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it", "you", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ich", "ein", "zu"},
+    "fr": {"le", "la", "les", "et", "est", "je", "un", "une", "que", "pas"},
+    "es": {"el", "la", "los", "las", "es", "y", "un", "una", "que", "no"},
+}
+
+
+def lang_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    analyzer: Analyzer = STANDARD,
+) -> DataFrame:
+    """(doc_id, pred_lang, lang_score): argmax over stopword-profile hit
+    ratios; 'und' (undetermined) when no profile matches."""
+    toks = F.col("__toks")
+    out = docs.withColumn("__toks", tokens_col(F.col(text_col), analyzer))
+    scores = []
+    for lang, words in sorted(_LANG_PROFILES.items()):
+        arr = F.array(*[F.lit(w) for w in sorted(words)])
+        hit = F.size(F.filter(toks, lambda t, a=arr: F.array_contains(a, t)))
+        scores.append(
+            F.struct(
+                (hit.cast("double") / F.greatest(F.size(toks), F.lit(1))).alias(
+                    "score"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return out.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lang"]).otherwise("und").alias(
+            "pred_lang"
+        ),
+        best["score"].alias("lang_score"),
+    )
