@@ -1,0 +1,91 @@
+"""Posting-block codec — vectorized varint (LEB128) + delta encoding.
+
+The north-star index layout stores postings as compressed blocks of
+~128 docs (Lucene's block size), per block: delta-coded doc ids,
+term frequencies, per-posting norm bytes, and concatenated
+delta-coded positions — plus ``block_max_score`` metadata for
+block-max WAND skipping (SURVEY.md §4.2).
+
+Everything here is numpy-vectorized (no per-value Python loops): encode
+builds the byte stream with at most ``max_bytes`` masked passes; decode
+finds value boundaries from continuation bits and reduces 7-bit groups
+with ``np.add.reduceat``. These kernels run inside Arrow UDFs on
+executors — the hot path of both index build and WAND scoring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def encode_varints(a: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array (vectorized)."""
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    if a.size == 0:
+        return b""
+    nb = np.ones(a.shape, dtype=np.int64)
+    v = a >> np.uint64(7)
+    while v.any():
+        nb += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    buf = np.zeros(int(nb.sum()), dtype=np.uint8)
+    kmax = int(nb.max())
+    for k in range(kmax):
+        m = nb > k
+        byte = ((a[m] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[m] - 1) > k
+        buf[starts[m] + k] = byte | (cont.astype(np.uint8) << 7)
+    return buf.tobytes()
+
+
+def decode_varints(buf: bytes) -> np.ndarray:
+    """Inverse of encode_varints -> uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    # group id per byte: 0-based index of the value this byte belongs to
+    group = np.zeros(b.size, dtype=np.int64)
+    group[1:] = np.cumsum(is_end)[:-1]
+    starts = np.flatnonzero(np.diff(np.concatenate(([-1], group))) > 0)
+    pos_in_group = np.arange(b.size) - starts[group]
+    contrib = (b & 0x7F).astype(np.uint64) << (7 * pos_in_group).astype(
+        np.uint64
+    )
+    return np.add.reduceat(contrib, starts)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
+    """Strictly-increasing ids -> first value + gaps (all >= 0)."""
+    a = np.ascontiguousarray(sorted_ids, dtype=np.int64)
+    out = np.empty_like(a)
+    if a.size:
+        out[0] = a[0]
+        np.subtract(a[1:], a[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    return np.cumsum(np.ascontiguousarray(deltas, dtype=np.int64))
+
+
+def encode_positions(tfs: np.ndarray, positions: list[np.ndarray]) -> bytes:
+    """Concatenate per-posting position lists, each delta-coded, into
+    one varint stream; ``tfs`` gives the per-posting counts needed to
+    split at decode time."""
+    if not positions:
+        return b""
+    parts = [delta_encode(np.asarray(p, dtype=np.int64)) for p in positions]
+    return encode_varints(np.concatenate(parts) if parts else np.zeros(0))
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    flat = decode_varints(buf).astype(np.int64)
+    out = []
+    starts = np.concatenate(([0], np.cumsum(tfs)[:-1].astype(np.int64)))
+    for s, n in zip(starts, tfs):
+        out.append(np.cumsum(flat[s : s + int(n)]))
+    return out

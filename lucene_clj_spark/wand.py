@@ -1,0 +1,194 @@
+"""Block-max WAND top-k over compressed segments.
+
+The scale-path query kernel (north_star: "BM25 top-k retrieval using
+block-max WAND posting-list intersection and a bounded min-heap"):
+
+- Term selection prunes at THREE levels before any decode: parquet
+  directory pruning on ``bucket=`` (same xxhash64 as the writer),
+  row-group min/max skipping on the sorted ``term`` column, and the
+  ``block_max_score`` metadata below.
+- Blocks are co-located by doc range: ``repartitionByRange("chunk")``
+  puts every query term's blocks for a doc interval in the same
+  partition, so scoring is partition-local (one narrow shuffle of
+  compressed blocks, no row-level shuffle ever).
+- Inside each partition (Arrow-batched kernel): chunks are processed in
+  DESCENDING upper-bound order (sum over terms of the chunk's max
+  block_max_score). Once the bounded min-heap holds k results with
+  min-score θ >= the next chunk's upper bound, the remaining chunks in
+  the partition are skipped wholesale — the block-max WAND skip. Within
+  a surviving chunk, per-block upper bounds skip individual blocks, and
+  the actually-decoded blocks are scored fully vectorized (numpy varint
+  decode + LUT norms).
+- Partitions emit their local top-k; the driver-side
+  ``orderBy(...).limit(k)`` (TakeOrderedAndProject) merges heaps.
+
+Scores are computed with the same double-precision formula as the
+DataFrame path (bm25.score_col), so the two execution strategies are
+result-identical — pinned by tests/test_wand.py.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_clj_spark import bm25, codec
+
+
+def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
+                    mode: str):
+    """Per-partition WAND kernel for mapInPandas."""
+    n_terms_required = len(term_idfs) if mode == "and" else 1
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
+        if pdf is None or len(pdf) == 0:
+            yield pd.DataFrame({"doc_id": [], "score": []}).astype(
+                {"doc_id": "int64", "score": "float64"}
+            )
+            return
+        # norm -> k1*(1-b+b*qdl/avgdl) cache, like BM25Scorer's
+        denom_cache = bm25.K1 * (
+            (1.0 - bm25.B)
+            + bm25.B * bm25.LENGTH_TABLE.astype(np.float64) / avgdl
+        )
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -math.inf
+
+        # chunk upper bound = sum over terms of max block_max in chunk
+        ub = (
+            pdf.groupby(["chunk", "term"])["block_max_score"].max()
+            .groupby("chunk").sum()
+            .sort_values(ascending=False)
+        )
+        by_chunk = dict(tuple(pdf.groupby("chunk")))
+        for chunk, upper in ub.items():
+            if len(heap) >= k and upper <= theta():
+                break  # descending uppers: nothing below can qualify
+            cpdf = by_chunk[chunk]
+            if mode == "and" and cpdf["term"].nunique() < len(term_idfs):
+                continue
+            doc_parts, score_parts = [], []
+            for _, row in cpdf.iterrows():
+                # per-block skip: this block + other terms' chunk maxes
+                others = (
+                    cpdf[cpdf["term"] != row["term"]]
+                    .groupby("term")["block_max_score"].max().sum()
+                )
+                if (
+                    len(heap) >= k
+                    and row["block_max_score"] + others <= theta()
+                ):
+                    continue
+                ids = codec.delta_decode(
+                    codec.decode_varints(row["doc_deltas"])
+                )
+                tfs = codec.decode_varints(row["tfs"]).astype(np.float64)
+                norms = np.frombuffer(row["norms"], dtype=np.uint8)
+                idf = term_idfs[row["term"]]
+                scores = idf * tfs / (tfs + denom_cache[norms])
+                doc_parts.append(ids)
+                score_parts.append(scores)
+            if not doc_parts:
+                continue
+            docs = np.concatenate(doc_parts)
+            scores = np.concatenate(score_parts)
+            uniq, inv, counts = np.unique(
+                docs, return_inverse=True, return_counts=True
+            )
+            agg = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(agg, inv, scores)
+            if mode == "and":
+                keep = counts >= n_terms_required
+                uniq, agg = uniq[keep], agg[keep]
+            for d, s in zip(uniq.tolist(), agg.tolist()):
+                item = (s, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        out = pd.DataFrame(
+            {
+                "doc_id": [-nd for s, nd in heap],
+                "score": [s for s, nd in heap],
+            }
+        ).astype({"doc_id": "int64", "score": "float64"})
+        yield out
+
+    return kernel
+
+
+def wand_topk(
+    index,
+    field: str,
+    terms: list[str],
+    k: int = 10,
+    mode: str = "or",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score) for a multi-term query over the compressed
+    segments, via the block-max kernel. ``mode`` = 'or' (SHOULD sum) or
+    'and' (MUST intersection, scores summed)."""
+    import os
+
+    from lucene_clj_spark.segments import segments_meta
+
+    root = index.path
+    if not root or not os.path.isdir(os.path.join(root, "segments")):
+        raise ValueError(
+            "wand_topk needs a disk index with built segments "
+            "(run segments.build_segments first)"
+        )
+    meta = segments_meta(root)
+    nb = meta["n_buckets"]
+    st = index.field_stats(field)
+    n_docs, avgdl = int(st["N"]), float(st["avgdl"])
+
+    # tiny driver-side df lookup for the query terms -> exact idf
+    df_rows = (
+        index.terms.filter(
+            (F.col("field") == field) & F.col("term").isin(list(terms))
+        )
+        .select("term", "df")
+        .collect()
+    )
+    term_idfs = {
+        r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in df_rows
+    }
+    if not term_idfs:
+        return index.spark.createDataFrame([], "doc_id long, score double")
+
+    # partition pruning: resolve each query term's bucket (one tiny JVM
+    # eval of the same xxhash64 the writer used), then filter bucket IN
+    # literals -> parquet directory pruning
+    bucket_row = (
+        index.spark.range(1)
+        .select(
+            *[
+                F.pmod(F.xxhash64(F.lit(t)), F.lit(nb)).alias(f"b{i}")
+                for i, t in enumerate(term_idfs)
+            ]
+        )
+        .collect()[0]
+    )
+    query_buckets = sorted({int(v) for v in bucket_row})
+    blocks = (
+        index.spark.read.parquet(os.path.join(root, "segments"))
+        .filter(F.col("bucket").isin(query_buckets))
+        .filter((F.col("field") == field) & F.col("term").isin(list(term_idfs)))
+    )
+
+    npart = n_partitions or index.spark.sparkContext.defaultParallelism
+    co = blocks.repartitionByRange(npart, "chunk")
+    kernel = _kernel_factory(term_idfs, n_docs, avgdl, k, mode)
+    local = co.mapInPandas(kernel, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

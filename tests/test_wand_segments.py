@@ -1,0 +1,117 @@
+"""Compressed segments + block-max WAND kernel: result-identity vs the
+DataFrame execution path, and manifest-based resume (SURVEY.md §7.1
+steps 5-6)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_clj_spark import create_index
+from lucene_clj_spark.segments import build_segments
+from lucene_clj_spark.wand import wand_topk
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def disk_index(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("seg") / "docs_idx")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    idx = create_index(
+        spark,
+        docs,
+        {"text": "text", "lang": "keyword", "source": "keyword",
+         "n_chars": "long"},
+        id_column="doc_id",
+        path=path,
+        index_type="disk",
+        re_create=True,
+    )
+    # small chunk/block sizes to force multiple chunks & blocks at sf0.01
+    build_segments(idx, n_buckets=4, chunk_span=64, block_size=16)
+    return idx
+
+
+def _dataframe_topk(idx, terms, k, mode):
+    if mode == "or":
+        q = {"text": set(terms)}
+    else:
+        q = [t for t in terms]
+    return idx.search(
+        q if mode == "or" else q, field_name="text",
+        results_per_page=k, with_hit=False,
+    ).collect()
+
+
+@pytest.mark.parametrize(
+    "terms,mode",
+    [
+        (["merge"], "or"),
+        (["merge", "window", "dup"], "or"),
+        (["merge", "window"], "and"),
+        (["dup", "scan"], "and"),
+    ],
+)
+def test_wand_matches_dataframe_path(disk_index, terms, mode):
+    k = 10
+    want = _dataframe_topk(disk_index, terms, k, mode)
+    got = wand_topk(disk_index, "text", terms, k=k, mode=mode).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+
+
+def test_wand_unknown_term_empty(disk_index):
+    got = wand_topk(disk_index, "text", ["zzzznotaterm"], k=5).collect()
+    assert got == []
+
+
+def test_segment_blocks_structure(spark, disk_index):
+    blocks = spark.read.parquet(os.path.join(disk_index.path, "segments"))
+    row = blocks.filter(F.col("n") > 1).first()
+    assert row["first_doc"] <= row["last_doc"]
+    assert row["block_max_score"] > 0
+    assert len(row["norms"]) == row["n"]
+    # every posting has delta-coded ids that decode to sorted ids
+    from lucene_clj_spark import codec
+
+    ids = codec.delta_decode(codec.decode_varints(row["doc_deltas"]))
+    assert list(ids) == sorted(ids)
+    assert ids[0] == row["first_doc"] and ids[-1] == row["last_doc"]
+
+
+def test_resume_skips_completed_buckets(disk_index):
+    man_dir = os.path.join(disk_index.path, "manifests")
+    manifests = sorted(
+        f for f in os.listdir(man_dir) if f.startswith("bucket_")
+    )
+    assert len(manifests) == 4
+    # simulate interruption: drop one bucket's manifest, resume
+    victim = os.path.join(man_dir, manifests[1])
+    keep = os.path.join(man_dir, manifests[0])
+    before = os.path.getmtime(keep)
+    with open(victim) as f:
+        old = json.load(f)
+    os.remove(victim)
+    build_segments(disk_index, n_buckets=4, chunk_span=64, block_size=16)
+    assert os.path.exists(victim)
+    with open(victim) as f:
+        new = json.load(f)
+    # re-encoded bucket reproduces identical metrics (determinism)
+    for key in ("n_blocks", "n_postings", "n_terms", "max_doc"):
+        assert new[key] == old[key]
+    # untouched bucket was NOT recomputed
+    assert os.path.getmtime(keep) == before
+
+
+def test_manifest_metrics_cover_all_postings(spark, disk_index):
+    man_dir = os.path.join(disk_index.path, "manifests")
+    total = 0
+    for f in os.listdir(man_dir):
+        if f.startswith("bucket_"):
+            with open(os.path.join(man_dir, f)) as fh:
+                total += json.load(fh)["n_postings"]
+    n_postings = disk_index.postings.count()
+    assert total == n_postings
