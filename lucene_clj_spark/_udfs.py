@@ -19,6 +19,51 @@ def analyze_udf(analyzer):
     return analyze
 
 
+TERM_VECTOR_TYPE = T.StructType(
+    [
+        T.StructField("dl", T.IntegerType()),
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        T.StructField(
+            "poss", T.ArrayType(T.ArrayType(T.IntegerType()))
+        ),
+    ]
+)
+
+
+def term_vectors_udf(analyzer):
+    """StringType -> struct<dl, terms[], tfs[], poss[][]>: tokenize AND
+    invert per document in one Arrow pass. Per-document inversion is
+    local (no shuffle) — this is what makes the index build scale
+    linearly: the only shuffled data afterwards is per-(doc,term)
+    aggregates, never raw token occurrences. The output is COLUMNAR
+    (parallel primitive arrays, zipped JVM-side with arrays_zip) because
+    Arrow conversion of per-term Python dict structs dominates build
+    time otherwise (~3x slower measured at sf0.1)."""
+
+    @F.pandas_udf(TERM_VECTOR_TYPE)
+    def term_vectors(s: pd.Series) -> pd.DataFrame:
+        dls, terms_c, tfs_c, poss_c = [], [], [], []
+        for text in s:
+            toks = analyzer.tokens(text or "")
+            acc: dict = {}
+            for pos, t in enumerate(toks):
+                lst = acc.get(t)
+                if lst is None:
+                    acc[t] = [pos]
+                else:
+                    lst.append(pos)
+            dls.append(len(toks))
+            terms_c.append(list(acc.keys()))
+            tfs_c.append([len(p) for p in acc.values()])
+            poss_c.append(list(acc.values()))
+        return pd.DataFrame(
+            {"dl": dls, "terms": terms_c, "tfs": tfs_c, "poss": poss_c}
+        )
+
+    return term_vectors
+
+
 def shingle_udf(analyzer, n):
     """StringType -> ArrayType(StringType): distinct word n-gram
     shingles. Tokenize + shingle in one Arrow batch pass (Spark forbids

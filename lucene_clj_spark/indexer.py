@@ -346,52 +346,57 @@ def create_index(
             )
         docs = assign_dense_ids(docs_df, keys)
 
-    # --- analysis + doc lengths (compile-once per field) --------------
+    # --- analysis + per-doc LOCAL inversion (compile-once per field) --
+    # One Arrow pass per text field produces struct<dl, terms[(term, tf,
+    # positions)]>: tokenization AND inversion are partition-local, so
+    # building postings needs NO shuffle of token occurrences — the only
+    # shuffles left are the (tiny) term-stats aggregate and the segment
+    # merge. This is the Spark analogue of the reference's main measured
+    # optimization (compile encoders once, README.org:103-110), plus the
+    # doc-at-a-time inversion Lucene itself does inside IndexWriter.
+    from lucene_clj_spark._udfs import term_vectors_udf
+
     text_fields = [
         n for n, fs in specs.items() if fs.indexed and fs.type == "text"
     ]
     kw_fields = [
         n for n, fs in specs.items() if fs.indexed and fs.type == "keyword"
     ]
-    tok_cols = {}
+    analyzed = docs
     for name in text_fields:
         an = analyzers.get(name, default_an)
         src = F.col(name)
         if specs[name].multi_valued:
             # concatenate values with a single separator token gap
             src = F.array_join(src, " \x1f ")
-        tok_cols[name] = an.column(src)
-    analyzed = docs
-    for name, c in tok_cols.items():
-        analyzed = analyzed.withColumn(f"__tok_{name}", c).withColumn(
-            f"__dl_{name}", F.size(f"__tok_{name}")
+        tv = term_vectors_udf(an)(src)
+        analyzed = analyzed.withColumn(f"__tv_{name}", tv).withColumn(
+            f"__dl_{name}", F.col(f"__tv_{name}.dl")
         )
     if cache:
         analyzed = analyzed.cache()
 
-    # --- postings -----------------------------------------------------
+    # --- postings (narrow: explode the local term vectors) ------------
     posting_parts = []
     for name in text_fields:
-        p = (
-            analyzed.select(
-                "doc_id",
-                F.col(f"__dl_{name}").alias("dl"),
-                F.posexplode(f"__tok_{name}").alias("pos", "term"),
-            )
-            .where(F.col("term") != "\x1f")
-            .groupBy("term", "doc_id", "dl")
-            .agg(
-                F.count("*").cast("int").alias("tf"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-            )
-            .select(
-                F.lit(name).alias("field"),
-                "term",
-                "doc_id",
-                "tf",
-                "dl",
-                "positions",
-            )
+        tv = f"__tv_{name}"
+        p = analyzed.select(
+            "doc_id",
+            F.col(f"__dl_{name}").alias("dl"),
+            F.explode(
+                F.arrays_zip(
+                    F.col(f"{tv}.terms").alias("term"),
+                    F.col(f"{tv}.tfs").alias("tf"),
+                    F.col(f"{tv}.poss").alias("positions"),
+                )
+            ).alias("__t"),
+        ).select(
+            F.lit(name).alias("field"),
+            F.col("__t.term").alias("term"),
+            "doc_id",
+            F.col("__t.tf").alias("tf"),
+            "dl",
+            F.col("__t.positions").alias("positions"),
         )
         posting_parts.append(p)
     for name in kw_fields:
@@ -428,12 +433,15 @@ def create_index(
     if cache:
         terms = terms.cache()
 
-    # --- corpus stats (tiny driver-side aggregate; BM25 globals) ------
+    # --- corpus stats (ONE driver-side aggregate job; BM25 globals) ---
     stats: dict[str, dict[str, float]] = {}
-    n_docs = analyzed.count()
+    agg_row = analyzed.agg(
+        F.count("*").alias("__n"),
+        *[F.sum(f"__dl_{n}").alias(f"__s_{n}") for n in text_fields],
+    ).collect()[0]
+    n_docs = agg_row["__n"]
     for name in text_fields:
-        row = analyzed.agg(F.sum(f"__dl_{name}").alias("s")).collect()[0]
-        sum_dl = int(row["s"] or 0)
+        sum_dl = int(agg_row[f"__s_{name}"] or 0)
         stats[name] = {
             "N": n_docs,
             "sum_dl": sum_dl,

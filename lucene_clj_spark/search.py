@@ -54,6 +54,127 @@ from lucene_clj_spark.query import (
 DEFAULT_RESULTS_PER_PAGE = 10  # reference search.clj:33-35
 
 
+def _lookup_term_stats(index, pairs: list[tuple[str, str]]) -> dict:
+    """Driver-side term-dictionary seek: df for each (field, term) in
+    ONE tiny action against the cached/pruned terms table — the Spark
+    analogue of Lucene's TermsEnum.seekExact before scoring. Folding df
+    into the plan as a literal removes a broadcast-join stage per term."""
+    if not pairs:
+        return {}
+    cond = None
+    by_field: dict[str, list[str]] = {}
+    for f, t in pairs:
+        by_field.setdefault(f, []).append(t)
+    for f, ts in by_field.items():
+        c = (F.col("field") == f) & F.col("term").isin(ts)
+        cond = c if cond is None else (cond | c)
+    rows = index.terms.filter(cond).select("field", "term", "df").collect()
+    return {(r["field"], r["term"]): int(r["df"]) for r in rows}
+
+
+def _flatten(node: Node) -> Node:
+    """Associative boolean flattening: unwrap single-clause bools,
+    splice SHOULD-only children into SHOULD lists and MUST-only
+    children into MUST lists (score = sum either way, so this is
+    score-preserving)."""
+    if not isinstance(node, BoolQ):
+        return node
+    clauses = [(occ, _flatten(n)) for occ, n in node.clauses]
+    if len(clauses) == 1 and clauses[0][0] in (MUST, SHOULD):
+        occ, child = clauses[0]
+        if node.boost == 1.0:
+            return child
+        if isinstance(child, BoolQ):
+            return BoolQ(node.boost * child.boost, child.clauses)
+        return BoolQ(node.boost, ((occ, child),))
+    out = []
+    for occ, n in clauses:
+        if (
+            isinstance(n, BoolQ)
+            and n.boost == 1.0
+            and n.clauses
+            and all(o == occ for o, _ in n.clauses)
+            and occ in (MUST, SHOULD)
+            and (occ == SHOULD or len(n.clauses) == 1)
+        ):
+            out.extend(n.clauses)
+        else:
+            out.append((occ, n))
+    return BoolQ(node.boost, tuple(out))
+
+
+def _as_term(node: Node) -> TermQ | None:
+    """TermQ, or keyword-exact (scored identically to a term query)."""
+    if isinstance(node, TermQ):
+        return node
+    if isinstance(node, ExactQ) and node.value_type == "keyword":
+        return TermQ(node.boost, node.field, str(node.value))
+    return None
+
+
+def _scored_term_group(
+    index, term_clauses: list[tuple[str, TermQ]]
+) -> DataFrame:
+    """ONE postings scan for a whole boolean of term clauses.
+
+    Instead of one scan + one join per term (k scans, k joins), the
+    (field, term, df, boost, is_must) rows become a broadcast local
+    relation joined against a single IN-filtered postings scan; MUST
+    semantics fall out of ``count(matched must clauses) == n_musts`` in
+    the same aggregation that sums scores. One scan, one shuffle,
+    regardless of clause count — this is what survives a 100x scale-up.
+    """
+    spark = index.spark
+    merged: dict[tuple[str, str], dict] = {}
+    for occ, tq in term_clauses:
+        key = (tq.field, tq.term)
+        m = merged.setdefault(key, {"boost": 0.0, "must": False})
+        m["boost"] += tq.boost
+        if occ == MUST:
+            m["must"] = True
+    stats = _lookup_term_stats(index, list(merged))
+    n_musts = sum(1 for m in merged.values() if m["must"])
+    rows = []
+    for (f, t), m in merged.items():
+        if (f, t) not in stats:
+            if m["must"]:
+                return _empty_scores(index)  # missing MUST term
+            continue
+        st = index.field_stats(f)
+        rows.append(
+            (f, t, float(m["boost"]), bool(m["must"]), stats[(f, t)],
+             int(st["N"]), float(st["avgdl"]))
+        )
+    if not rows:
+        return _empty_scores(index)
+    local = spark.createDataFrame(
+        rows,
+        "field string, term string, boost double, is_must boolean, "
+        "df long, n_docs long, avgdl double",
+    )
+    fields = sorted({f for f, _ in merged})
+    terms_ = sorted({t for _, t in merged})
+    scan = index.postings.filter(
+        F.col("field").isin(fields) & F.col("term").isin(terms_)
+    )
+    scored = scan.join(F.broadcast(local), ["field", "term"]).select(
+        "doc_id",
+        (
+            F.col("boost")
+            * bm25.score_col(
+                F.col("tf"), F.col("dl"), F.col("df"),
+                F.col("n_docs"), F.col("avgdl"),
+            )
+        ).alias("score"),
+        F.col("is_must"),
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("score").alias("score"),
+        F.sum(F.when(F.col("is_must"), 1).otherwise(0)).alias("__musts"),
+    )
+    return agg.filter(F.col("__musts") == n_musts).select("doc_id", "score")
+
+
 def _term_postings(index, field: str, term: str) -> DataFrame:
     p = index.postings.filter(
         (F.col("field") == field) & (F.col("term") == term)
@@ -68,20 +189,20 @@ def _term_postings(index, field: str, term: str) -> DataFrame:
 
 def _scored_term(index, node: TermQ) -> DataFrame:
     st = index.field_stats(node.field)
+    stats = _lookup_term_stats(index, [(node.field, node.term)])
+    df_ = stats.get((node.field, node.term))
+    if df_ is None:
+        return _empty_scores(index)
     post = _term_postings(index, node.field, node.term)
-    dfreq = F.broadcast(
-        index.terms.filter(
-            (F.col("field") == node.field) & (F.col("term") == node.term)
-        ).select("field", "term", "df")
-    )
-    scored = post.join(dfreq, ["field", "term"]).select(
+    # df/N/avgdl folded as literals -> pure scan+project+top-k, no joins
+    scored = post.select(
         "doc_id",
         (
             F.lit(node.boost)
             * bm25.score_col(
                 F.col("tf"),
                 F.col("dl"),
-                F.col("df"),
+                F.lit(df_),
                 F.lit(st["N"]),
                 F.lit(st["avgdl"]),
             )
@@ -118,23 +239,17 @@ def _scored_phrase(index, node: PhraseQ) -> DataFrame:
         F.col("__pos_0"),
     )
     freq = F.size(inter)
-    # phrase df: number of docs containing the exact phrase — computed
-    # from the same plan (Lucene uses min over term df for idf of the
-    # phrase weight; it sums the idfs of the constituent terms).
-    # Public semantics: PhraseQuery idf = sum of per-term idfs.
+    # PhraseQuery weight: idf = SUM of per-term idfs (public Lucene
+    # semantics); per-term df folded as literals from the driver-side
+    # term-dictionary seek.
+    uniq = list(dict.fromkeys(terms))
+    stats = _lookup_term_stats(index, [(node.field, t) for t in uniq])
+    if any((node.field, t) not in stats for t in uniq):
+        return _empty_scores(index)
     idf_sum = None
-    for t in set(terms):
-        d = F.broadcast(
-            index.terms.filter(
-                (F.col("field") == node.field) & (F.col("term") == t)
-            ).select(F.first("df").alias("df"))
-        )
-        # scalar subquery via crossJoin of a 1-row frame
-        joined = joined.crossJoin(
-            d.select(F.col("df").alias(f"__df_{abs(hash(t)) % 10**8}"))
-        )
+    for t in uniq:
         e = bm25.idf_col(
-            F.col(f"__df_{abs(hash(t)) % 10**8}"), F.lit(st["N"])
+            F.lit(stats[(node.field, t)]), F.lit(st["N"])
         ) * F.lit(terms.count(t))
         idf_sum = e if idf_sum is None else (idf_sum + e)
     qdl = bm25.quantized_dl_col(F.col("__dl_0"))
@@ -234,6 +349,20 @@ def _scored_bool(index, node: BoolQ) -> DataFrame:
     shoulds = [n for occ, n in node.clauses if occ == SHOULD]
     must_nots = [n for occ, n in node.clauses if occ == "MUST_NOT"]
 
+    # fast path: every positive clause is a term (or keyword-exact)
+    # query -> single-scan single-shuffle plan (_scored_term_group)
+    if not must_nots and node.boost == 1.0 and (musts or shoulds):
+        term_clauses = []
+        ok = True
+        for occ, n in node.clauses:
+            t = _as_term(n)
+            if t is None:
+                ok = False
+                break
+            term_clauses.append((occ, t))
+        if ok:
+            return _scored_term_group(index, term_clauses)
+
     def c(n: Node) -> DataFrame:
         return compile_node(index, n)
 
@@ -279,6 +408,7 @@ def _scored_bool(index, node: BoolQ) -> DataFrame:
 
 def compile_node(index, node: Node) -> DataFrame:
     """AST -> lazy scored DataFrame ``(doc_id, score double)``."""
+    node = _flatten(node)
     if isinstance(node, TermQ):
         return _scored_term(index, node)
     if isinstance(node, PhraseQ):
