@@ -35,7 +35,27 @@ DOC_FIELDS = {
     "n_chars": "long",
 }
 
+EVENT_FIELDS = {
+    "event_type": "keyword",
+    "user_id": "long",
+    "value": "double",
+    "props": "text",
+}
+
 _INDEX_CACHE: dict[str, object] = {}
+
+
+def _events_index(spark: SparkSession, sf_dir: str):
+    key = f"{sf_dir}/events"
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = create_index(
+            spark,
+            spark.read.parquet(f"{sf_dir}/events.parquet"),
+            EVENT_FIELDS,
+            id_column="event_id",
+            ignore_extra_columns=True,
+        )
+    return _INDEX_CACHE[key]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,6 +285,64 @@ def q_fingerprint(spark, sf_dir):
     return textfn.fingerprint(_docs(spark, sf_dir))
 
 
+def q_search_after(spark, sf_dir):
+    """Keyset continuation: page 0 of a term query, then the next 10
+    strictly after the last (score, doc_id) key — S4 semantics."""
+    idx = _index(spark, sf_dir)
+    page0 = idx.search("scan", field_name="text", results_per_page=10,
+                       with_hit=False).collect()
+    out = idx.search("scan", field_name="text", results_per_page=10,
+                     search_after=page0[-1], with_hit=False)
+    return _round6(out, "score")
+
+
+def q_lsh_pairs(spark, sf_dir):
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), n=5, k=8)
+    return dedup.lsh_pairs(sigs, k=8, bands=4)
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    sim = dedup.simhash(_docs(spark, sf_dir), bits=32)
+    return dedup.simhash_near_pairs(sim, max_hamming=6, block_bits=8)
+
+
+def q_events_type_exact(spark, sf_dir):
+    idx = _events_index(spark, sf_dir)
+    out = idx.search({"event_type": "error"}, results_per_page=20,
+                     with_hit=False)
+    return _round6(out, "score")
+
+
+def q_events_value_exact(spark, sf_dir):
+    idx = _events_index(spark, sf_dir)
+    out = idx.search({"value": 185.22}, results_per_page=100,
+                     with_hit=False)
+    return _round6(out, "score")
+
+
+def q_ann_rp_lsh_topk(spark, sf_dir):
+    """Approximate ANN: probe only the query's sign-LSH bucket."""
+    qv = _query_vec(sf_dir)
+    out = ann.rp_lsh_topk(
+        _embeddings(spark, sf_dir), qv, k=10, n_planes=8, exclude_vec_id=0
+    )
+    return _round6(out, "cos_sim")
+
+
+def q_knn_join(spark, sf_dir):
+    out = ann.knn_join_bucketed(
+        _embeddings(spark, sf_dir), k=3, n_planes=6, dim=64
+    )
+    return _round6(out, "cos_sim")
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language-ID — rows-only check (no SQL oracle); pinned
+    by pytest goldens on constructed sentences instead."""
+    out = textfn.lang_id(_docs(spark, sf_dir))
+    return _round6(out, "lang_score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -294,6 +372,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
+        "search_after": q_search_after,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "events_type_exact": q_events_type_exact,
+        "events_value_exact": q_events_value_exact,
+        "ann_rp_lsh_topk": q_ann_rp_lsh_topk,
+        "knn_join": q_knn_join,
+        "lang_id": q_lang_id,
     }
 
 
@@ -540,6 +626,174 @@ SELECT doc_id,
 FROM hs"""
 
 
+def _lsh_pairs_sql(k: int = 8, bands: int = 4) -> str:
+    h = textfn.portable_hash_sql("shingle")
+    mins = ",\n  ".join(
+        f"min((({h}) * {a} + {b}) % {dedup.MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_PARAMS[:k])
+    )
+    rpb = k // bands
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, concat_ws('_', {cols}) AS band_key "
+        "FROM sig".format(
+            bi=bi,
+            cols=", ".join(
+                f"CAST(mh_{bi * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return (
+        _shingle_cte(5)
+        + f"""
+, sig AS (
+  SELECT doc_id,
+  {mins}
+  FROM sh GROUP BY doc_id
+),
+buckets AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+  AND a.doc_id < b.doc_id"""
+    )
+
+
+def _simhash_near_sql(max_hamming: int = 6, block_bits: int = 8) -> str:
+    base = _simhash_sql(32)
+    n_blocks = 32 // block_bits
+    block_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {blk} AS blk, "
+        f"(simhash // {2 ** (blk * block_bits)}) % {2**block_bits} AS key "
+        "FROM sim"
+        for blk in range(n_blocks)
+    )
+    return f"""
+WITH sim AS ({base}),
+buckets AS ({block_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM buckets a
+  JOIN buckets b ON a.blk = b.blk AND a.key = b.key
+    AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+
+
+def _events_type_sql(etype: str, k: int) -> str:
+    idf = bm25.idf_sql("t.df", "s.n")
+    return f"""
+WITH s AS (SELECT count(*) AS n FROM events),
+t AS (SELECT count(*) AS df FROM events WHERE event_type = '{etype}'),
+scores AS (
+  SELECT e.event_id AS doc_id, {idf} / (1.0 + {K1!r}) AS score
+  FROM events e CROSS JOIN s CROSS JOIN t
+  WHERE e.event_type = '{etype}'
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT {k}
+)"""
+
+
+def _plane_literals(n_planes: int, dim: int) -> list[list[float]]:
+    """Same derivation as ann._plane_component / ann.rp_lsh_topk:
+    md5('plane{j}_{i}') lowest bit -> ±1."""
+    import hashlib
+
+    planes = []
+    for j in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"plane{j}_{i}".encode()).hexdigest()[:8], 16)
+            row.append(1.0 if h % 2 == 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def _dot_sql(vec_expr: str, lit: str, n: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {n + 1}), "
+        f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({lit})[i]))"
+    )
+
+
+def _bucket_sql(vec_expr: str, planes: list[list[float]], n: int) -> str:
+    parts = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        parts.append(
+            f"(CASE WHEN {_dot_sql(vec_expr, lit, n)} > 0 "
+            f"THEN {2**j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def _ann_rp_lsh_sql(qv: list[float], k: int = 10, n_planes: int = 8) -> str:
+    import hashlib
+
+    n = len(qv)
+    planes = _plane_literals(n_planes, n)
+    qb = 0
+    for j, p in enumerate(planes):
+        if sum(c * float(v) for c, v in zip(p, qv)) > 0:
+            qb += 2**j
+    lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+    bucket = _bucket_sql("e.embedding", planes, n)
+    return f"""
+WITH q AS (SELECT {lit} AS qv),
+inb AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e
+  WHERE {bucket} = {qb} AND e.vec_id <> 0
+),
+sims AS (
+  SELECT i.vec_id,
+    {_dot_sql("i.embedding", "q.qv", n)} /
+    (sqrt(list_sum(list_transform(range(1, {n + 1}),
+        i -> CAST(i.embedding[i] AS DOUBLE) * CAST(i.embedding[i] AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(range(1, {n + 1}), i -> q.qv[i] * q.qv[i]))))
+    AS cos_sim
+  FROM inb i CROSS JOIN q
+)
+SELECT vec_id, round(cos_sim, 6) AS cos_sim FROM (
+  SELECT vec_id, cos_sim FROM sims ORDER BY cos_sim DESC, vec_id LIMIT {k}
+)"""
+
+
+def _knn_join_sql(k: int = 3, n_planes: int = 6, dim: int = 64) -> str:
+    planes = _plane_literals(n_planes, dim)
+    bucket_a = _bucket_sql("a.embedding", planes, dim)
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    norm = (
+        "sqrt(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> CAST({v}.embedding[i] AS DOUBLE) * "
+        "CAST({v}.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH b0 AS (
+  SELECT a.vec_id, a.embedding, {bucket_a} AS bucket FROM embeddings a
+),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         {dot} / ({norm.format(d=dim, v="a")} * {norm.format(d=dim, v="b")})
+         AS cos_sim
+  FROM b0 a JOIN b0 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     qv = _query_vec("/root/testdata/sf0.01")
     return {
@@ -577,4 +831,16 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "ann_cosine_topk": _ann_sql(qv, 10),
         "token_stats": _token_stats_sql(),
         "fingerprint": _fingerprint_sql(),
+        "search_after": _term_topk_sql("scan", 10, offset=10),
+        "lsh_pairs": _lsh_pairs_sql(8, 4),
+        "simhash_near_pairs": _simhash_near_sql(6, 8),
+        "events_type_exact": _events_type_sql("error", 20),
+        "events_value_exact": (
+            "SELECT event_id AS doc_id, 1.0 AS score FROM events "
+            "WHERE value = 185.22 ORDER BY event_id LIMIT 100"
+        ),
+        "ann_rp_lsh_topk": _ann_rp_lsh_sql(qv, 10, 8),
+        "knn_join": _knn_join_sql(3, 6, 64),
+        # lang_id: intentionally no oracle (heuristic; rows-only check,
+        # pinned by pytest goldens in tests/test_functions.py)
     }

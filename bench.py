@@ -87,16 +87,14 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
              "n_chars": "long"},
             id_column="doc_id",
         )
-        idx.postings.count()
-        idx.terms.count()
+        idx.terms.count()  # pulls analyzed -> postings -> terms through cache
         return idx, time.time() - t0
 
     idx, build_sec = one_build()
-    spark.catalog.clearCache()
-    idx2, b2 = one_build()
-    if b2 < build_sec:
-        build_sec = b2
-    idx = idx2
+    for _ in range(2):
+        spark.catalog.clearCache()
+        idx, b2 = one_build()
+        build_sec = min(build_sec, b2)
 
     def timed(fn, runs: int = 5) -> float:
         fn()  # warm-up

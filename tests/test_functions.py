@@ -1,0 +1,155 @@
+"""Corpus-prep operator tests: dedup family, ANN, text analysis."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_clj_spark.functions import ann, dedup
+from lucene_clj_spark.functions import text as textfn
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy cat again and again"),
+        (3, "completely different content about spark query engines here"),
+        (4, "spark query engines here completely different content about"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(dup_docs):
+    groups = dedup.exact_dedup_groups(dup_docs).collect()
+    m = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert m[0] == 2 and m[2] == 1 and m[3] == 1 and m[4] == 1
+    dropped = dedup.exact_duplicates(dup_docs).collect()
+    assert [(r["doc_id"], r["duplicate_of"]) for r in dropped] == [(1, 0)]
+
+
+def test_ngram_jaccard_finds_near_dup(dup_docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        dup_docs, n=3, threshold=0.3, max_shingle_df=100
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert got[(0, 1)] == 1.0           # exact dup
+    assert (0, 2) in got                # one-word-changed near dup
+    assert (0, 3) not in got
+
+
+def test_minhash_lsh_recovers_exact_dups(dup_docs):
+    sigs = dedup.minhash_signatures(dup_docs, n=3, k=8)
+    rows = {r["doc_id"]: [r[f"mh_{i}"] for i in range(8)]
+            for r in sigs.collect()}
+    assert rows[0] == rows[1]           # identical shingle sets
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.lsh_pairs(sigs, k=8, bands=4).collect()}
+    assert (0, 1) in pairs
+
+
+def test_simhash_near_pairs(dup_docs):
+    sim = dedup.simhash(dup_docs, bits=32)
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[0] == vals[1]
+    # doc 4 is a word-permutation of doc 3 -> identical tf profile
+    assert vals[3] == vals[4]
+    pairs = dedup.simhash_near_pairs(sim, max_hamming=6).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert got[(0, 1)] == 0
+    assert got[(3, 4)] == 0
+    assert (0, 2) in got  # near dup within a few bits
+
+
+def test_ann_cosine_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = ann.cosine_topk(emb, [1.0, 0.0, 0.0], k=2,
+                          exclude_vec_id=0).collect()
+    assert [r["vec_id"] for r in got] == [1, 2]
+    assert got[0]["cos_sim"] == pytest.approx(0.9 / (0.81 + 0.01) ** 0.5)
+
+
+def test_rp_lsh_same_bucket_for_identical_vectors(spark):
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(16)])
+            for i in range(20)]
+    rows.append((100, rows[0][1]))  # duplicate of vec 0
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    b = ann.rp_lsh_buckets(emb, n_planes=6, dim=16)
+    m = {r["vec_id"]: r["bucket"] for r in b.collect()}
+    assert m[0] == m[100]
+    got = ann.rp_lsh_topk(emb, rows[0][1], k=3, n_planes=6,
+                          exclude_vec_id=0).collect()
+    assert got and got[0]["vec_id"] == 100  # identical vector found
+
+
+def test_knn_join_bucketed(spark):
+    rows = [(i, [1.0 + 0.01 * i, 2.0, 3.0, 4.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = ann.knn_join_bucketed(emb, k=2, n_planes=2, dim=4).collect()
+    by_vec = {}
+    for r in got:
+        by_vec.setdefault(r["vec_id"], []).append(r["neighbor_id"])
+    # all vectors nearly parallel -> same bucket; each gets 2 neighbors
+    assert all(len(v) == 2 for v in by_vec.values())
+
+
+def test_token_stats_formulas(spark):
+    df = spark.createDataFrame(
+        [(0, "the the quick fox"), (1, "aa bb cc dd")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in textfn.token_stats(df).collect()}
+    r0 = got[0]
+    assert r0["n_tokens"] == 4 and r0["n_distinct"] == 3
+    assert r0["ttr"] == pytest.approx(0.75)
+    assert r0["stopword_ratio"] == pytest.approx(0.5)  # "the" twice
+    assert r0["avg_token_len"] == pytest.approx((3 + 3 + 5 + 3) / 4)
+    r1 = got[1]
+    assert r1["ttr"] == 1.0 and r1["stopword_ratio"] == 0.0
+    assert r1["quality"] == pytest.approx(1.0 * 1.0 * 4 / 256)
+
+
+def test_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([(0, "a b c"), (1, "a b c")],
+                               ["doc_id", "text"])
+    rows = textfn.fingerprint(df).collect()
+    a, b = sorted(rows, key=lambda r: r["doc_id"])
+    for c in ("n_tokens", "min_hash", "max_hash", "sum_hash_mod"):
+        assert a[c] == b[c]
+
+
+def test_lang_id_goldens(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog went to the house"),
+            (1, "der Hund und die Katze das ist nicht gut"),
+            (2, "le chat et le chien est dans la maison"),
+            (3, "el perro y el gato es una casa que no"),
+            (4, "zzz qqq xxx"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in textfn.lang_id(df).collect()}
+    assert got[0] == "en" and got[1] == "de"
+    assert got[2] == "fr" and got[3] == "es"
+    assert got[4] == "und"
+
+
+def test_portable_hash_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["abc", "merge", "the quick", ""]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = [r["h"] for r in
+           df.select(textfn.portable_hash(F.col("s")).alias("h")).collect()]
+    want = [
+        duckdb.sql(
+            f"SELECT {textfn.portable_hash_sql(repr(v))}"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want

@@ -1,0 +1,92 @@
+"""Sources: CSV helpers (reference L4/L5) and the webpages corpus of
+BASELINE.json input_hint — end-to-end build over (url, warc_ts, html,
+text, lang) with deterministic doc ids from a global url order, plus
+the byte-identical text-extraction invariant."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_clj_spark import create_index
+from lucene_clj_spark.sources import (
+    extract_text_from_html,
+    read_csv_docs,
+    split_multivalued,
+    synthesize_webpages,
+)
+
+
+def test_split_multivalued(spark):
+    df = spark.createDataFrame(
+        [("Rock, Folk  ,Blues",), ("", ), ("Jazz",)], ["g"]
+    )
+    got = [r["s"] for r in df.select(
+        split_multivalued(F.col("g")).alias("s")).collect()]
+    assert got == [["Rock", "Folk", "Blues"], [], ["Jazz"]]
+
+
+def test_read_csv_docs(spark, tmp_path):
+    p = tmp_path / "x.csv"
+    p.write_text("name,tags\nalpha,\"a, b\"\nbeta,c\n")
+    df = read_csv_docs(spark, str(p), multi_valued=["tags"])
+    rows = {r["name"]: r["tags"] for r in df.collect()}
+    assert rows == {"alpha": ["a", "b"], "beta": ["c"]}
+
+
+@pytest.fixture(scope="module")
+def webpages(spark):
+    return synthesize_webpages(spark, 200, seed=7).cache()
+
+
+def test_webpages_deterministic(spark, webpages):
+    again = synthesize_webpages(spark, 200, seed=7)
+    a = sorted(r["text"] for r in webpages.collect())
+    b = sorted(r["text"] for r in again.collect())
+    assert a == b
+
+
+def test_html_extraction_byte_identical_per_url(spark, webpages):
+    """Per-row invariant (input_hint): extracted text from html is
+    byte-identical to the stored text column for every url."""
+    bad = (
+        webpages.withColumn(
+            "ex", extract_text_from_html(F.col("html"))
+        )
+        .filter(F.col("ex") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_webpages_index_end_to_end(spark, webpages):
+    idx = create_index(
+        spark,
+        webpages.select("url", "text", "lang"),
+        {"url": "keyword", "text": "text", "lang": "keyword"},
+        order_by=["url"],  # dense doc ids from global url order
+    )
+    # doc ids dense 0..N-1 and aligned with sorted urls
+    ids = [r["doc_id"] for r in idx.docs.select("doc_id").collect()]
+    assert sorted(ids) == list(range(200))
+    urls = [
+        r["url"]
+        for r in idx.docs.orderBy("doc_id").select("url").collect()
+    ]
+    assert urls == sorted(urls)
+    # a common term returns ranked hits
+    hits = idx.search("search", field_name="text", with_hit=False).collect()
+    assert hits and all(h["score"] > 0 for h in hits)
+    # tokenizer edge cases survived the round trip: "don't" is a term
+    terms = {r["term"] for r in idx.terms.select("term").collect()}
+    assert "don't" in terms or "3.14" in terms
+
+
+def test_webpages_doc_ids_stable_across_parallelism(spark, webpages):
+    """SURVEY.md §7 hard-part #4: doc ids must not depend on partition
+    layout."""
+    from lucene_clj_spark.indexer import assign_dense_ids
+
+    a = assign_dense_ids(webpages.repartition(2), ["url"])
+    b = assign_dense_ids(webpages.repartition(13), ["url"])
+    ma = {r["url"]: r["doc_id"] for r in a.select("url", "doc_id").collect()}
+    mb = {r["url"]: r["doc_id"] for r in b.select("url", "doc_id").collect()}
+    assert ma == mb

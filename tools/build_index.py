@@ -1,0 +1,82 @@
+"""spark-submit entry point: build a disk index (+ compressed segments)
+over a web-pages or documents parquet table.
+
+    spark-submit --py-files lucene_clj_spark.zip tools/build_index.py \
+        --input /data/webpages --output /data/index \
+        --text-col text --id-col doc_id [--resume] [--buckets 64]
+
+Packaging: ``cd /root/repo && zip -r lucene_clj_spark.zip
+lucene_clj_spark`` produces the --py-files artifact. On a cluster the
+same script runs unchanged at N or 4N executors; the bucket-granular
+segment build checkpoints per-bucket manifests, so a killed build
+resumes with --resume without recomputing finished buckets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default=None)
+    ap.add_argument("--order-by", default=None,
+                    help="column for deterministic dense doc ids when "
+                         "no --id-col (e.g. url)")
+    ap.add_argument("--keyword-cols", default="",
+                    help="comma-separated keyword columns")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--chunk-span", type=int, default=1 << 17)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--no-segments", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.segments import build_segments
+
+    spark = SparkSession.builder.appName("lucene-clj-spark-build").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    docs = spark.read.parquet(args.input)
+    fields = {args.text_col: "text"}
+    for c in filter(None, args.keyword_cols.split(",")):
+        fields[c] = "keyword"
+    extra = set(docs.columns) - set(fields) - {args.id_col}
+
+    t0 = time.time()
+    idx = create_index(
+        spark,
+        docs,
+        fields,
+        id_column=args.id_col,
+        order_by=[args.order_by] if args.order_by else None,
+        path=args.output,
+        index_type="disk",
+        re_create=not args.resume,
+        ignore_extra_columns=bool(extra),
+        cache=False,
+    )
+    print(f"index written to {args.output} in {time.time()-t0:.1f}s")
+    if not args.no_segments:
+        t0 = time.time()
+        build_segments(
+            idx,
+            n_buckets=args.buckets,
+            chunk_span=args.chunk_span,
+            resume=args.resume,
+            lineage={"source": args.input},
+            log=print,
+        )
+        print(f"segments built in {time.time()-t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()
