@@ -303,7 +303,7 @@ def q_lsh_pairs(spark, sf_dir):
 
 def q_simhash_near_pairs(spark, sf_dir):
     sim = dedup.simhash(_docs(spark, sf_dir), bits=32)
-    return dedup.simhash_near_pairs(sim, max_hamming=6, block_bits=8)
+    return dedup.simhash_near_pairs(sim, max_hamming=2, block_bits=8)
 
 
 def q_events_type_exact(spark, sf_dir):
@@ -315,7 +315,7 @@ def q_events_type_exact(spark, sf_dir):
 
 def q_events_value_exact(spark, sf_dir):
     idx = _events_index(spark, sf_dir)
-    out = idx.search({"value": 185.22}, results_per_page=100,
+    out = idx.search({"value": 4.29}, results_per_page=100,
                      with_hit=False)
     return _round6(out, "score")
 
@@ -833,11 +833,11 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "fingerprint": _fingerprint_sql(),
         "search_after": _term_topk_sql("scan", 10, offset=10),
         "lsh_pairs": _lsh_pairs_sql(8, 4),
-        "simhash_near_pairs": _simhash_near_sql(6, 8),
+        "simhash_near_pairs": _simhash_near_sql(2, 8),
         "events_type_exact": _events_type_sql("error", 20),
         "events_value_exact": (
             "SELECT event_id AS doc_id, 1.0 AS score FROM events "
-            "WHERE value = 185.22 ORDER BY event_id LIMIT 100"
+            "WHERE value = 4.29 ORDER BY event_id LIMIT 100"
         ),
         "ann_rp_lsh_topk": _ann_rp_lsh_sql(qv, 10, 8),
         "knn_join": _knn_join_sql(3, 6, 64),

@@ -44,8 +44,7 @@ def term_vectors_udf(analyzer):
     @F.pandas_udf(TERM_VECTOR_TYPE)
     def term_vectors(s: pd.Series) -> pd.DataFrame:
         dls, terms_c, tfs_c, poss_c = [], [], [], []
-        for text in s:
-            toks = analyzer.tokens(text or "")
+        for toks in analyzer.tokens_series(s):
             acc: dict = {}
             for pos, t in enumerate(toks):
                 lst = acc.get(t)
@@ -72,8 +71,7 @@ def shingle_udf(analyzer, n):
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def shingles(s: pd.Series) -> pd.Series:
-        def sh(text):
-            toks = analyzer.tokens(text or "")
+        def sh(toks):
             if len(toks) < n:
                 return []
             seen, out = set(), []
@@ -84,7 +82,7 @@ def shingle_udf(analyzer, n):
                     out.append(g)
             return out
 
-        return s.map(sh)
+        return analyzer.tokens_series(s).map(sh)
 
     return shingles
 

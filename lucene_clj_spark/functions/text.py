@@ -131,10 +131,14 @@ def lang_id(
     ratios; 'und' (undetermined) when no profile matches."""
     toks = F.col("__toks")
     out = docs.withColumn("__toks", tokens_col(F.col(text_col), analyzer))
+    def _contains(arr):
+        # 1-arg closure: F.filter passes (elem, idx) to 2-arg lambdas
+        return lambda t: F.array_contains(arr, t)
+
     scores = []
     for lang, words in sorted(_LANG_PROFILES.items()):
         arr = F.array(*[F.lit(w) for w in sorted(words)])
-        hit = F.size(F.filter(toks, lambda t, a=arr: F.array_contains(a, t)))
+        hit = F.size(F.filter(toks, _contains(arr)))
         scores.append(
             F.struct(
                 (hit.cast("double") / F.greatest(F.size(toks), F.lit(1))).alias(

@@ -82,9 +82,12 @@ def test_rp_lsh_same_bucket_for_identical_vectors(spark):
     b = ann.rp_lsh_buckets(emb, n_planes=6, dim=16)
     m = {r["vec_id"]: r["bucket"] for r in b.collect()}
     assert m[0] == m[100]
+    # vectors repeat with period 5 -> {5,10,15,100} are all identical
+    # to vec 0; top-3 must be the lowest-id exact matches at cos=1.0
     got = ann.rp_lsh_topk(emb, rows[0][1], k=3, n_planes=6,
                           exclude_vec_id=0).collect()
-    assert got and got[0]["vec_id"] == 100  # identical vector found
+    assert [r["vec_id"] for r in got] == [5, 10, 15]
+    assert all(r["cos_sim"] == pytest.approx(1.0) for r in got)
 
 
 def test_knn_join_bucketed(spark):

@@ -27,25 +27,39 @@ ATTEMPTS = 3
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _burn(k):
+    """Workload-shaped burn: tokenize + invert synthetic text, the same
+    allocation profile as the engine's Arrow UDF hot loop (md5-style
+    tight loops overestimate the achievable ceiling for allocation-
+    heavy text processing on SMT/steal-limited hosts)."""
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau").split()
+    text = " ".join(words[i % len(words)] for i in range(80))
+    for _ in range(k):
+        toks = text.split()
+        acc = {}
+        for pos, t in enumerate(toks):
+            lst = acc.get(t)
+            if lst is None:
+                acc[t] = [pos]
+            else:
+                lst.append(pos)
+        _ = list(acc.keys()), [len(p) for p in acc.values()]
+    return 1
+
+
 def host_ceiling(n: int) -> tuple[float, float]:
-    """Pure-CPU parallel efficiency of THIS host from n -> 4n workers
-    (fixed total work, md5 burn). The sandbox's '32 CPUs' are not 32
-    independent cores (measured: 32 procs give only ~2.2x over 8), so
-    the engine's N->4N efficiency must be read against what the silicon
-    can deliver."""
-    import hashlib
+    """Parallel efficiency of THIS host from n -> 4n workers on a
+    workload-shaped burn (fixed total work). The sandbox's '32 CPUs'
+    are not 32 independent cores (pure-CPU md5 measures only ~2.2x
+    from 8->32), so the engine's N->4N efficiency must be read against
+    what the silicon can deliver for this kind of work."""
     import multiprocessing as mp
     import time as _t
 
-    def _burn(k):
-        h = b"x"
-        for _ in range(k):
-            h = hashlib.md5(h).digest()
-        return 1
-
     res = {}
     for procs in (n, 4 * n):
-        work = [300_000] * 32
+        work = [6_000] * 32
         t0 = _t.time()
         with mp.Pool(procs) as p:
             p.map(_burn, work)
