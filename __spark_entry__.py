@@ -40,6 +40,7 @@ EVENT_FIELDS = {
     "user_id": "long",
     "value": "double",
     "props": "text",
+    "ts": "instant",
 }
 
 _INDEX_CACHE: dict[str, object] = {}
@@ -343,6 +344,101 @@ def q_lang_id(spark, sf_dir):
     return _round6(out, "lang_score")
 
 
+def _suggest_index(spark: SparkSession, sf_dir: str):
+    """Docs index with a suggest-enabled source field (contexts from
+    lang) — exercises the suggest table build (G1/G3/G4)."""
+    key = f"{sf_dir}/sugg"
+    if key not in _INDEX_CACHE:
+        fields = dict(DOC_FIELDS)
+        fields["source"] = {
+            "type": "keyword",
+            "suggest": {"weight": 1, "contexts_from": "lang"},
+        }
+        _INDEX_CACHE[key] = create_index(
+            spark, _docs(spark, sf_dir), fields, id_column="doc_id"
+        )
+    return _INDEX_CACHE[key]
+
+
+def _wand_index(spark: SparkSession, sf_dir: str):
+    """Disk index + compressed block-max segments for the WAND kernel."""
+    key = f"{sf_dir}/wand"
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        from lucene_clj_spark.segments import build_segments
+
+        path = tempfile.mkdtemp(prefix="spark_graft_wand_") + "/idx"
+        idx = create_index(
+            spark, _docs(spark, sf_dir), DOC_FIELDS, id_column="doc_id",
+            path=path, index_type="disk", re_create=True,
+        )
+        build_segments(idx, n_buckets=8, chunk_span=256, block_size=128)
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+def q_dsl_boost_topk(spark, sf_dir):
+    """Classic QueryParser DSL with a per-term boost (Q8):
+    'merge^2 window' = OR with merge's score doubled."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _index(spark, sf_dir)
+    ast = parse_dsl("merge^2 window", "text", idx.specs, idx.analyzers)
+    out = idx.search(ast, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_multi_field_and_topk(spark, sf_dir):
+    """Map shape = AND across fields (Q4): text term + keyword exact,
+    scores summed (text BM25 + keyword-field BM25 with tf=dl=avgdl=1)."""
+    idx = _index(spark, sf_dir)
+    out = idx.search({"text": "merge", "lang": "de"},
+                     results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_phrase3_topk(spark, sf_dir):
+    """Three-term exact-adjacency phrase (S6)."""
+    idx = _index(spark, sf_dir)
+    out = idx.search("row column sort", field_name="text",
+                     results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_suggest_context(spark, sf_dir):
+    """Context-filtered prefix completion (G1+G3): suggestions for
+    source prefix 'src1' restricted to docs whose lang context is de."""
+    idx = _suggest_index(spark, sf_dir)
+    return idx.suggest_(
+        "source", "src1", contexts=["de"], max_results=10, with_hit=False
+    )
+
+
+def q_events_ts_exact(spark, sf_dir):
+    """Typed instant exact query (Q7) at epoch-millis resolution."""
+    import duckdb
+
+    t = duckdb.sql(
+        f"SELECT min(ts) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    idx = _events_index(spark, sf_dir)
+    out = idx.search({"ts": t}, results_per_page=100, with_hit=False)
+    return out.select("doc_id", "score")
+
+
+def q_wand_or_topk(spark, sf_dir):
+    """Block-max WAND top-k over compressed segments (the north-star
+    kernel) — must be rank- AND score-identical to the exhaustive
+    DataFrame OR query (same oracle as bool_or_topk)."""
+    from lucene_clj_spark.wand import wand_topk
+
+    idx = _wand_index(spark, sf_dir)
+    out = wand_topk(idx, "text", ["merge", "dup", "vector"], k=10,
+                    mode="or")
+    return _round6(out.select("doc_id", "score"), "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -380,6 +476,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rp_lsh_topk": q_ann_rp_lsh_topk,
         "knn_join": q_knn_join,
         "lang_id": q_lang_id,
+        "dsl_boost_topk": q_dsl_boost_topk,
+        "multi_field_and_topk": q_multi_field_and_topk,
+        "phrase3_topk": q_phrase3_topk,
+        "suggest_context": q_suggest_context,
+        "events_ts_exact": q_events_ts_exact,
+        "wand_or_topk": q_wand_or_topk,
     }
 
 
@@ -439,6 +541,96 @@ SELECT doc_id, round(score, 6) AS score FROM (
   ORDER BY score DESC, doc_id ASC LIMIT {k}
 )"""
     )
+
+
+def _dsl_boost_sql() -> str:
+    # 'merge^2 window' = OR, merge's score scaled by 2 before the sum
+    return (
+        _multi_term_scores_sql(["merge", "window"])
+        + """
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'merge' THEN 2.0 * score ELSE score END)
+           AS score
+  FROM scores GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _multi_field_and_sql() -> str:
+    # text:'merge' AND lang:'de'; score = text BM25 + keyword-field BM25
+    # where the keyword posting has tf=1, dl=1, avgdl=1, df=|lang=de|
+    kw_score = bm25.score_sql("1", "1", "kdf.df", "s.n", "1.0")
+    return (
+        _TERM_SCORES.replace("{term}", "merge")
+        + f"""
+, kw AS (
+  SELECT doc_id, {kw_score} AS kscore
+  FROM documents
+  CROSS JOIN (SELECT count(*) AS df FROM documents WHERE lang = 'de') kdf
+  CROSS JOIN stats s
+  WHERE lang = 'de'
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT sc.doc_id, sc.score + k.kscore AS score
+  FROM scores sc JOIN kw k USING (doc_id)
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _phrase3_sql(t1: str, t2: str, t3: str, k: int = 10) -> str:
+    idf1 = bm25.idf_sql("t1.df", "s.n")
+    idf2 = bm25.idf_sql("t2.df", "s.n")
+    idf3 = bm25.idf_sql("t3.df", "s.n")
+    qdl = bm25.quantized_dl_sql("d.dl")
+    return (
+        _BASE
+        + f"""
+, freqs AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(ts)),
+             i -> ts[i] = '{t1}' AND ts[i+1] = '{t2}'
+                  AND ts[i+2] = '{t3}')) AS freq
+  FROM doc
+),
+scores AS (
+  SELECT f.doc_id,
+         ({idf1} + {idf2} + {idf3}) * CAST(f.freq AS DOUBLE) /
+         (CAST(f.freq AS DOUBLE) + {K1!r} * ({1.0 - B!r} + {B!r} *
+          CAST({qdl} AS DOUBLE) / CAST(s.avgdl AS DOUBLE))) AS score
+  FROM freqs f
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{t1}') t1
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{t2}') t2
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{t3}') t3
+  WHERE f.freq > 0
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
+    )
+
+
+def _suggest_context_sql() -> str:
+    # one suggestion row per (doc, source value); weight 1; ordering
+    # (weight desc ≡ const, completion asc, doc_id asc) — suggest.py
+    return """
+SELECT doc_id, source AS completion, 1.0 AS score
+FROM documents
+WHERE lang = 'de' AND source LIKE 'src1%'
+ORDER BY completion ASC, doc_id ASC LIMIT 10"""
+
+
+def _events_ts_sql() -> str:
+    # epoch-millis resolution, matching the engine's instant semantics
+    return """
+SELECT event_id AS doc_id, 1.0 AS score FROM events
+WHERE epoch_ms(ts) = (SELECT min(epoch_ms(ts)) FROM events)
+ORDER BY doc_id ASC LIMIT 100"""
 
 
 def _fuzzy_sql(q: str, k: int = 10) -> str:
@@ -841,6 +1033,12 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         ),
         "ann_rp_lsh_topk": _ann_rp_lsh_sql(qv, 10, 8),
         "knn_join": _knn_join_sql(3, 6, 64),
+        "dsl_boost_topk": _dsl_boost_sql(),
+        "multi_field_and_topk": _multi_field_and_sql(),
+        "phrase3_topk": _phrase3_sql("row", "column", "sort"),
+        "suggest_context": _suggest_context_sql(),
+        "events_ts_exact": _events_ts_sql(),
+        "wand_or_topk": _bool_or_sql(),
         # lang_id: intentionally no oracle (heuristic; rows-only check,
         # pinned by pytest goldens in tests/test_functions.py)
     }

@@ -13,7 +13,7 @@ the index" contract, reference schema.clj:121-140).
 
 Index tables (all ordinary DataFrames — SURVEY.md §1.4):
 
-- ``docs``      doc_id:long + stored columns + __dl_<f> per text field
+- ``docs``      doc_id:long + stored columns
 - ``postings``  field, term, doc_id, tf:int, dl:int (denormalized,
                 avoids a docs join per query), positions:array<int>
 - ``terms``     field, term, df:long, ctf:long
@@ -346,15 +346,19 @@ def create_index(
             )
         docs = assign_dense_ids(docs_df, keys)
 
-    # --- analysis + per-doc LOCAL inversion (compile-once per field) --
-    # One Arrow pass per text field produces struct<dl, terms[(term, tf,
-    # positions)]>: tokenization AND inversion are partition-local, so
-    # building postings needs NO shuffle of token occurrences — the only
-    # shuffles left are the (tiny) term-stats aggregate and the segment
-    # merge. This is the Spark analogue of the reference's main measured
-    # optimization (compile encoders once, README.org:103-110), plus the
-    # doc-at-a-time inversion Lucene itself does inside IndexWriter.
-    from lucene_clj_spark._udfs import term_vectors_udf
+    # --- analysis + per-doc LOCAL inversion -> FLAT postings ----------
+    # ONE mapInPandas pass tokenizes AND inverts per document and emits
+    # the final flat postings schema (field, term, doc_id, tf, dl,
+    # positions) plus one stats-marker row (term=NULL) per (text field,
+    # doc). Partition-local: NO shuffle of token occurrences — the only
+    # shuffle left is the (tiny) term-stats aggregate. Emitting flat
+    # rows (instead of caching a nested term-vector struct and exploding
+    # it JVM-side) avoids Spark's slow generic columnar-cache path for
+    # array-of-array types: measured ~4x faster build at local[8]
+    # (tools/exp_cache.py). This is the Spark analogue of the
+    # reference's compile-encoders-once optimization
+    # (README.org:103-110) plus Lucene's doc-at-a-time inversion.
+    from lucene_clj_spark._udfs import POSTINGS_SCHEMA, flat_postings_generator
 
     text_fields = [
         n for n, fs in specs.items() if fs.indexed and fs.type == "text"
@@ -362,97 +366,57 @@ def create_index(
     kw_fields = [
         n for n, fs in specs.items() if fs.indexed and fs.type == "keyword"
     ]
-    analyzed = docs
-    for name in text_fields:
-        an = analyzers.get(name, default_an)
-        src = F.col(name)
-        if specs[name].multi_valued:
-            # concatenate values with a single separator token gap
-            src = F.array_join(src, " \x1f ")
-        tv = term_vectors_udf(an)(src)
-        analyzed = analyzed.withColumn(f"__tv_{name}", tv).withColumn(
-            f"__dl_{name}", F.col(f"__tv_{name}.dl")
-        )
-    if cache:
-        analyzed = analyzed.cache()
-
-    # --- postings (narrow: explode the local term vectors) ------------
-    posting_parts = []
-    for name in text_fields:
-        tv = f"__tv_{name}"
-        p = analyzed.select(
-            "doc_id",
-            F.col(f"__dl_{name}").alias("dl"),
-            F.explode(
-                F.arrays_zip(
-                    F.col(f"{tv}.terms").alias("term"),
-                    F.col(f"{tv}.tfs").alias("tf"),
-                    F.col(f"{tv}.poss").alias("positions"),
-                )
-            ).alias("__t"),
-        ).select(
-            F.lit(name).alias("field"),
-            F.col("__t.term").alias("term"),
-            "doc_id",
-            F.col("__t.tf").alias("tf"),
-            "dl",
-            F.col("__t.positions").alias("positions"),
-        )
-        posting_parts.append(p)
-    for name in kw_fields:
-        vals = (
-            F.col(name)
-            if specs[name].multi_valued
-            else F.array(F.col(name))
-        )
-        p = (
-            analyzed.select("doc_id", F.explode(vals).alias("term"))
-            .where(F.col("term").isNotNull())
-            .distinct()
-            .select(
-                F.lit(name).alias("field"),
-                F.col("term").cast("string").alias("term"),
-                "doc_id",
-                F.lit(1).cast("int").alias("tf"),
-                F.lit(1).cast("int").alias("dl"),
-                F.lit(None).cast("array<int>").alias("positions"),
-            )
-        )
-        posting_parts.append(p)
-    if not posting_parts:
+    if not text_fields and not kw_fields:
         raise ValidationError("no indexed text/keyword fields in schema", {})
-    postings = posting_parts[0]
-    for p in posting_parts[1:]:
-        postings = postings.unionByName(p)
-    if cache:
-        postings = postings.cache()
-
-    terms = postings.groupBy("field", "term").agg(
-        F.count("*").alias("df"), F.sum("tf").alias("ctf")
+    emit = flat_postings_generator(
+        [(n, specs[n].multi_valued) for n in text_fields],
+        [(n, specs[n].multi_valued) for n in kw_fields],
+        {n: a for n, a in analyzers.items() if n is not None},
+        default_an,
+    )
+    raw = docs.select("doc_id", *text_fields, *kw_fields).mapInPandas(
+        emit, POSTINGS_SCHEMA
     )
     if cache:
-        terms = terms.cache()
+        raw = raw.cache()
+    postings = raw.where(F.col("term").isNotNull())
 
-    # --- corpus stats (ONE driver-side aggregate job; BM25 globals) ---
+    # One aggregation computes the term dictionary AND the corpus stats:
+    # the per-doc marker rows (term=NULL) land in the (field, NULL)
+    # group, whose count(*) = N and sum(dl) = sum_dl. Collecting stats
+    # then reads the (tiny, cached) aggregate instead of re-scanning
+    # postings — one big job per build, everything else is vocab-sized.
+    terms_full = raw.groupBy("field", "term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("ctf"),
+        F.sum("dl").alias("__sdl"),
+    )
+    if cache:
+        terms_full = terms_full.cache()
+    terms = terms_full.where(F.col("term").isNotNull()).select(
+        "field", "term", "df", "ctf"
+    )
+
     stats: dict[str, dict[str, float]] = {}
-    agg_row = analyzed.agg(
-        F.count("*").alias("__n"),
-        *[F.sum(f"__dl_{n}").alias(f"__s_{n}") for n in text_fields],
-    ).collect()[0]
-    n_docs = agg_row["__n"]
-    for name in text_fields:
-        sum_dl = int(agg_row[f"__s_{name}"] or 0)
-        stats[name] = {
-            "N": n_docs,
-            "sum_dl": sum_dl,
-            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
-        }
+    n_docs = None
+    if text_fields:
+        for r in terms_full.where(F.col("term").isNull()).collect():
+            n = int(r["df"])
+            sum_dl = int(r["__sdl"] or 0)
+            stats[r["field"]] = {
+                "N": n,
+                "sum_dl": sum_dl,
+                "avgdl": (sum_dl / n) if n else 0.0,
+            }
+            n_docs = n
+    if n_docs is None:
+        n_docs = docs.count()
     for name in kw_fields:
         stats[name] = {"N": n_docs, "sum_dl": n_docs, "avgdl": 1.0}
 
     # --- suggest table ------------------------------------------------
     sug_parts = [
-        _suggest_rows(analyzed, n, fs, analyzers.get(n, default_an))
+        _suggest_rows(docs, n, fs, analyzers.get(n, default_an))
         for n, fs in specs.items()
         if fs.suggest is not None
     ]
@@ -467,9 +431,9 @@ def create_index(
     stored_cols = ["doc_id"] + [
         n for n, fs in specs.items() if fs.stored
     ] + (sorted(extra) if ignore_extra_columns else [])
-    docs_out = analyzed.select(
-        *stored_cols, *[f"__dl_{n}" for n in text_fields]
-    )
+    docs_out = docs.select(*stored_cols)
+    if cache:
+        docs_out = docs_out.cache()
 
     idx = Index(
         spark=spark,
@@ -484,6 +448,8 @@ def create_index(
     if index_type == "disk":
         idx.write(path)
         loaded = Index.load(spark, path)
-        analyzed.unpersist() if cache else None
+        if cache:
+            raw.unpersist()
+            docs_out.unpersist()
         return loaded
     return idx

@@ -278,8 +278,10 @@ def _scored_exact(index, node: ExactQ) -> DataFrame:
     # (Lucene point exact queries are constant-score)
     col = F.col(node.field)
     if node.value_type == "instant":
-        # compare at epoch-millis resolution (reference values.clj:76-95)
-        cond = F.unix_millis(col) == F.lit(node.value)
+        # compare at epoch-millis resolution (reference values.clj:76-95);
+        # cast handles TIMESTAMP_NTZ parquet columns (interpreted in the
+        # session timezone, which the engine pins to UTC)
+        cond = F.unix_millis(col.cast("timestamp")) == F.lit(node.value)
     else:
         cond = col == F.lit(node.value)
     return index.docs.filter(cond).select(

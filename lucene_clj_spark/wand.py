@@ -47,7 +47,8 @@ def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
     n_terms_required = len(term_idfs) if mode == "and" else 1
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
+        parts = list(batches)
+        pdf = pd.concat(parts, ignore_index=True) if parts else None
         if pdf is None or len(pdf) == 0:
             yield pd.DataFrame({"doc_id": [], "score": []}).astype(
                 {"doc_id": "int64", "score": "float64"}
