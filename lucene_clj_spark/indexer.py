@@ -217,6 +217,8 @@ class Index:
         self.terms = self.terms.limit(0)
         for s in self.stats.values():
             s.update(N=0, sum_dl=0, avgdl=0.0)
+        if hasattr(self, "_term_stats_cache"):
+            self._term_stats_cache.clear()
 
 
 def _suggest_rows(

@@ -58,18 +58,33 @@ def _lookup_term_stats(index, pairs: list[tuple[str, str]]) -> dict:
     """Driver-side term-dictionary seek: df for each (field, term) in
     ONE tiny action against the cached/pruned terms table — the Spark
     analogue of Lucene's TermsEnum.seekExact before scoring. Folding df
-    into the plan as a literal removes a broadcast-join stage per term."""
+    into the plan as a literal removes a broadcast-join stage per term.
+
+    Results are memoized on the Index (absent terms as None), like a
+    Lucene session amortizing term-state seeks across searches — a warm
+    repeated query then needs NO stats job, only the scoring job. The
+    cache is per-Index and vocabulary lookups only, so it stays tiny
+    (query terms seen this session, not the whole dictionary)."""
     if not pairs:
         return {}
-    cond = None
-    by_field: dict[str, list[str]] = {}
-    for f, t in pairs:
-        by_field.setdefault(f, []).append(t)
-    for f, ts in by_field.items():
-        c = (F.col("field") == f) & F.col("term").isin(ts)
-        cond = c if cond is None else (cond | c)
-    rows = index.terms.filter(cond).select("field", "term", "df").collect()
-    return {(r["field"], r["term"]): int(r["df"]) for r in rows}
+    cache = getattr(index, "_term_stats_cache", None)
+    if cache is None:
+        cache = {}
+        index._term_stats_cache = cache
+    missing = [p for p in dict.fromkeys(pairs) if p not in cache]
+    if missing:
+        cond = None
+        by_field: dict[str, list[str]] = {}
+        for f, t in missing:
+            by_field.setdefault(f, []).append(t)
+        for f, ts in by_field.items():
+            c = (F.col("field") == f) & F.col("term").isin(ts)
+            cond = c if cond is None else (cond | c)
+        rows = index.terms.filter(cond).select("field", "term", "df").collect()
+        found = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+        for p in missing:
+            cache[p] = found.get(p)
+    return {p: cache[p] for p in pairs if cache.get(p) is not None}
 
 
 def _flatten(node: Node) -> Node:

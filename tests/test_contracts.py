@@ -4,6 +4,7 @@ contract_test.clj and document_test.clj (SURVEY.md §5 levels 2-4)."""
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from lucene_clj_spark.errors import (
     CardinalityError,
@@ -251,3 +252,29 @@ def test_create_index_validation(spark, sample_docs):
     with pytest.raises(UnknownFieldError):
         create_index(spark, sample_docs, {"first_name": "text"},
                      id_column=None, order_by=["first_name"])
+
+
+# --- instant exact on TIMESTAMP_NTZ columns (parquet default) ----------
+
+def test_exact_instant_ntz_column(spark, tmp_path_factory):
+    """Parquet timestamps load as TIMESTAMP_NTZ in Spark 4; the instant
+    exact query must cast before unix_millis (regression: the events
+    table's ts column)."""
+    from lucene_clj_spark import create_index
+
+    p = str(tmp_path_factory.mktemp("ntz") / "t.parquet")
+    df = spark.createDataFrame(
+        [(0, "a", dt.datetime(2024, 1, 1)), (1, "b", dt.datetime(2024, 1, 2))],
+        "doc_id long, title string, at timestamp",
+    ).withColumn("at", F.col("at").cast("timestamp_ntz"))
+    df.write.mode("overwrite").parquet(p)
+    loaded = spark.read.parquet(p)
+    assert "timestamp_ntz" in loaded.schema["at"].dataType.simpleString()
+    idx = create_index(
+        spark, loaded, {"title": "keyword", "at": "instant"},
+        id_column="doc_id",
+    )
+    got = idx.search(
+        {"at": dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)}
+    ).collect()
+    assert [r["doc_id"] for r in got] == [1]

@@ -115,3 +115,16 @@ def test_manifest_metrics_cover_all_postings(spark, disk_index):
                 total += json.load(fh)["n_postings"]
     n_postings = disk_index.postings.count()
     assert total == n_postings
+
+
+def test_wand_rare_term_empty_partitions(disk_index):
+    """A single rare term leaves most chunk-range partitions with zero
+    rows; the kernel must yield an empty frame, not crash (regression:
+    pd.concat of an empty batch iterator)."""
+    got = wand_topk(disk_index, "text", ["dup"], k=5, mode="or",
+                    n_partitions=8).collect()
+    want = disk_index.search("dup", field_name="text", results_per_page=5,
+                             with_hit=False).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
