@@ -439,6 +439,63 @@ def q_wand_or_topk(spark, sf_dir):
     return _round6(out.select("doc_id", "score"), "score")
 
 
+def _webpages_index(spark: SparkSession, sf_dir: str):
+    """The north-rule input shape end-to-end: wrap documents into a
+    Common-Crawl-style pages table (url, warc_ts, html, text, lang),
+    extract text FROM THE HTML, and index the extracted text. The
+    per-row invariant (byte-identical extracted text per url) is
+    enforced in-plan; the oracle is then the plain term query over
+    documents — proving the html path is result-identical."""
+    key = f"{sf_dir}/webpages"
+    if key not in _INDEX_CACHE:
+        import datetime as dt
+
+        from lucene_clj_spark.sources import extract_text_from_html
+
+        pages = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(F.lit("http://example.com/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.lit(dt.datetime(2024, 1, 1)).cast("timestamp").alias("warc_ts"),
+            F.encode(
+                F.concat(F.lit("<html><body>"),
+                         F.col("text"), F.lit("</body></html>")),
+                "UTF-8",
+            ).alias("html"),
+            "text",
+            "lang",
+        )
+        extracted = pages.withColumn(
+            "etext", extract_text_from_html(F.col("html"))
+        )
+        mismatches = extracted.filter(
+            F.col("etext") != F.col("text")
+        ).count()
+        if mismatches:
+            raise AssertionError(
+                f"html text extraction not byte-identical for "
+                f"{mismatches} urls"
+            )
+        _INDEX_CACHE[key] = create_index(
+            spark,
+            extracted.select(
+                "doc_id", "url", F.col("etext").alias("text"), "lang"
+            ),
+            {"text": "text", "lang": "keyword", "url": "keyword"},
+            id_column="doc_id",
+        )
+    return _INDEX_CACHE[key]
+
+
+def q_webpages_pipeline_topk(spark, sf_dir):
+    """url/warc_ts/html/text/lang pages -> html text extraction ->
+    index -> BM25 top-k; oracle = the same term query on documents."""
+    idx = _webpages_index(spark, sf_dir)
+    out = idx.search("merge", field_name="text", results_per_page=10,
+                     with_hit=False)
+    return _round6(out, "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -482,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_context": q_suggest_context,
         "events_ts_exact": q_events_ts_exact,
         "wand_or_topk": q_wand_or_topk,
+        "webpages_pipeline_topk": q_webpages_pipeline_topk,
     }
 
 
@@ -1039,6 +1097,7 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "suggest_context": _suggest_context_sql(),
         "events_ts_exact": _events_ts_sql(),
         "wand_or_topk": _bool_or_sql(),
+        "webpages_pipeline_topk": _term_topk_sql("merge", 10),
         # lang_id: intentionally no oracle (heuristic; rows-only check,
         # pinned by pytest goldens in tests/test_functions.py)
     }
