@@ -278,3 +278,41 @@ def test_exact_instant_ntz_column(spark, tmp_path_factory):
         {"at": dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)}
     ).collect()
     assert [r["doc_id"] for r in got] == [1]
+
+
+def test_truncate_clears_index(spark):
+    """clear! analogue (reference indexer.clj:68-77): docs/postings/
+    terms empty, stats zeroed, term-stats cache dropped."""
+    from lucene_clj_spark import create_index
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, body string"
+    )
+    idx = create_index(spark, df, {"body": "text"}, id_column="doc_id")
+    assert idx.search("beta", field_name="body").count() == 2
+    idx.truncate()
+    assert idx.docs.count() == 0
+    assert idx.postings.count() == 0
+    assert idx.terms.count() == 0
+    assert idx.stats["body"]["N"] == 0
+
+
+def test_multi_valued_text_field(spark):
+    """Multi-valued text: tf sums across values; phrases can match
+    across value boundaries (Lucene's default position-increment gap
+    is 0 for StandardAnalyzer)."""
+    from lucene_clj_spark import create_index
+
+    df = spark.createDataFrame(
+        [(0, ["red fox", "fox den"]), (1, ["blue bird"])],
+        "doc_id long, body array<string>",
+    )
+    idx = create_index(
+        spark, df, {"body": {"type": "text", "multi_valued": True}},
+        id_column="doc_id",
+    )
+    rows = idx.postings.filter(F.col("term") == "fox").collect()
+    assert len(rows) == 1 and rows[0]["tf"] == 2 and rows[0]["dl"] == 4
+    # cross-value phrase "fox fox" exists at positions (1,2)
+    got = idx.search("fox fox", field_name="body", with_hit=False).collect()
+    assert [r["doc_id"] for r in got] == [0]
