@@ -157,8 +157,15 @@ class Index:
         )
         self.terms.write.mode("overwrite").parquet(f"{path}/terms")
         if self.suggest is not None:
+            # range-partitioned on the lookup key: prefix queries prune
+            # to few files via min/max stats; no single-task bottleneck
+            n_sug = max(
+                2, self.spark.sparkContext.defaultParallelism // 2
+            )
             (
-                self.suggest.repartition(1)
+                self.suggest.repartitionByRange(
+                    n_sug, "field", "completion_key"
+                )
                 .sortWithinPartitions("field", "completion_key")
                 .write.mode("overwrite")
                 .parquet(f"{path}/suggest")

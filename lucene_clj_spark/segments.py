@@ -122,11 +122,18 @@ def build_segments(
     resume: bool = True,
     lineage: dict | None = None,
     log=None,
+    concurrency: int = 4,
 ) -> str:
     """Encode the index's postings into compressed segments, one
-    committed bucket job at a time (see module docstring). Returns the
+    committed job PER BUCKET (see module docstring). Returns the
     segments root path. Safe to interrupt and re-run with resume=True:
-    finished buckets (manifest present) are skipped."""
+    finished buckets (manifest present) are skipped.
+
+    ``concurrency`` bucket jobs run in flight at once (driver threads;
+    Spark schedules concurrent jobs fine) — checkpoint granularity is
+    unchanged because each bucket still writes its data before its own
+    manifest, but the job-submission latency no longer serializes
+    across n_buckets."""
     root = path or index.path
     if not root:
         raise ValueError("segments need a disk path (index.path or path=)")
@@ -148,12 +155,12 @@ def build_segments(
     with open(os.path.join(man_root, "_segments_meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
 
-    for b in range(n_buckets):
+    def run_bucket(b: int) -> None:
         man_path = os.path.join(man_root, f"bucket_{b}.json")
         if resume and os.path.exists(man_path):
             if log:
                 log(f"bucket {b}: manifest present, skipping (resume)")
-            continue
+            return
         t0 = time.time()
         part = post.filter(F.col("bucket") == b).drop("bucket")
         blocks = (
@@ -197,6 +204,16 @@ def build_segments(
                 f"bucket {b}: {row['n_blocks']} blocks, "
                 f"{row['n_postings']} postings in {manifest['elapsed_sec']}s"
             )
+
+    if concurrency > 1 and n_buckets > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(concurrency, n_buckets)) as pool:
+            for fut in [pool.submit(run_bucket, b) for b in range(n_buckets)]:
+                fut.result()  # surface the first failure
+    else:
+        for b in range(n_buckets):
+            run_bucket(b)
     return seg_root
 
 

@@ -77,24 +77,24 @@ def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
             cpdf = by_chunk[chunk]
             if mode == "and" and cpdf["term"].nunique() < len(term_idfs):
                 continue
+            # per-term chunk maxima ONCE: a block's skip bound is its
+            # own max + the sum of the OTHER terms' chunk maxima
+            term_maxes = cpdf.groupby("term")["block_max_score"].max()
+            tm_sum = float(term_maxes.sum())
             doc_parts, score_parts = [], []
-            for _, row in cpdf.iterrows():
-                # per-block skip: this block + other terms' chunk maxes
-                others = (
-                    cpdf[cpdf["term"] != row["term"]]
-                    .groupby("term")["block_max_score"].max().sum()
-                )
+            for row in cpdf.itertuples(index=False):
+                others = tm_sum - float(term_maxes[row.term])
                 if (
                     len(heap) >= k
-                    and row["block_max_score"] + others <= theta()
+                    and row.block_max_score + others <= theta()
                 ):
                     continue
                 ids = codec.delta_decode(
-                    codec.decode_varints(row["doc_deltas"])
+                    codec.decode_varints(row.doc_deltas)
                 )
-                tfs = codec.decode_varints(row["tfs"]).astype(np.float64)
-                norms = np.frombuffer(row["norms"], dtype=np.uint8)
-                idf = term_idfs[row["term"]]
+                tfs = codec.decode_varints(row.tfs).astype(np.float64)
+                norms = np.frombuffer(row.norms, dtype=np.uint8)
+                idf = term_idfs[row.term]
                 scores = idf * tfs / (tfs + denom_cache[norms])
                 doc_parts.append(ids)
                 score_parts.append(scores)
