@@ -171,3 +171,18 @@ def test_page_and_search_after_exclusive(sample_index):
             sample_index, {"bio": "love"}, page=1,
             search_after={"doc_id": 1, "score": 1.0},
         )
+
+
+def test_named_enum_query(sample_index):
+    """Q6: keyword/symbol (Named) query forms are treated as their
+    string name (reference query.clj:79-81)."""
+    import enum
+
+    class Q(enum.Enum):
+        Scarlett = "ignored"
+
+    got = sample_index.search(Q.Scarlett, field_name="first_name")
+    want = sample_index.search("Scarlett", field_name="first_name")
+    assert [r["doc_id"] for r in got.collect()] == [
+        r["doc_id"] for r in want.collect()
+    ]

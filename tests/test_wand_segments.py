@@ -128,3 +128,21 @@ def test_wand_rare_term_empty_partitions(disk_index):
     assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
         (r["doc_id"], round(r["score"], 9)) for r in want
     ]
+
+
+def test_disk_term_query_plan_prunes(disk_index):
+    """The scale contract of the disk layout (SURVEY §4.3): a term
+    query's parquet scan must show (a) partition pruning to the term's
+    bucket directory, (b) the term equality pushed into the scan for
+    row-group min/max skipping, (c) positions pruned from ReadSchema,
+    and (d) bounded-heap top-k (TakeOrderedAndProject), not a global
+    sort."""
+    plan = disk_index.search("merge", field_name="text", with_hit=False)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in s and "bucket" in s.split(
+        "PartitionFilters", 1)[1][:120]
+    assert "EqualTo(term,merge)" in s
+    read_schema = s.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "positions" not in read_schema
+    assert "TakeOrderedAndProject" in s
+    assert "Sort " not in s  # no global sort operator
