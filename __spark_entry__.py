@@ -487,6 +487,15 @@ def _webpages_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+def q_embed_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (LSH-bucketed candidates,
+    exact cosine >= 0.35)."""
+    out = ann.embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.35, n_planes=4, dim=64
+    )
+    return _round6(out.orderBy("vec_a", "vec_b"), "cos_sim")
+
+
 def q_webpages_pipeline_topk(spark, sf_dir):
     """url/warc_ts/html/text/lang pages -> html text extraction ->
     index -> BM25 top-k; oracle = the same term query on documents."""
@@ -540,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ts_exact": q_events_ts_exact,
         "wand_or_topk": q_wand_or_topk,
         "webpages_pipeline_topk": q_webpages_pipeline_topk,
+        "embed_near_dup": q_embed_near_dup,
     }
 
 
@@ -1044,6 +1054,32 @@ SELECT vec_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
 FROM ranked WHERE rank <= {k}"""
 
 
+def _embed_near_dup_sql(threshold: float = 0.35, n_planes: int = 4,
+                        dim: int = 64) -> str:
+    planes = _plane_literals(n_planes, dim)
+    bucket_a = _bucket_sql("a.embedding", planes, dim)
+    dot = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    norm = (
+        "sqrt(list_sum(list_transform(range(1, {d} + 1), "
+        "i -> CAST({v}.embedding[i] AS DOUBLE) * "
+        "CAST({v}.embedding[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH b0 AS (
+  SELECT a.vec_id, a.embedding, {bucket_a} AS bucket FROM embeddings a
+)
+SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {dot} / ({norm.format(d=dim, v="a")} * {norm.format(d=dim, v="b")})
+         AS cos_sim
+  FROM b0 a JOIN b0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cos_sim >= {threshold!r}
+ORDER BY vec_a, vec_b"""
+
+
 def oracle_sql() -> dict[str, str]:
     qv = _query_vec("/root/testdata/sf0.01")
     return {
@@ -1098,6 +1134,7 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "events_ts_exact": _events_ts_sql(),
         "wand_or_topk": _bool_or_sql(),
         "webpages_pipeline_topk": _term_topk_sql("merge", 10),
+        "embed_near_dup": _embed_near_dup_sql(0.35, 4, 64),
         # lang_id: intentionally no oracle (heuristic; rows-only check,
         # pinned by pytest goldens in tests/test_functions.py)
     }

@@ -162,3 +162,31 @@ def knn_join_bucketed(
         .filter(F.col("rank") <= k)
         .select("vec_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, the scale path: candidate
+    pairs come from same-LSH-bucket equality (linear shuffle, no
+    crossJoin), then the exact cosine filters at ``threshold``. Each
+    vector hashes to ONE bucket, so a pair is emitted at most once;
+    recall misses cross-bucket pairs — the standard LSH trade-off,
+    tuned by n_planes (fewer planes = bigger buckets = higher recall).
+    Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b."""
+    b = rp_lsh_buckets(embeddings, n_planes, dim, vec_col)
+    left = b.select(F.col("vec_id").alias("vec_a"),
+                    F.col(vec_col).alias("__va"), "bucket")
+    right = b.select(F.col("vec_id").alias("vec_b"),
+                     F.col(vec_col).alias("__vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cosine_sim(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+        .select("vec_a", "vec_b", "cos_sim")
+    )

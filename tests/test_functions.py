@@ -156,3 +156,15 @@ def test_portable_hash_matches_duckdb(spark):
         for v in vals
     ]
     assert got == want
+
+def test_embedding_near_dup_pairs(spark):
+    from lucene_clj_spark.functions import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = ann.embedding_near_dup_pairs(emb, threshold=0.3, n_planes=3)
+    rows = pairs.collect()
+    assert all(r["vec_a"] < r["vec_b"] for r in rows)
+    assert all(r["cos_sim"] >= 0.3 for r in rows)
+    # deterministic: same buckets/planes on a second run
+    again = ann.embedding_near_dup_pairs(emb, threshold=0.3, n_planes=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
