@@ -496,6 +496,19 @@ def q_embed_near_dup(spark, sf_dir):
     return _round6(out.orderBy("vec_a", "vec_b"), "cos_sim")
 
 
+def q_blob_features(spark, sf_dir):
+    """Multimodal plumbing: documents' text as opaque binary blobs ->
+    Arrow-batched byte features (the triage stage that precedes any
+    media decode). Oracle reproduces the byte arithmetic in SQL."""
+    from lucene_clj_spark.functions import multimodal as mm
+
+    blobs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("blob"),
+    )
+    return mm.blob_features(blobs)
+
+
 def q_webpages_pipeline_topk(spark, sf_dir):
     """url/warc_ts/html/text/lang pages -> html text extraction ->
     index -> BM25 top-k; oracle = the same term query on documents."""
@@ -550,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_or_topk": q_wand_or_topk,
         "webpages_pipeline_topk": q_webpages_pipeline_topk,
         "embed_near_dup": q_embed_near_dup,
+        "blob_features": q_blob_features,
     }
 
 
@@ -1135,6 +1149,15 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "wand_or_topk": _bool_or_sql(),
         "webpages_pipeline_topk": _term_topk_sql("merge", 10),
         "embed_near_dup": _embed_near_dup_sql(0.35, 4, 64),
+        # text is ASCII here, so UTF-8 bytes == ascii codes per char
+        "blob_features": """
+SELECT doc_id AS media_id,
+       octet_length(encode(text))::INT AS n_bytes,
+       list_sum(list_transform(range(1, length(text) + 1),
+                i -> ascii(text[i])))::BIGINT AS byte_sum,
+       ascii(text[1])::INT AS head_byte,
+       ascii(text[length(text)])::INT AS tail_byte
+FROM documents""",
         # lang_id: intentionally no oracle (heuristic; rows-only check,
         # pinned by pytest goldens in tests/test_functions.py)
     }
