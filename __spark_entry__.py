@@ -415,6 +415,16 @@ def q_suggest_context(spark, sf_dir):
     )
 
 
+def q_suggest_fuzzy(spark, sf_dir):
+    """Fuzzy completion (G2): typo'd prefix 'sre1' within edit
+    distance 1 of completions' heads; closer matches rank first."""
+    idx = _suggest_index(spark, sf_dir)
+    return idx.suggest_(
+        "source", "sre1", fuzzy=True, max_edits=1, max_results=10,
+        with_hit=False,
+    )
+
+
 def q_events_ts_exact(spark, sf_dir):
     """Typed instant exact query (Q7) at epoch-millis resolution."""
     import duckdb
@@ -559,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_field_and_topk": q_multi_field_and_topk,
         "phrase3_topk": q_phrase3_topk,
         "suggest_context": q_suggest_context,
+        "suggest_fuzzy": q_suggest_fuzzy,
         "events_ts_exact": q_events_ts_exact,
         "wand_or_topk": q_wand_or_topk,
         "webpages_pipeline_topk": q_webpages_pipeline_topk,
@@ -705,6 +716,22 @@ SELECT doc_id, source AS completion, 1.0 AS score
 FROM documents
 WHERE lang = 'de' AND source LIKE 'src1%'
 ORDER BY completion ASC, doc_id ASC LIMIT 10"""
+
+
+def _suggest_fuzzy_sql(prefix: str = "sre1", max_edits: int = 1,
+                       k: int = 10) -> str:
+    n = len(prefix)
+    return f"""
+WITH s AS (
+  SELECT doc_id, source AS completion,
+         levenshtein(substring(source, 1, {n}), '{prefix}') AS edits
+  FROM documents
+)
+SELECT doc_id, completion, 1.0 AS score FROM s
+WHERE completion LIKE '{prefix}%'
+   OR (substring(completion, 1, 1) = '{prefix[0]}' AND edits <= {max_edits})
+ORDER BY edits ASC, completion ASC, doc_id ASC
+LIMIT {k}"""
 
 
 def _events_ts_sql() -> str:
@@ -1145,6 +1172,7 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "multi_field_and_topk": _multi_field_and_sql(),
         "phrase3_topk": _phrase3_sql("row", "column", "sort"),
         "suggest_context": _suggest_context_sql(),
+        "suggest_fuzzy": _suggest_fuzzy_sql("sre1", 1, 10),
         "events_ts_exact": _events_ts_sql(),
         "wand_or_topk": _bool_or_sql(),
         "webpages_pipeline_topk": _term_topk_sql("merge", 10),
