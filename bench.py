@@ -115,35 +115,49 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
         idx, b2 = one_build()
         build_sec = min(build_sec, b2)
 
-    def timed(fn, runs: int = 5) -> float:
+    percentiles: dict[str, dict[str, float]] = {}
+
+    def timed(fn, runs: int = 5, name: str | None = None) -> float:
         fn()  # warm-up
         samples = []
         for _ in range(runs):
             t = time.time()
             fn()
             samples.append(time.time() - t)
+        if name and len(samples) >= 3:
+            ss = sorted(samples)
+            percentiles[name] = {
+                "p50": round(statistics.median(ss), 4),
+                "p99": round(ss[-1], 4),  # max of n samples ~ p99 proxy
+            }
         return min(samples)
 
     queries = {}
     queries["build_index"] = round(build_sec, 3)
     queries["q_term"] = round(
         timed(lambda: idx.search("merge", field_name="text",
-                                 with_hit=False).collect()), 4)
+                                 with_hit=False).collect(),
+              name="q_term"), 4)
     queries["q_bool_and"] = round(
         timed(lambda: idx.search(["merge", "window"], field_name="text",
-                                 with_hit=False).collect()), 4)
+                                 with_hit=False).collect(),
+              name="q_bool_and"), 4)
     queries["q_bool_or"] = round(
         timed(lambda: idx.search({"text": {"merge", "dup", "vector"}},
-                                 with_hit=False).collect()), 4)
+                                 with_hit=False).collect(),
+              name="q_bool_or"), 4)
     queries["q_phrase"] = round(
         timed(lambda: idx.search("the merge", field_name="text",
-                                 with_hit=False).collect()), 4)
+                                 with_hit=False).collect(),
+              name="q_phrase"), 4)
     queries["q_fuzzy"] = round(
         timed(lambda: idx.search({"text": "merg"}, fuzzy=True,
-                                 with_hit=False).collect()), 4)
+                                 with_hit=False).collect(),
+              name="q_fuzzy"), 4)
     queries["q_keyword_exact"] = round(
         timed(lambda: idx.search({"lang": "de"}, with_hit=False,
-                                 results_per_page=20).collect()), 4)
+                                 results_per_page=20).collect(),
+              name="q_keyword_exact"), 4)
 
     base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     queries["dedup_exact"] = round(
@@ -173,6 +187,7 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
         "docs_per_sec": round(n_docs / build_sec, 1),
         "cpus": cpus,
         "cycles": cycles,
+        "latency_percentiles": percentiles,
     }
     if not quiet:
         print(json.dumps(out))
