@@ -51,20 +51,35 @@ def main():
         fields[c] = "keyword"
     extra = set(docs.columns) - set(fields) - {args.id_col}
 
+    import os
+
+    from lucene_clj_spark.indexer import Index
+
     t0 = time.time()
-    idx = create_index(
-        spark,
-        docs,
-        fields,
-        id_column=args.id_col,
-        order_by=[args.order_by] if args.order_by else None,
-        path=args.output,
-        index_type="disk",
-        re_create=not args.resume,
-        ignore_extra_columns=bool(extra),
-        cache=False,
-    )
-    print(f"index written to {args.output} in {time.time()-t0:.1f}s")
+    # The base index commits its _stats.json sidecar LAST (after all
+    # tables + _field_specs.json), so its presence means the base build
+    # completed: --resume then LOADS it and only resumes the segment
+    # build. A kill before that point leaves an incomplete base, which
+    # is rebuilt from scratch (base tables are one atomic-enough job;
+    # per-bucket checkpointing applies to the segment encode).
+    base_done = os.path.exists(os.path.join(args.output, "_stats.json"))
+    if args.resume and base_done:
+        idx = Index.load(spark, args.output)
+        print(f"base index loaded from {args.output} (resume)")
+    else:
+        idx = create_index(
+            spark,
+            docs,
+            fields,
+            id_column=args.id_col,
+            order_by=[args.order_by] if args.order_by else None,
+            path=args.output,
+            index_type="disk",
+            re_create=True,
+            ignore_extra_columns=bool(extra),
+            cache=False,
+        )
+        print(f"index written to {args.output} in {time.time()-t0:.1f}s")
     if not args.no_segments:
         t0 = time.time()
         build_segments(
