@@ -146,3 +146,37 @@ def test_disk_term_query_plan_prunes(disk_index):
     assert "positions" not in read_schema
     assert "TakeOrderedAndProject" in s
     assert "Sort " not in s  # no global sort operator
+
+
+def test_hot_term_bounded_groups(spark, tmp_path_factory):
+    """Skew contract (SURVEY §7 hard-part 3): a stopword-like term in
+    EVERY document must encode as ceil(N/chunk_span) independent
+    bounded groups — structural salting by doc range, so a 10^11-
+    posting term at web scale is spread over the cluster instead of
+    landing on one task."""
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.segments import build_segments
+    from lucene_clj_spark.wand import wand_topk
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the unique"), F.col("id").cast("string"),
+                 F.lit(" filler")).alias("text"),
+    )
+    path = str(tmp_path_factory.mktemp("hot") / "idx")
+    idx = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
+                       path=path, index_type="disk", re_create=True)
+    build_segments(idx, n_buckets=2, chunk_span=100, block_size=32)
+    seg = spark.read.parquet(f"{path}/segments")
+    hot = seg.filter(F.col("term") == "the")
+    chunks = [r["chunk"] for r in hot.select("chunk").distinct().collect()]
+    assert sorted(chunks) == list(range(10))  # 1000 docs / 100-doc chunks
+    # postings conserved across the chunked groups
+    assert hot.agg(F.sum("n")).collect()[0][0] == 1000
+    # block-max WAND still answers over the chunked hot term
+    got = wand_topk(idx, "text", ["the"], k=5, mode="or").collect()
+    want = idx.search("the", field_name="text", results_per_page=5,
+                      with_hit=False).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
