@@ -176,6 +176,37 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
     queries["ann_cosine"] = round(
         timed(lambda: ann.cosine_topk(emb, qv, k=10).collect(), 3), 4)
 
+    # --- block-max WAND over compressed segments (the scale kernel) ---
+    if os.environ.get("SPARK_GRAFT_BENCH_WAND", "1") == "1":
+        import shutil
+        import tempfile
+
+        from lucene_clj_spark.segments import build_segments
+        from lucene_clj_spark.wand import wand_topk
+
+        wdir = tempfile.mkdtemp(prefix="bench_wand_")
+        try:
+            t0 = time.time()
+            didx = create_index(
+                spark, docs,
+                {"text": "text", "lang": "keyword", "source": "keyword",
+                 "n_chars": "long"},
+                id_column="doc_id", path=f"{wdir}/idx", index_type="disk",
+                re_create=True, cache=False,
+            )
+            build_segments(didx, n_buckets=16, chunk_span=1 << 14)
+            queries["build_segments_disk"] = round(time.time() - t0, 3)
+            queries["q_wand_or"] = round(
+                timed(lambda: wand_topk(
+                    didx, "text", ["merge", "dup", "vector"], k=10,
+                    mode="or").collect(), name="q_wand_or"), 4)
+            queries["q_wand_and"] = round(
+                timed(lambda: wand_topk(
+                    didx, "text", ["merge", "window"], k=10,
+                    mode="and").collect(), name="q_wand_and"), 4)
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+
     total = time.time() - t_all
     out = {
         "metric": "index-build docs/sec + query latency (BM25 top-k)",
