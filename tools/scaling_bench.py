@@ -3,7 +3,8 @@
 two-cluster-size criterion (no real cluster in this sandbox — see
 BASELINE.md "Graft targets").
 
-Writes BENCH/BASELINE.md with throughput at both parallelism levels and
+Writes BENCH/scaling_latest.md (auto-generated per run; BENCH/BASELINE.md
+is the curated multi-run report) with throughput at both levels and
 the N->4N scaling efficiency ``thr(4N) / (4 * thr(N))``.
 
 Each level runs in a fresh subprocess (one SparkContext per JVM); the
@@ -230,10 +231,10 @@ small-corpus query latency; per-query work grows sublinearly with
 corpus size thanks to cache/parquet pruning + TakeOrderedAndProject
 bounded heaps. See BENCH_r*.json for the per-query breakdown at sf0.1.
 """
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
+    with open("/root/repo/BENCH/scaling_latest.md", "w") as f:
         f.write(md)
     print(f"\nefficiency N->4N: {eff:.3f} (host ceiling {host_eff:.3f}) "
-          "-> BENCH/BASELINE.md")
+          "-> BENCH/scaling_latest.md")
 
 
 if __name__ == "__main__":
