@@ -364,11 +364,15 @@ def _wand_index(spark: SparkSession, sf_dir: str):
     """Disk index + compressed block-max segments for the WAND kernel."""
     key = f"{sf_dir}/wand"
     if key not in _INDEX_CACHE:
+        import atexit
+        import shutil
         import tempfile
 
         from lucene_clj_spark.segments import build_segments
 
-        path = tempfile.mkdtemp(prefix="spark_graft_wand_") + "/idx"
+        tmp = tempfile.mkdtemp(prefix="spark_graft_wand_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = tmp + "/idx"
         idx = create_index(
             spark, _docs(spark, sf_dir), DOC_FIELDS, id_column="doc_id",
             path=path, index_type="disk", re_create=True,

@@ -112,6 +112,7 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
     idx, build_sec = one_build()
     for _ in range(2):
         spark.catalog.clearCache()
+        docs.count()  # re-pin the input cache clearCache just evicted
         idx, b2 = one_build()
         build_sec = min(build_sec, b2)
 

@@ -60,8 +60,14 @@ def flat_postings_generator(text_fields, kw_fields, analyzers, default_an):
                 an = analyzers.get(name, default_an)
                 vals = pdf[name]
                 if multi:
+                    # null elements are dropped, matching the previous
+                    # F.array_join behavior (null-safe join)
                     vals = vals.map(
-                        lambda v: " \x1f ".join(v) if v is not None else ""
+                        lambda v: " \x1f ".join(
+                            x for x in v if x is not None
+                        )
+                        if v is not None
+                        else ""
                     )
                 # per-doc inversion appends straight into flat column
                 # buffers; the repeated columns (field/doc_id/dl) are

@@ -406,7 +406,11 @@ def create_index(
         "field", "term", "df", "ctf"
     )
 
-    stats: dict[str, dict[str, float]] = {}
+    # pre-seed zeros so an EMPTY corpus still yields stats for every
+    # text field (searches then return empty results instead of raising)
+    stats: dict[str, dict[str, float]] = {
+        n: {"N": 0, "sum_dl": 0, "avgdl": 0.0} for n in text_fields
+    }
     n_docs = None
     if text_fields:
         for r in terms_full.where(F.col("term").isNull()).collect():
@@ -460,5 +464,8 @@ def create_index(
         if cache:
             raw.unpersist()
             docs_out.unpersist()
+            terms_full.unpersist()
+            if suggest_df is not None:
+                suggest_df.unpersist()
         return loaded
     return idx

@@ -152,7 +152,29 @@ def build_segments(
         "chunk_span": chunk_span,
         "block_size": block_size,
     }
-    with open(os.path.join(man_root, "_segments_meta.json"), "w") as f:
+    meta_path = os.path.join(man_root, "_segments_meta.json")
+    if resume and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+        if {k: old.get(k) for k in meta} != meta:
+            # skipping manifests written under different layout params
+            # would silently mix pmod/chunk layouts in one segment set
+            raise ValueError(
+                "resume with different segment parameters: existing "
+                f"{old} vs requested {meta}; pass resume=False to "
+                "rebuild, or re-run with the original parameters"
+            )
+    if not resume:
+        # fresh build: clear any previous layout so stale bucket dirs
+        # (e.g. from a larger n_buckets) can't survive alongside
+        import shutil
+
+        for d in os.listdir(seg_root):
+            shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
+        for fjson in os.listdir(man_root):
+            if fjson.startswith("bucket_"):
+                os.remove(os.path.join(man_root, fjson))
+    with open(meta_path, "w") as f:
         json.dump(meta, f, indent=1)
 
     def run_bucket(b: int) -> None:

@@ -72,7 +72,10 @@ def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
         )
         by_chunk = dict(tuple(pdf.groupby("chunk")))
         for chunk, upper in ub.items():
-            if len(heap) >= k and upper <= theta():
+            # STRICT bound: a doc scoring exactly theta can still win
+            # the (score desc, doc_id asc) tiebreak against the current
+            # heap minimum, so ties must be decoded, not skipped
+            if len(heap) >= k and upper < theta():
                 break  # descending uppers: nothing below can qualify
             cpdf = by_chunk[chunk]
             if mode == "and" and cpdf["term"].nunique() < len(term_idfs):
@@ -86,7 +89,7 @@ def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
                 others = tm_sum - float(term_maxes[row.term])
                 if (
                     len(heap) >= k
-                    and row.block_max_score + others <= theta()
+                    and row.block_max_score + others < theta()
                 ):
                     continue
                 ids = codec.delta_decode(

@@ -316,3 +316,31 @@ def test_multi_valued_text_field(spark):
     # cross-value phrase "fox fox" exists at positions (1,2)
     got = idx.search("fox fox", field_name="body", with_hit=False).collect()
     assert [r["doc_id"] for r in got] == [0]
+
+
+def test_multi_valued_text_with_null_element(spark):
+    """Null elements inside a multi-valued text array are dropped
+    (null-safe join), matching the previous F.array_join behavior."""
+    from lucene_clj_spark import create_index
+
+    df = spark.createDataFrame(
+        [(0, ["red fox", None]), (1, None)],
+        "doc_id long, body array<string>",
+    )
+    idx = create_index(
+        spark, df, {"body": {"type": "text", "multi_valued": True}},
+        id_column="doc_id",
+    )
+    got = idx.search("fox", field_name="body", with_hit=False).collect()
+    assert [r["doc_id"] for r in got] == [0]
+
+
+def test_empty_corpus_index_searches_empty(spark):
+    """An index over zero documents yields zeroed stats and empty
+    search results, not a missing-stats error."""
+    from lucene_clj_spark import create_index
+
+    df = spark.createDataFrame([], "doc_id long, body string")
+    idx = create_index(spark, df, {"body": "text"}, id_column="doc_id")
+    assert idx.stats["body"] == {"N": 0, "sum_dl": 0, "avgdl": 0.0}
+    assert idx.search("anything", field_name="body").count() == 0

@@ -180,3 +180,28 @@ def test_hot_term_bounded_groups(spark, tmp_path_factory):
     assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
         (r["doc_id"], round(r["score"], 9)) for r in want
     ]
+
+
+def test_resume_with_changed_params_refuses(spark, tmp_path_factory):
+    """Resuming a segment build with different n_buckets/chunk_span
+    must refuse instead of silently mixing pmod layouts."""
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.segments import build_segments
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    path = str(tmp_path_factory.mktemp("mix") / "idx")
+    idx = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
+                       path=path, index_type="disk", re_create=True,
+                       ignore_extra_columns=True)
+    build_segments(idx, n_buckets=4, chunk_span=64, block_size=16)
+    with pytest.raises(ValueError, match="different segment parameters"):
+        build_segments(idx, n_buckets=8, chunk_span=64, block_size=16,
+                       resume=True)
+    # explicit fresh rebuild with the new layout succeeds and clears
+    # the old bucket dirs
+    build_segments(idx, n_buckets=8, chunk_span=64, block_size=16,
+                   resume=False)
+    import os
+    dirs = sorted(os.listdir(os.path.join(path, "segments")))
+    assert all(d.startswith("bucket=") for d in dirs)
+    assert len(dirs) <= 8

@@ -20,6 +20,7 @@ res = {"cpus": cpus, "n_docs": n}
 best = None
 for attempt in range(3):
     spark.catalog.clearCache()
+    docs.count()  # re-pin the input cache clearCache just evicted
     t = {}
     t0 = time.time()
     idx = create_index(

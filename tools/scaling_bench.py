@@ -88,6 +88,7 @@ docs, n = cycled_docs(spark, sf_dir, cycles)
 best = None
 for i in range(attempts):
     spark.catalog.clearCache()
+    docs.count()  # re-pin the input cache clearCache just evicted
     t0 = time.time()
     idx = create_index(
         spark, docs,
