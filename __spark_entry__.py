@@ -15,6 +15,7 @@ differences between the JVM and DuckDB.
 
 from __future__ import annotations
 
+import math
 import sys
 from collections.abc import Callable
 
@@ -219,8 +220,13 @@ def q_corpus_stats(spark, sf_dir):
     idx = _index(spark, sf_dir)
     st = idx.stats["text"]
     n_terms = idx.terms.filter(F.col("field") == "text").count()
+    # floor(x*1e6+0.5)/1e6 from the exact int counters: bit-identical to
+    # the DuckDB oracle's identical IEEE ops (not Python round(), whose
+    # half-even decimal rounding can differ from SQL round in tie cases).
+    avgdl = math.floor(int(st["sum_dl"]) * 1000000.0 / int(st["N"]) + 0.5) \
+        / 1000000.0
     return spark.createDataFrame(
-        [(int(st["N"]), round(st["avgdl"], 6), int(st["sum_dl"]), n_terms)],
+        [(int(st["N"]), avgdl, int(st["sum_dl"]), n_terms)],
         "n_docs long, avgdl double, total_tokens long, n_terms long",
     )
 
@@ -338,8 +344,9 @@ def q_knn_join(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Heuristic language-ID — rows-only check (no SQL oracle); pinned
-    by pytest goldens on constructed sentences instead."""
+    """Heuristic language-ID — oracle-checked (stopword-profile argmax
+    is 1:1 expressible in DuckDB) plus pytest goldens on constructed
+    sentences."""
     out = textfn.lang_id(_docs(spark, sf_dir))
     return _round6(out, "lang_score")
 
@@ -927,8 +934,40 @@ SELECT doc_id,
   CAST(n_tokens AS BIGINT) AS n_tokens,
   list_min(hashes) AS min_hash,
   list_max(hashes) AS max_hash,
-  list_sum(hashes) % {2**31 - 1} AS sum_hash_mod
+  CAST(list_sum(hashes) % {2**31 - 1} AS BIGINT) AS sum_hash_mod
 FROM hs"""
+
+
+def _lang_id_sql() -> str:
+    """DuckDB twin of functions.text.lang_id: per-profile stopword hit
+    ratio, argmax with (score DESC, lang DESC) — the same tie-break as
+    Spark's array_max over (score, lang) structs."""
+    arms = " UNION ALL ".join(
+        "SELECT doc_id, '{lang}' AS lang, "
+        "len(list_filter(ts, t -> t IN ({words}))) AS hit, n FROM base"
+        .format(
+            lang=lang,
+            words=", ".join(f"'{w}'" for w in sorted(words)),
+        )
+        for lang, words in sorted(textfn._LANG_PROFILES.items())
+    )
+    return f"""
+WITH doc AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+base AS (SELECT doc_id, ts, greatest(len(ts), 1) AS n FROM doc),
+scored AS (
+  SELECT doc_id, lang, CAST(hit AS DOUBLE) / n AS score
+  FROM ({arms})
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS rn
+  FROM scored
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+       round(score, 6) AS lang_score
+FROM best WHERE rn = 1"""
 
 
 def _lsh_pairs_sql(k: int = 8, bands: int = 4) -> str:
@@ -1139,13 +1178,22 @@ def oracle_sql() -> dict[str, str]:
         "typed_exact_nchars": (
             "SELECT doc_id, 1.0 AS score FROM documents WHERE n_chars = 128"
         ),
+        # NOTE: DuckDB sum()/list_sum() promote BIGINT -> HUGEINT, which
+        # the driver's Arrow-side hasher renders differently than Spark's
+        # long — every aggregate here is CAST back to BIGINT.  avgdl uses
+        # floor(x*1e6+0.5)/1e6 with the identical IEEE ops as the Spark
+        # side so the double is bit-identical, not merely "round(_, 6)".
         "corpus_stats": _BASE + """
-SELECT s.n AS n_docs, round(s.avgdl, 6) AS avgdl,
-       (SELECT sum(dl) FROM dl) AS total_tokens,
+, tot AS (SELECT CAST(sum(dl) AS BIGINT) AS total_tokens FROM dl)
+SELECT s.n AS n_docs,
+       floor(tot.total_tokens * 1000000.0 / s.n + 0.5) / 1000000.0
+         AS avgdl,
+       tot.total_tokens,
        (SELECT count(*) FROM tstat) AS n_terms
-FROM stats s""",
+FROM stats s CROSS JOIN tot""",
         "term_stats_top20": _BASE + """
-, ctf AS (SELECT term, sum(tf) AS ctf FROM post GROUP BY term)
+, ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf
+          FROM post GROUP BY term)
 SELECT t.term, t.df, c.ctf FROM tstat t JOIN ctf c USING (term)
 ORDER BY t.df DESC, t.term ASC LIMIT 20""",
         "suggest_prefix": _BASE + """
@@ -1190,6 +1238,5 @@ SELECT doc_id AS media_id,
        ascii(text[1])::INT AS head_byte,
        ascii(text[length(text)])::INT AS tail_byte
 FROM documents""",
-        # lang_id: intentionally no oracle (heuristic; rows-only check,
-        # pinned by pytest goldens in tests/test_functions.py)
+        "lang_id": _lang_id_sql(),
     }

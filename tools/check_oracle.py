@@ -19,17 +19,26 @@ TABLES = [
 ]
 
 
-def normalize(rows, columns):
-    """Sort columns by name, then rows; stringify floats via repr of
-    rounded values so both engines align."""
+def normalize(rows, columns, strict=True):
+    """Sort columns by name, then rows.  strict=True mimics the driver's
+    hasher: values compare EXACTLY (repr), so an int64 12345 vs a
+    float64 12345.0 (DuckDB HUGEINT promotion through Arrow) or a
+    last-bit double difference is a failure, exactly as it is for the
+    driver's value hash.  strict=False re-rounds floats to 6dp for a
+    value-only comparison (the old behavior)."""
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for r in rows:
         vals = []
         for i in order:
             v = r[i]
+            if hasattr(v, "to_pydatetime"):  # pandas Timestamp
+                v = v.to_pydatetime()
+            elif hasattr(v, "item"):  # numpy scalar from pandas fetch
+                v = v.item()
             if isinstance(v, float):
-                v = round(v, 6)
+                if not strict:
+                    v = round(v, 6)
                 if v == -0.0:
                     v = 0.0
             vals.append(v)
@@ -82,9 +91,11 @@ def main():
                   f"{time.time()-t0:.1f}s)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            d_cols = rel.columns
-            d_rows = rel.fetchall()
+            # Fetch through pandas (Arrow) like the driver does, so type
+            # promotions (HUGEINT -> float64/object) are visible here.
+            pdf = con.sql(oracles[name]).df()
+            d_cols = list(pdf.columns)
+            d_rows = [tuple(r) for r in pdf.itertuples(index=False)]
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"FAIL  {name}: duckdb error: {e}")
