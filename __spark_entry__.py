@@ -735,7 +735,8 @@ def _suggest_fuzzy_sql(prefix: str = "sre1", max_edits: int = 1,
     return f"""
 WITH s AS (
   SELECT doc_id, source AS completion,
-         levenshtein(substring(source, 1, {n}), '{prefix}') AS edits
+         damerau_levenshtein(substring(source, 1, {n}), '{prefix}')
+           AS edits
   FROM documents
 )
 SELECT doc_id, completion, 1.0 AS score FROM s
@@ -761,13 +762,13 @@ def _fuzzy_sql(q: str, k: int = 10) -> str:
         + f"""
 , cand AS (
   SELECT term, df,
-         CASE WHEN levenshtein(term, '{q}') = 0 THEN 1.0
-              ELSE 1.0 - CAST(levenshtein(term, '{q}') AS DOUBLE) /
+         CASE WHEN damerau_levenshtein(term, '{q}') = 0 THEN 1.0
+              ELSE 1.0 - CAST(damerau_levenshtein(term, '{q}') AS DOUBLE) /
                    CAST(least(length(term), {qlen}) AS DOUBLE)
          END AS fboost
   FROM tstat
   WHERE abs(length(term) - {qlen}) <= 2
-    AND levenshtein(term, '{q}') <= 2
+    AND damerau_levenshtein(term, '{q}') <= 2
   ORDER BY fboost DESC, df DESC, term ASC
   LIMIT 50
 ),

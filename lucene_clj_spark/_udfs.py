@@ -182,6 +182,20 @@ def shingle_udf(analyzer, n):
     return shingles
 
 
+def edit_distance_udf(query):
+    """StringType -> IntegerType: Damerau-Levenshtein distance to the
+    fixed query term (transpositions count 1, Lucene FuzzyQuery
+    semantics — see fuzzy.py). Arrow-batched; runs over the pruned term
+    dictionary, never over postings."""
+    from lucene_clj_spark.fuzzy import damerau_levenshtein
+
+    @F.pandas_udf(T.IntegerType())
+    def dist(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: damerau_levenshtein(t, query)).astype("int32")
+
+    return dist
+
+
 def contexts_udf(fn):
     """Struct(all columns) -> ArrayType(StringType): the reference's
     arbitrary contexts-from fn surface (document.clj:72-75)."""

@@ -45,11 +45,35 @@ MINHASH_PARAMS = [
 ]
 
 
-def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def content_key(text, strict: bool = False):
+    """Grouping key for exact dedup: md5 (128-bit) of the content.
+
+    The shuffle moves 16-byte digests + doc_ids, never document bodies —
+    at 10^12 docs the collision expectation is ~(2^40)^2/2^129 = 2^-49,
+    i.e. the hash IS the identity for dedup purposes.  strict=True
+    appends the byte length as a second discriminator (a near-free
+    belt-and-braces check; any md5 collision would also have to be
+    length-preserving).
+    """
+    key = F.md5(text)
+    if strict:
+        key = F.concat_ws(":", key, F.octet_length(text).cast("string"))
+    return key
+
+
+def exact_dedup_groups(
+    docs: DataFrame, text_col: str = "text", strict: bool = False
+) -> DataFrame:
     """(keep_id, n_copies) per distinct content: keep the smallest
-    doc_id. Exact dedup = hash-groupBy; only hashes shuffle."""
+    doc_id. Exact dedup = hash-groupBy; only 16-byte digests shuffle
+    (map-side partial min/count, then an exchange on the digest — the
+    text column is pruned before the shuffle; pinned by a plan-shape
+    test)."""
     return (
-        docs.groupBy(F.col(text_col))
+        docs.select(
+            content_key(F.col(text_col), strict).alias("__h"), "doc_id"
+        )
+        .groupBy("__h")
         .agg(
             F.min("doc_id").alias("keep_id"),
             F.count("*").alias("n_copies"),
@@ -58,12 +82,18 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", strict: bool = False
+) -> DataFrame:
     """doc_ids that would be DROPPED by exact dedup (non-minimal ids of
-    each duplicate-content group)."""
-    w = Window.partitionBy(text_col)
+    each duplicate-content group).  Window partitions on the content
+    digest, so again only (digest, doc_id) pairs shuffle."""
+    w = Window.partitionBy("__h")
     return (
-        docs.withColumn("__keep", F.min("doc_id").over(w))
+        docs.select(
+            content_key(F.col(text_col), strict).alias("__h"), "doc_id"
+        )
+        .withColumn("__keep", F.min("doc_id").over(w))
         .filter(F.col("doc_id") != F.col("__keep"))
         .select("doc_id", F.col("__keep").alias("duplicate_of"))
     )

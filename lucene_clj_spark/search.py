@@ -172,6 +172,7 @@ def _scored_term_group(
     scan = index.postings.filter(
         F.col("field").isin(fields) & F.col("term").isin(terms_)
     )
+    scan = _bucket_pruned(index, scan, terms_)
     scored = scan.join(F.broadcast(local), ["field", "term"]).select(
         "doc_id",
         (
@@ -188,6 +189,25 @@ def _scored_term_group(
         F.sum(F.when(F.col("is_must"), 1).otherwise(0)).alias("__musts"),
     )
     return agg.filter(F.col("__musts") == n_musts).select("doc_id", "score")
+
+
+def _bucket_pruned(index, scan: DataFrame, terms: list[str]) -> DataFrame:
+    """Restrict a postings scan to the query terms' bucket directories.
+    ``pmod(xxhash64(lit(term)), nb)`` is the same hash the writer used;
+    Catalyst constant-folds each to a literal, so on a disk index the
+    OR-of-equalities becomes PartitionFilters (directory pruning) — a
+    boolean query reads only its terms' buckets, not the whole index."""
+    if "bucket" not in index.postings.columns or not terms:
+        return scan
+    nb = index.n_buckets()
+    cond = reduce(
+        lambda a, b: a | b,
+        [
+            F.col("bucket") == F.pmod(F.xxhash64(F.lit(t)), F.lit(nb))
+            for t in terms
+        ],
+    )
+    return scan.filter(cond)
 
 
 def _term_postings(index, field: str, term: str) -> DataFrame:
@@ -304,28 +324,29 @@ def _scored_exact(index, node: ExactQ) -> DataFrame:
     )
 
 
-def _scored_fuzzy(index, node: FuzzyQ) -> DataFrame:
-    """FuzzyQuery: expand the term against the term dictionary within
-    max_edits, cap expansions (Lucene default 50, ranked by boost then
-    df), then score each expanded term with its own idf multiplied by
-    the closeness boost ``1 - edits/min(|q|,|t|)`` and OR-combine
-    (public FuzzyTermsEnum semantics; reference query.clj:126-147,
-    behavior shown in README.org:803-832)."""
-    st = index.field_stats(node.field)
+def _fuzzy_expansions(index, node: FuzzyQ) -> list[tuple[str, int, float]]:
+    """Driver-side FuzzyTermsEnum: expand the query term against the
+    term DICTIONARY (vocab-sized, never postings) within max_edits by
+    Damerau-Levenshtein (transpositions count 1 — Lucene FuzzyQuery
+    semantics, fuzzy.py), rank by closeness boost then df then term,
+    cap at max_expansions (Lucene default 50), and collect the tiny
+    result. Returns [(term, df, fboost)]."""
+    from lucene_clj_spark._udfs import edit_distance_udf
+
     q = node.term
     qlen = len(q)
     cand = (
         index.terms.filter(F.col("field") == node.field)
         .filter(F.abs(F.length("term") - F.lit(qlen)) <= node.max_edits)
-        .withColumn("__edits", F.levenshtein(F.col("term"), F.lit(q)))
-        .filter(F.col("__edits") <= node.max_edits)
     )
     if node.prefix_length > 0:
         cand = cand.filter(
             F.col("term").startswith(q[: node.prefix_length])
         )
     cand = (
-        cand.withColumn(
+        cand.withColumn("__edits", edit_distance_udf(q)(F.col("term")))
+        .filter(F.col("__edits") <= node.max_edits)
+        .withColumn(
             "__fboost",
             F.when(F.col("__edits") == 0, F.lit(1.0)).otherwise(
                 F.lit(1.0)
@@ -335,10 +356,41 @@ def _scored_fuzzy(index, node: FuzzyQ) -> DataFrame:
         )
         .orderBy(F.desc("__fboost"), F.desc("df"), F.asc("term"))
         .limit(node.max_expansions)
-        .select("field", "term", "df", "__fboost")
+        .select("term", "df", "__fboost")
     )
-    post = index.postings.filter(F.col("field") == node.field).join(
-        F.broadcast(cand), ["field", "term"]
+    return [
+        (r["term"], int(r["df"]), float(r["__fboost"]))
+        for r in cand.collect()
+    ]
+
+
+def _scored_fuzzy(index, node: FuzzyQ) -> DataFrame:
+    """FuzzyQuery: expand the term against the term dictionary within
+    max_edits (Damerau-Levenshtein — a transposition is ONE edit), cap
+    expansions (Lucene default 50, ranked by boost then df), then score
+    each expanded term with its own idf multiplied by the closeness
+    boost ``1 - edits/min(|q|,|t|)`` and OR-combine (public
+    FuzzyTermsEnum semantics; reference query.clj:126-147, behavior
+    shown in README.org:803-832).
+
+    The expansion set is collected driver-side (<= 50 rows), so the
+    postings scan filters on LITERAL term + bucket sets — on a disk
+    index a fuzzy query reads only the expanded terms' bucket
+    directories instead of the whole field's postings."""
+    st = index.field_stats(node.field)
+    exp = _fuzzy_expansions(index, node)
+    if not exp:
+        return _empty_scores(index)
+    local = index.spark.createDataFrame(
+        [(node.field, t, df_, fb) for t, df_, fb in exp],
+        "field string, term string, df long, __fboost double",
+    )
+    terms_ = sorted({t for t, _, _ in exp})
+    post = index.postings.filter(
+        (F.col("field") == node.field) & F.col("term").isin(terms_)
+    )
+    post = _bucket_pruned(index, post, terms_).join(
+        F.broadcast(local), ["field", "term"]
     )
     scored = post.select(
         "doc_id",

@@ -72,17 +72,21 @@ def suggest(
 
     base = index.suggest.filter(F.col("field") == field)
     if fuzzy and len(key) >= 3:
+        # FuzzyCompletionQuery measures Damerau-Levenshtein (a
+        # transposition is one edit), same metric as fuzzy search —
+        # computed once over the first-char-pruned candidates via an
+        # Arrow-batched UDF (fuzzy.py).
+        from lucene_clj_spark._udfs import edit_distance_udf
+
         plen = len(key)
         head = F.substring(F.col("completion_key"), 1, plen)
-        cond = (
-            F.col("completion_key").startswith(key)
-            | (
-                (F.substring(F.col("completion_key"), 1, 1) == key[0])
-                & (F.levenshtein(head, F.lit(key)) <= max_edits)
+        base = (
+            base.filter(F.substring(F.col("completion_key"), 1, 1) == key[0])
+            .withColumn("__edits", edit_distance_udf(key)(head))
+            .filter(
+                F.col("completion_key").startswith(key)
+                | (F.col("__edits") <= max_edits)
             )
-        )
-        base = base.filter(cond).withColumn(
-            "__edits", F.levenshtein(head, F.lit(key))
         )
     else:
         base = base.filter(F.col("completion_key").startswith(key)).withColumn(

@@ -27,6 +27,30 @@ def test_exact_dedup(dup_docs):
     assert [(r["doc_id"], r["duplicate_of"]) for r in dropped] == [(1, 0)]
 
 
+def test_exact_dedup_strict_key(dup_docs):
+    groups = dedup.exact_dedup_groups(dup_docs, strict=True).collect()
+    m = {r["keep_id"]: r["n_copies"] for r in groups}
+    assert m[0] == 2 and len(m) == 4
+
+
+def test_exact_dedup_shuffles_hashes_not_bodies(dup_docs):
+    """Scale contract: the exchange partitions on the 16-byte content
+    digest and the text column is pruned below it — document bodies
+    never shuffle (VERDICT r01 finding 2)."""
+    for df in (
+        dedup.exact_dedup_groups(dup_docs),
+        dedup.exact_duplicates(dup_docs),
+    ):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(__h" in s
+        assert "hashpartitioning(text" not in s
+        # below the exchange only digest+id columns flow
+        below = s.split("hashpartitioning(__h", 1)[1]
+        assert "md5(cast(text" in below  # hash computed map-side
+        ex_args = s.split("hashpartitioning(__h", 1)[0]
+        assert "Sort [text" not in ex_args
+
+
 def test_ngram_jaccard_finds_near_dup(dup_docs):
     pairs = dedup.ngram_jaccard_pairs(
         dup_docs, n=3, threshold=0.3, max_shingle_df=100

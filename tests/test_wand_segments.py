@@ -148,6 +148,50 @@ def test_disk_term_query_plan_prunes(disk_index):
     assert "Sort " not in s  # no global sort operator
 
 
+def test_disk_bool_query_plan_prunes_buckets(disk_index):
+    """The boolean-group fast path must prune to the query terms'
+    bucket directories, same as the single-term path (VERDICT r01
+    finding 3)."""
+    plan = disk_index.search(["merge", "window"], field_name="text",
+                             with_hit=False)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in s
+    pf = s.split("PartitionFilters", 1)[1][:250]
+    assert "bucket" in pf
+
+
+def test_disk_fuzzy_query_plan_prunes_buckets(disk_index):
+    """A fuzzy query's postings scan filters on the LITERAL expanded
+    terms + their buckets, not the whole field (VERDICT r01 finding 4)."""
+    plan = disk_index.search({"text": "merg"}, fuzzy=True, with_hit=False)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in s
+    pf = s.split("PartitionFilters", 1)[1][:250]
+    assert "bucket" in pf
+    # expansion terms are IN-literals pushed into the scan
+    assert "In(term, [" in s or "EqualTo(term," in s
+
+
+def test_fuzzy_results_match_memory_index(spark, disk_index):
+    """Bucket pruning must not change fuzzy results: disk index ==
+    in-memory index on the same corpus."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    mem = create_index(
+        spark,
+        docs,
+        {"text": "text", "lang": "keyword", "source": "keyword",
+         "n_chars": "long"},
+        id_column="doc_id",
+    )
+    want = mem.search({"text": "merg"}, fuzzy=True, results_per_page=10,
+                      with_hit=False).collect()
+    got = disk_index.search({"text": "merg"}, fuzzy=True,
+                            results_per_page=10, with_hit=False).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+
 def test_hot_term_bounded_groups(spark, tmp_path_factory):
     """Skew contract (SURVEY §7 hard-part 3): a stopword-like term in
     EVERY document must encode as ceil(N/chunk_span) independent
