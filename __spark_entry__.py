@@ -400,6 +400,19 @@ def q_dsl_boost_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_dsl_grouped_topk(spark, sf_dir):
+    """Parenthesized QueryParser grouping (Q8): '(merge OR window) AND
+    dup' = +(merge window) +dup — requires dup AND at least one of
+    merge/window; score = sum of matching clause scores."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _index(spark, sf_dir)
+    ast = parse_dsl("(merge OR window) AND dup", "text", idx.specs,
+                    idx.analyzers)
+    out = idx.search(ast, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
 def q_multi_field_and_topk(spark, sf_dir):
     """Map shape = AND across fields (Q4): text term + keyword exact,
     scores summed (text BM25 + keyword-field BM25 with tf=dl=avgdl=1)."""
@@ -577,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "lang_id": q_lang_id,
         "dsl_boost_topk": q_dsl_boost_topk,
+        "dsl_grouped_topk": q_dsl_grouped_topk,
         "multi_field_and_topk": q_multi_field_and_topk,
         "phrase3_topk": q_phrase3_topk,
         "suggest_context": q_suggest_context,
@@ -657,6 +671,23 @@ SELECT doc_id, round(score, 6) AS score FROM (
          sum(CASE WHEN term = 'merge' THEN 2.0 * score ELSE score END)
            AS score
   FROM scores GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _dsl_grouped_sql() -> str:
+    # '(merge OR window) AND dup' = +(merge window) +dup:
+    # doc must match dup and at least one of merge/window; score = sum
+    # of the matching per-term BM25 scores
+    return (
+        _multi_term_scores_sql(["merge", "window", "dup"])
+        + """
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, sum(score) AS score
+  FROM scores GROUP BY doc_id
+  HAVING sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN term IN ('merge', 'window') THEN 1 ELSE 0 END) > 0
   ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
     )
@@ -1222,6 +1253,7 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "ann_rp_lsh_topk": _ann_rp_lsh_sql(qv, 10, 8),
         "knn_join": _knn_join_sql(3, 6, 64),
         "dsl_boost_topk": _dsl_boost_sql(),
+        "dsl_grouped_topk": _dsl_grouped_sql(),
         "multi_field_and_topk": _multi_field_and_sql(),
         "phrase3_topk": _phrase3_sql("row", "column", "sort"),
         "suggest_context": _suggest_context_sql(),
@@ -1230,14 +1262,25 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "wand_or_topk": _bool_or_sql(),
         "webpages_pipeline_topk": _term_topk_sql("merge", 10),
         "embed_near_dup": _embed_near_dup_sql(0.35, 4, 64),
-        # text is ASCII here, so UTF-8 bytes == ascii codes per char
+        # byte-accurate over the UTF-8 encoding (hex-pair extraction),
+        # with the engine's -1/0 sentinels for empty text — robust to
+        # multi-byte characters and empty strings (ADVICE r01)
         "blob_features": """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS nb
+  FROM documents
+)
 SELECT doc_id AS media_id,
-       octet_length(encode(text))::INT AS n_bytes,
-       list_sum(list_transform(range(1, length(text) + 1),
-                i -> ascii(text[i])))::BIGINT AS byte_sum,
-       ascii(text[1])::INT AS head_byte,
-       ascii(text[length(text)])::INT AS tail_byte
-FROM documents""",
+  CAST(nb AS INT) AS n_bytes,
+  CAST(CASE WHEN nb = 0 THEN 0 ELSE
+    list_sum(list_transform(range(1, nb + 1),
+             i -> CAST('0x' || substr(h, 2*i-1, 2) AS INT)))
+  END AS BIGINT) AS byte_sum,
+  CASE WHEN nb = 0 THEN -1
+       ELSE CAST('0x' || substr(h, 1, 2) AS INT) END AS head_byte,
+  CASE WHEN nb = 0 THEN -1
+       ELSE CAST('0x' || substr(h, 2*nb-1, 2) AS INT) END AS tail_byte
+FROM b""",
         "lang_id": _lang_id_sql(),
     }

@@ -127,9 +127,13 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
             samples.append(time.time() - t)
         if name and len(samples) >= 3:
             ss = sorted(samples)
+            # honest naming: with n=5 samples the top value is the MAX,
+            # not a real p99 — downstream reports must not read a
+            # 5-sample max as a tail percentile (ADVICE r01)
             percentiles[name] = {
                 "p50": round(statistics.median(ss), 4),
-                "p99": round(ss[-1], 4),  # max of n samples ~ p99 proxy
+                "max": round(ss[-1], 4),
+                "n_samples": len(ss),
             }
         return min(samples)
 

@@ -196,6 +196,25 @@ def edit_distance_udf(query):
     return dist
 
 
+def hit_doc_generator(fn, extra_cols):
+    """mapInPandas generator for the arbitrary ``hit->doc`` projection
+    (reference search.clj:49-54, document.clj:126-144): ``fn`` receives
+    each stored-doc row as a dict and returns a dict matching the
+    declared output columns. (doc_id, score) ride along unchanged."""
+
+    def gen(batches):
+        for pdf in batches:
+            meta = pdf[["doc_id", "score"]].reset_index(drop=True)
+            rows = [
+                fn(r)
+                for r in pdf.drop(columns=["score"]).to_dict("records")
+            ]
+            out = pd.DataFrame(rows, columns=extra_cols)
+            yield pd.concat([meta, out], axis=1)
+
+    return gen
+
+
 def contexts_udf(fn):
     """Struct(all columns) -> ArrayType(StringType): the reference's
     arbitrary contexts-from fn surface (document.clj:72-75)."""

@@ -217,11 +217,61 @@ class Index:
         )
 
     def truncate(self) -> None:
-        """``clear!`` analogue (reference indexer.clj:68-77)."""
-        empty = self.docs.sparkSession.createDataFrame([], self.docs.schema)
-        self.docs = empty
-        self.postings = self.postings.limit(0)
-        self.terms = self.terms.limit(0)
+        """``clear!`` analogue (reference indexer.clj:68-77 —
+        ``deleteAll`` + commit). For a persisted index this clears the
+        DISK too: table directories are rewritten as empty relations
+        (schema preserved), derived segment artifacts are deleted, and
+        the stats sidecar is zeroed — so reopening the path yields an
+        empty index rather than resurrecting the cleared one."""
+        spark = self.docs.sparkSession
+        empty_docs = spark.createDataFrame([], self.docs.schema)
+        empty_post = spark.createDataFrame([], self.postings.schema)
+        empty_terms = spark.createDataFrame([], self.terms.schema)
+        empty_sug = (
+            spark.createDataFrame([], self.suggest.schema)
+            if self.suggest is not None
+            else None
+        )
+        if self.path:
+            import shutil
+
+            # segment blocks/manifests are derived data — drop them
+            for sub in ("segments", "manifests", "_segments_meta.json"):
+                p = os.path.join(self.path, sub)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                elif os.path.isfile(p):
+                    os.remove(p)
+            empty_docs.write.mode("overwrite").parquet(f"{self.path}/docs")
+            empty_post.write.mode("overwrite").parquet(
+                f"{self.path}/postings"
+            )
+            empty_terms.write.mode("overwrite").parquet(f"{self.path}/terms")
+            if empty_sug is not None:
+                empty_sug.write.mode("overwrite").parquet(
+                    f"{self.path}/suggest"
+                )
+            stats_file = os.path.join(self.path, "_stats.json")
+            if os.path.isfile(stats_file):
+                with open(stats_file) as f:
+                    meta = json.load(f)
+                meta["stats"] = {
+                    k: {"N": 0, "sum_dl": 0, "avgdl": 0.0}
+                    for k in meta.get("stats", {})
+                }
+                with open(stats_file, "w") as f:
+                    json.dump(meta, f, indent=1)
+            # re-point at the rewritten (empty) tables
+            empty_docs = spark.read.parquet(f"{self.path}/docs")
+            empty_post = spark.read.parquet(f"{self.path}/postings")
+            empty_terms = spark.read.parquet(f"{self.path}/terms")
+            if empty_sug is not None:
+                empty_sug = spark.read.parquet(f"{self.path}/suggest")
+        self.docs = empty_docs
+        self.postings = empty_post
+        self.terms = empty_terms
+        if self.suggest is not None:
+            self.suggest = empty_sug
         for s in self.stats.values():
             s.update(N=0, sum_dl=0, avgdl=0.0)
         if hasattr(self, "_term_stats_cache"):

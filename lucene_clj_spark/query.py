@@ -35,7 +35,7 @@ from __future__ import annotations
 import datetime as dt
 import enum
 import re
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass, field as dc_field, replace as dc_replace
 from typing import Any
 
 from lucene_clj_spark.errors import ValidationError, ValueTypeError
@@ -271,6 +271,9 @@ _DSL_TOKEN = re.compile(
 _BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
 
 
+_GROUP_BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
+
+
 def parse_dsl(
     dsl: str,
     default_field: str,
@@ -279,48 +282,19 @@ def parse_dsl(
 ) -> Node:
     """Classic Lucene QueryParser subset: whitespace-split clauses with
     default-OR combination, ``field:value``, quoted phrases, ``^boost``,
-    AND/OR/NOT connectives, +required / -prohibited prefixes. Matches the
-    reference's parser configuration: split-on-whitespace true,
-    auto-generate-phrase-queries true (query.clj:119-123; behavior pinned
-    by lucene_test.clj:119-135)."""
+    AND/OR/NOT connectives, +required / -prohibited prefixes, and
+    PARENTHESIZED GROUPS — ``(a OR b) AND c`` parses to ``+(a b) +c``
+    exactly like Lucene's QueryParser, with optional ``(...)^boost``.
+    Matches the reference's parser configuration: split-on-whitespace
+    true, auto-generate-phrase-queries true (query.clj:119-123; behavior
+    pinned by lucene_test.clj:119-135)."""
     default_field = str(default_field)
     raw = [m.group(1) for m in _DSL_TOKEN.finditer(dsl)]
     if not raw:
         return MatchNone()
+    pos = 0
 
-    clauses: list[tuple[str, Node]] = []
-    pending_occur: str | None = None
-    connective: str | None = None
-    i = 0
-
-    def finish(node: Node):
-        nonlocal pending_occur, connective
-        occ = SHOULD
-        if pending_occur:
-            occ = pending_occur
-        elif connective == "AND":
-            occ = MUST
-            # retro-promote the previous clause to MUST (Lucene behavior)
-            if clauses and clauses[-1][0] == SHOULD:
-                clauses[-1] = (MUST, clauses[-1][1])
-        clauses.append((occ, node))
-        pending_occur = None
-        connective = None
-
-    while i < len(raw):
-        tok = raw[i]
-        i += 1
-        if tok in ("AND", "OR"):
-            connective = tok
-            continue
-        if tok == "NOT" or tok == "-":
-            pending_occur = "MUST_NOT"
-            continue
-        if tok == "+":
-            pending_occur = MUST
-            continue
-        if tok in ("(", ")"):
-            continue  # flat subset: parens only group boosts in render
+    def term_node(tok: str) -> Node:
         boost = 1.0
         m = _BOOST.search(tok)
         if m:
@@ -337,31 +311,88 @@ def parse_dsl(
             phrase = value[1:-1]
             an = analyzers.get(fname) or analyzers.get(None)
             toks = an.tokens(phrase)
-            node: Node = (
+            return (
                 PhraseQ(boost, fname, tuple(toks))
                 if len(toks) > 1
                 else (TermQ(boost, fname, toks[0]) if toks else MatchNone())
             )
-        else:
-            fs = specs.get(fname)
-            an = analyzers.get(fname) or analyzers.get(None)
-            if fs is not None and fs.type != "text":
-                node = _string_query(value, fname, specs, analyzers, boost)
-            else:
-                toks = an.tokens(value)
-                if not toks:
-                    node = MatchNone(boost)
-                elif len(toks) == 1:
-                    node = TermQ(boost, fname, toks[0])
-                else:
-                    # auto-generate-phrase-queries: one whitespace token
-                    # analyzing to several terms becomes a phrase
-                    node = PhraseQ(boost, fname, tuple(toks))
-        finish(node)
+        fs = specs.get(fname)
+        an = analyzers.get(fname) or analyzers.get(None)
+        if fs is not None and fs.type != "text":
+            return _string_query(value, fname, specs, analyzers, boost)
+        toks = an.tokens(value)
+        if not toks:
+            return MatchNone(boost)
+        if len(toks) == 1:
+            return TermQ(boost, fname, toks[0])
+        # auto-generate-phrase-queries: one whitespace token analyzing
+        # to several terms becomes a phrase
+        return PhraseQ(boost, fname, tuple(toks))
 
-    if len(clauses) == 1 and clauses[0][0] == SHOULD:
-        return clauses[0][1]
-    return BoolQ(1.0, tuple(clauses))
+    def parse_group(at_top: bool) -> Node:
+        """Recursive descent over one paren level — consumes tokens up
+        to the matching ')' (or end of input)."""
+        nonlocal pos
+        clauses: list[tuple[str, Node]] = []
+        pending_occur: str | None = None
+        connective: str | None = None
+
+        def finish(node: Node):
+            nonlocal pending_occur, connective
+            occ = SHOULD
+            if pending_occur:
+                occ = pending_occur
+            elif connective == "AND":
+                occ = MUST
+                # retro-promote the previous clause to MUST (Lucene)
+                if clauses and clauses[-1][0] == SHOULD:
+                    clauses[-1] = (MUST, clauses[-1][1])
+            clauses.append((occ, node))
+            pending_occur = None
+            connective = None
+
+        while pos < len(raw):
+            tok = raw[pos]
+            pos += 1
+            if tok in ("AND", "OR"):
+                connective = tok
+                continue
+            if tok == "NOT" or tok == "-":
+                pending_occur = "MUST_NOT"
+                continue
+            if tok == "+":
+                pending_occur = MUST
+                continue
+            if tok == "(":
+                child = parse_group(False)
+                # optional (...)^boost — the tokenizer emits '^N' as its
+                # own token right after the ')'
+                if pos < len(raw):
+                    mb = _GROUP_BOOST.fullmatch(raw[pos])
+                    if mb:
+                        pos += 1
+                        child = dc_replace(
+                            child, boost=child.boost * float(mb.group(1))
+                        )
+                if not isinstance(child, MatchNone):
+                    finish(child)
+                else:
+                    pending_occur = None
+                    connective = None
+                continue
+            if tok == ")":
+                if at_top:
+                    continue  # unbalanced ')' — ignored like stray token
+                break
+            finish(term_node(tok))
+
+        if not clauses:
+            return MatchNone()
+        if len(clauses) == 1 and clauses[0][0] == SHOULD:
+            return clauses[0][1]
+        return BoolQ(1.0, tuple(clauses))
+
+    return parse_group(True)
 
 
 def render(node: Node) -> str:
@@ -379,7 +410,11 @@ def render(node: Node) -> str:
         parts = []
         for occ, n in node.clauses:
             prefix = "+" if occ == MUST else ("-" if occ == "MUST_NOT" else "")
-            parts.append(prefix + render(n))
+            inner = render(n)
+            # Lucene wraps sub-BooleanQueries in parens in toString()
+            if isinstance(n, BoolQ) and n.boost == 1.0:
+                inner = f"({inner})"
+            parts.append(prefix + inner)
         s = " ".join(parts)
     else:
         s = "MatchNone"

@@ -259,6 +259,13 @@ def _scored_phrase(index, node: PhraseQ) -> DataFrame:
         # 1-arg closure so `offset` is the phrase offset, not the index.
         return lambda x: x - F.lit(offset)
 
+    # PhraseQuery weight: idf = SUM of per-term idfs (public Lucene
+    # semantics); per-term df folded as literals from the driver-side
+    # term-dictionary seek.
+    uniq = list(dict.fromkeys(terms))
+    stats = _lookup_term_stats(index, [(node.field, t) for t in uniq])
+    if any((node.field, t) not in stats for t in uniq):
+        return _empty_scores(index)
     parts = []
     for i, t in enumerate(terms):
         p = _term_postings(index, node.field, t).select(
@@ -267,20 +274,25 @@ def _scored_phrase(index, node: PhraseQ) -> DataFrame:
             F.transform(F.col("positions"), _shift(i)).alias(f"__pos_{i}"),
         )
         parts.append(p)
-    joined = reduce(lambda a, b: a.join(b, "doc_id"), parts)
+    # Rarest-term-first join order (df ascending): the smallest postings
+    # set drives the join chain, so every later join is bounded by the
+    # rarest term's df instead of shuffling a frequent term's full
+    # postings — 'the merge' joins merge->the, not the->merge. The
+    # position arrays are aliased by phrase offset, so the intersection
+    # below is order-independent.
+    order = sorted(
+        range(len(terms)),
+        key=lambda i: (stats[(node.field, terms[i])], i),
+    )
+    joined = reduce(
+        lambda a, b: a.join(b, "doc_id"), [parts[i] for i in order]
+    )
     inter = reduce(
         lambda acc, i: F.array_intersect(acc, F.col(f"__pos_{i}")),
         range(1, len(terms)),
         F.col("__pos_0"),
     )
     freq = F.size(inter)
-    # PhraseQuery weight: idf = SUM of per-term idfs (public Lucene
-    # semantics); per-term df folded as literals from the driver-side
-    # term-dictionary seek.
-    uniq = list(dict.fromkeys(terms))
-    stats = _lookup_term_stats(index, [(node.field, t) for t in uniq])
-    if any((node.field, t) not in stats for t in uniq):
-        return _empty_scores(index)
     idf_sum = None
     for t in uniq:
         e = bm25.idf_col(
@@ -313,10 +325,30 @@ def _scored_exact(index, node: ExactQ) -> DataFrame:
     # (Lucene point exact queries are constant-score)
     col = F.col(node.field)
     if node.value_type == "instant":
-        # compare at epoch-millis resolution (reference values.clj:76-95);
-        # cast handles TIMESTAMP_NTZ parquet columns (interpreted in the
-        # session timezone, which the engine pins to UTC)
-        cond = F.unix_millis(col.cast("timestamp")) == F.lit(node.value)
+        # Compare at epoch-millis resolution (reference values.clj:76-95).
+        # TIMESTAMP_NTZ columns hold a wall clock with no zone; the
+        # engine's contract is "NTZ wall clock == UTC", enforced
+        # SESSION-TZ-INDEPENDENTLY by comparing against a TIMESTAMP_NTZ
+        # literal range [t, t+1ms) — no cast through the session zone
+        # (a bare cast('timestamp') would silently shift results in a
+        # non-UTC session). Range predicates also push down to parquet
+        # min/max. Zoned TIMESTAMP columns are absolute instants, so
+        # unix_millis needs no zone handling.
+        import datetime as _dt
+
+        dtype = index.docs.schema[node.field].dataType
+        if dtype.typeName() == "timestamp_ntz":
+            naive = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                milliseconds=int(node.value)
+            )
+            iso = naive.strftime("%Y-%m-%d %H:%M:%S.%f")
+            lo = F.expr(f"TIMESTAMP_NTZ '{iso}'")
+            hi = F.expr(
+                f"TIMESTAMP_NTZ '{iso}' + INTERVAL 1 MILLISECOND"
+            )
+            cond = (col >= lo) & (col < hi)
+        else:
+            cond = F.unix_millis(col.cast("timestamp")) == F.lit(node.value)
     else:
         cond = col == F.lit(node.value)
     return index.docs.filter(cond).select(
@@ -520,10 +552,21 @@ def search(
     search_after: Any = None,
     fuzzy: bool = False,
     hit_columns: list[str] | None = None,
+    hit_fn=None,
+    hit_fn_schema: str | None = None,
     with_hit: bool = True,
 ) -> DataFrame:
     """Top-k search -> DataFrame (doc_id, score [, stored columns]),
-    ordered by (score desc, doc_id asc). See module docstring."""
+    ordered by (score desc, doc_id asc). See module docstring.
+
+    ``hit_fn`` is the reference's arbitrary ``hit->doc`` surface
+    (search.clj:49-54, document.clj:126-144): a Python callable taking
+    the stored-doc row as a dict and returning a dict of derived
+    columns, applied Arrow-batched over the (already top-k-bounded)
+    hits. ``hit_fn_schema`` is the DDL of the returned columns, e.g.
+    ``"full_name string, age_2x long"`` — required with hit_fn, since
+    Spark needs a declared schema where Clojure returned free-form
+    maps. ``hit_columns`` prunes which stored columns reach the fn."""
     _validate_opts(results_per_page, page, search_after)
     if fuzzy:
         ast = combine_fuzzy(query, index.specs)  # (query.clj:132-147)
@@ -559,5 +602,22 @@ def search(
         if "doc_id" not in cols:
             cols = ["doc_id"] + cols
         top = F.broadcast(top).join(index.docs.select(*cols), "doc_id")
+        if hit_fn is not None:
+            if not hit_fn_schema:
+                raise ValidationError(
+                    "hit_fn requires hit_fn_schema (DDL of the derived "
+                    "columns, e.g. 'full_name string')",
+                    {},
+                )
+            from pyspark.sql.types import StructType
+
+            from lucene_clj_spark._udfs import hit_doc_generator
+
+            extra = StructType.fromDDL(hit_fn_schema)
+            out_schema = "doc_id long, score double, " + hit_fn_schema
+            top = top.mapInPandas(
+                hit_doc_generator(hit_fn, [f.name for f in extra.fields]),
+                out_schema,
+            )
         top = top.orderBy(F.desc("score"), F.asc("doc_id"))
     return top

@@ -164,6 +164,24 @@ def build_segments(
                 f"{old} vs requested {meta}; pass resume=False to "
                 "rebuild, or re-run with the original parameters"
             )
+    elif resume:
+        # meta file missing (or deleted) but bucket manifests may still
+        # exist from an older build — each manifest embeds its layout
+        # params, so validate those instead of skipping unchecked
+        for fjson in sorted(os.listdir(man_root)):
+            if not fjson.startswith("bucket_"):
+                continue
+            with open(os.path.join(man_root, fjson)) as f:
+                man = json.load(f)
+            if {k: man.get(k) for k in meta} != meta:
+                raise ValueError(
+                    f"resume: existing manifest {fjson} was written "
+                    f"under different segment parameters "
+                    f"({ {k: man.get(k) for k in meta} } vs requested "
+                    f"{meta}) and no _segments_meta.json is present; "
+                    "pass resume=False to rebuild, or re-run with the "
+                    "original parameters"
+                )
     if not resume:
         # fresh build: clear any previous layout so stale bucket dirs
         # (e.g. from a larger n_buckets) can't survive alongside
@@ -180,6 +198,21 @@ def build_segments(
     def run_bucket(b: int) -> None:
         man_path = os.path.join(man_root, f"bucket_{b}.json")
         if resume and os.path.exists(man_path):
+            # Validate the manifest's own embedded layout params before
+            # skipping: if _segments_meta.json was missing/deleted (e.g.
+            # a pre-guard build) the top-level check above never ran,
+            # and skipping unchecked could mix pmod/chunk layouts — the
+            # exact hazard the guard exists for (ADVICE r01).
+            with open(man_path) as f:
+                man = json.load(f)
+            if {k: man.get(k) for k in meta} != meta:
+                raise ValueError(
+                    f"bucket {b} manifest was written under different "
+                    f"segment parameters: existing "
+                    f"{ {k: man.get(k) for k in meta} } vs requested "
+                    f"{meta}; pass resume=False to rebuild, or re-run "
+                    "with the original parameters"
+                )
             if log:
                 log(f"bucket {b}: manifest present, skipping (resume)")
             return

@@ -280,6 +280,34 @@ def test_exact_instant_ntz_column(spark, tmp_path_factory):
     assert [r["doc_id"] for r in got] == [1]
 
 
+def test_instant_exact_session_tz_independent(spark):
+    """Instant exact queries on TIMESTAMP_NTZ columns must not depend
+    on spark.sql.session.timeZone (ADVICE r01): the NTZ wall clock is
+    interpreted as UTC via an NTZ-literal range, never cast through the
+    session zone."""
+    from lucene_clj_spark import create_index
+
+    df = spark.sql(
+        "SELECT * FROM VALUES "
+        "(0, TIMESTAMP_NTZ '2024-01-01 00:00:00', 'alpha'), "
+        "(1, TIMESTAMP_NTZ '2024-01-02 00:00:00', 'beta') "
+        "AS t(doc_id, at, body)"
+    )
+    idx = create_index(
+        spark, df, {"at": "instant", "body": "text"}, id_column="doc_id"
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "Asia/Kolkata", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = idx.search(
+                {"at": dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)}
+            ).collect()
+            assert [r["doc_id"] for r in got] == [1], tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_truncate_clears_index(spark):
     """clear! analogue (reference indexer.clj:68-77): docs/postings/
     terms empty, stats zeroed, term-stats cache dropped."""
@@ -295,6 +323,39 @@ def test_truncate_clears_index(spark):
     assert idx.postings.count() == 0
     assert idx.terms.count() == 0
     assert idx.stats["body"]["N"] == 0
+
+
+def test_truncate_disk_index_clears_disk(spark, tmp_path):
+    """A persisted index's truncate must clear the DISK as well
+    (reference deleteAll+commit, indexer.clj:68-77): reopening the
+    path yields an empty index, segments/manifests are gone, and a
+    rebuilt index over the path works (VERDICT r01 missing-item 4)."""
+    import os
+
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.indexer import Index
+    from lucene_clj_spark.segments import build_segments
+
+    path = str(tmp_path / "trunc_idx")
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, body string"
+    )
+    idx = create_index(
+        spark, df, {"body": "text"}, id_column="doc_id",
+        path=path, index_type="disk", re_create=True,
+    )
+    build_segments(idx, n_buckets=2, chunk_span=64, block_size=16)
+    assert os.path.isdir(os.path.join(path, "segments"))
+    idx.truncate()
+    assert idx.search("beta", field_name="body").count() == 0
+    assert not os.path.isdir(os.path.join(path, "segments"))
+    assert not os.path.isdir(os.path.join(path, "manifests"))
+    reopened = Index.load(spark, path)
+    assert reopened.docs.count() == 0
+    assert reopened.postings.count() == 0
+    assert reopened.terms.count() == 0
+    assert reopened.stats["body"]["N"] == 0
+    assert reopened.search("beta", field_name="body").count() == 0
 
 
 def test_multi_valued_text_field(spark):

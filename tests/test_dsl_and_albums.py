@@ -49,6 +49,59 @@ def test_parse_dsl_not():
     assert [occ for occ, _ in node.clauses] == [SHOULD, "MUST_NOT"]
 
 
+def test_parse_dsl_grouping():
+    """(a OR b) AND c must parse like Lucene QueryParser: +(a b) +c —
+    the group is a required sub-boolean, NOT flattened (VERDICT r01
+    missing-item 1)."""
+    node = parse_dsl("(name:a OR name:b) AND name:c", "name", SPECS,
+                     ANALYZERS)
+    assert isinstance(node, BoolQ)
+    assert [occ for occ, _ in node.clauses] == [MUST, MUST]
+    group, c = node.clauses[0][1], node.clauses[1][1]
+    assert isinstance(group, BoolQ)
+    assert [occ for occ, _ in group.clauses] == [SHOULD, SHOULD]
+    assert [n.term for _, n in group.clauses] == ["a", "b"]
+    assert c == TermQ(1.0, "name", "c")
+    assert render(node) == "+(name:a name:b) +name:c"
+
+
+def test_parse_dsl_group_boost_and_nesting():
+    node = parse_dsl("(name:a name:b)^3 name:c", "name", SPECS, ANALYZERS)
+    group = node.clauses[0][1]
+    assert isinstance(group, BoolQ) and group.boost == 3.0
+    nested = parse_dsl("((name:a OR name:b) AND name:c) OR name:d",
+                       "name", SPECS, ANALYZERS)
+    inner = nested.clauses[0][1]
+    assert isinstance(inner, BoolQ)
+    assert [occ for occ, _ in inner.clauses] == [MUST, MUST]
+
+
+def test_parse_dsl_not_group():
+    node = parse_dsl("name:a NOT (name:b name:c)", "name", SPECS, ANALYZERS)
+    assert [occ for occ, _ in node.clauses] == [SHOULD, "MUST_NOT"]
+    assert isinstance(node.clauses[1][1], BoolQ)
+
+
+def test_parse_dsl_single_group_unwraps():
+    assert parse_dsl("(name:a)", "name", SPECS, ANALYZERS) == TermQ(
+        1.0, "name", "a"
+    )
+
+
+def test_dsl_grouped_search_end_to_end(sample_index):
+    """(shikari OR suppandi) AND antics: doc must contain 'antics' in
+    bio and one of the names — Suppandi matches, Shikari does not
+    (no 'antics' in bio)."""
+    node = parse_dsl(
+        "(first_name:shikari OR first_name:suppandi) AND bio:antics",
+        "first_name", sample_index.specs, sample_index.analyzers,
+    )
+    got = sample_index.search(node).collect()
+    assert [(r["first_name"], r["last_name"]) for r in got] == [
+        ("Suppandi", "Varadarajan")
+    ]
+
+
 def test_dsl_search_end_to_end(sample_index):
     from lucene_clj_spark.query import parse_dsl as pd_
 

@@ -188,6 +188,34 @@ def test_fuzzy_rejects_typed_field(sample_index):
 
 # --- ordering & scores -------------------------------------------------
 
+def test_hit_fn_arbitrary_projection(sample_index):
+    """The reference's arbitrary hit->doc callable (search.clj:49-54):
+    any Python fn over the stored doc, Arrow-batched over the top-k."""
+    got = search(
+        sample_index,
+        "shikari",
+        field_name="first_name",
+        hit_fn=lambda d: {
+            "full_name": f"{d['first_name']} {d['last_name']}",
+            "bio_len": len(d["bio"]),
+        },
+        hit_fn_schema="full_name string, bio_len long",
+    ).collect()
+    assert [r["full_name"] for r in got] == ["Shikari Shambhu"]
+    assert got[0]["bio_len"] == len(
+        "Carries a gun. But no bullets. Animals love him."
+    )
+    assert got[0]["score"] > 0
+
+
+def test_hit_fn_requires_schema(sample_index):
+    from lucene_clj_spark.errors import ValidationError
+
+    with pytest.raises(ValidationError):
+        search(sample_index, "shikari", field_name="first_name",
+               hit_fn=lambda d: d).collect()
+
+
 def test_results_ordered_by_score_then_docid(sample_index):
     got = search(sample_index, {"bio": {"love", "enjoy", "antics"}}).collect()
     seq = [(r["score"], -r["doc_id"]) for r in got]

@@ -249,3 +249,13 @@ def test_resume_with_changed_params_refuses(spark, tmp_path_factory):
     dirs = sorted(os.listdir(os.path.join(path, "segments")))
     assert all(d.startswith("bucket=") for d in dirs)
     assert len(dirs) <= 8
+    # the guard must hold even when _segments_meta.json is missing
+    # (pre-guard builds): bucket manifests embed the layout params and
+    # are validated before any skip (ADVICE r01)
+    os.remove(os.path.join(path, "manifests", "_segments_meta.json"))
+    with pytest.raises(ValueError, match="different segment parameters"):
+        build_segments(idx, n_buckets=4, chunk_span=64, block_size=16,
+                       resume=True)
+    # same params with no meta file: manifests validate clean, resume ok
+    build_segments(idx, n_buckets=8, chunk_span=64, block_size=16,
+                   resume=True)

@@ -43,7 +43,13 @@ def main():
     from lucene_clj_spark import create_index
     from lucene_clj_spark.segments import build_segments
 
-    spark = SparkSession.builder.appName("lucene-clj-spark-build").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("lucene-clj-spark-build")
+        # instants are stored/compared as UTC wall clocks; pin the
+        # session so string->timestamp parsing etc. never drift
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
     docs = spark.read.parquet(args.input)
     fields = {args.text_col: "text"}

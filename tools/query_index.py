@@ -33,7 +33,11 @@ def main():
     from lucene_clj_spark import Index
     from lucene_clj_spark.wand import wand_topk
 
-    spark = SparkSession.builder.appName("lucene-clj-spark-query").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("lucene-clj-spark-query")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
     idx = Index.load(spark, args.index)
 
