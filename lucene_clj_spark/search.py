@@ -362,8 +362,21 @@ def _fuzzy_expansions(index, node: FuzzyQ) -> list[tuple[str, int, float]]:
     Damerau-Levenshtein (transpositions count 1 — Lucene FuzzyQuery
     semantics, fuzzy.py), rank by closeness boost then df then term,
     cap at max_expansions (Lucene default 50), and collect the tiny
-    result. Returns [(term, df, fboost)]."""
+    result. Returns [(term, df, fboost)].
+
+    Expansions are memoized per-Index (the index snapshot is immutable,
+    like the term-stats cache): a repeated fuzzy query costs zero
+    expansion jobs."""
     from lucene_clj_spark._udfs import edit_distance_udf
+
+    key = (node.field, node.term, node.max_edits, node.prefix_length,
+           node.max_expansions)
+    cache = getattr(index, "_fuzzy_exp_cache", None)
+    if cache is None:
+        cache = {}
+        index._fuzzy_exp_cache = cache
+    if key in cache:
+        return cache[key]
 
     q = node.term
     qlen = len(q)
@@ -390,10 +403,12 @@ def _fuzzy_expansions(index, node: FuzzyQ) -> list[tuple[str, int, float]]:
         .limit(node.max_expansions)
         .select("term", "df", "__fboost")
     )
-    return [
+    exp = [
         (r["term"], int(r["df"]), float(r["__fboost"]))
         for r in cand.collect()
     ]
+    cache[key] = exp
+    return exp
 
 
 def _scored_fuzzy(index, node: FuzzyQ) -> DataFrame:

@@ -47,6 +47,16 @@ def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
     n_terms_required = len(term_idfs) if mode == "and" else 1
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # The partition's batches are materialized ONCE here, by design:
+        # best-first processing needs the partition-wide chunk ordering
+        # (descending upper bound), and per-doc aggregation needs every
+        # block of a chunk together — both impossible over raw Arrow
+        # batch boundaries without a partition-local sort that would
+        # destroy the best-first order. Memory is bounded: these rows
+        # are the QUERY TERMS' compressed blocks for this chunk range
+        # only (already bucket/term-pruned at the scan), i.e.
+        # O(#terms x chunks/partition x blocks/chunk) — raise
+        # n_partitions to shrink the per-task footprint at scale.
         parts = list(batches)
         pdf = pd.concat(parts, ignore_index=True) if parts else None
         if pdf is None or len(pdf) == 0:
