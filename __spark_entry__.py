@@ -223,10 +223,14 @@ def q_corpus_stats(spark, sf_dir):
     # floor(x*1e6+0.5)/1e6 from the exact int counters: bit-identical to
     # the DuckDB oracle's identical IEEE ops (not Python round(), whose
     # half-even decimal rounding can differ from SQL round in tie cases).
-    avgdl = math.floor(int(st["sum_dl"]) * 1000000.0 / int(st["N"]) + 0.5) \
-        / 1000000.0
+    n = int(st["N"])
+    avgdl = (
+        math.floor(int(st["sum_dl"]) * 1000000.0 / n + 0.5) / 1000000.0
+        if n
+        else 0.0
+    )
     return spark.createDataFrame(
-        [(int(st["N"]), avgdl, int(st["sum_dl"]), n_terms)],
+        [(n, avgdl, int(st["sum_dl"]), n_terms)],
         "n_docs long, avgdl double, total_tokens long, n_terms long",
     )
 

@@ -182,16 +182,22 @@ def shingle_udf(analyzer, n):
     return shingles
 
 
-def edit_distance_udf(query):
+def edit_distance_udf(query, max_edits=None):
     """StringType -> IntegerType: Damerau-Levenshtein distance to the
     fixed query term (transpositions count 1, Lucene FuzzyQuery
     semantics — see fuzzy.py). Arrow-batched; runs over the pruned term
-    dictionary, never over postings."""
-    from lucene_clj_spark.fuzzy import damerau_levenshtein
+    dictionary, never over postings. With ``max_edits`` the per-pair DP
+    short-circuits on the length bound (fuzzy.bounded_distance)."""
+    from lucene_clj_spark.fuzzy import bounded_distance, damerau_levenshtein
+
+    if max_edits is None:
+        fn = lambda t: damerau_levenshtein(t, query)  # noqa: E731
+    else:
+        fn = lambda t: bounded_distance(t, query, max_edits)  # noqa: E731
 
     @F.pandas_udf(T.IntegerType())
     def dist(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: damerau_levenshtein(t, query)).astype("int32")
+        return s.map(fn).astype("int32")
 
     return dist
 

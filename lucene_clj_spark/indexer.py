@@ -276,6 +276,8 @@ class Index:
             s.update(N=0, sum_dl=0, avgdl=0.0)
         if hasattr(self, "_term_stats_cache"):
             self._term_stats_cache.clear()
+        if hasattr(self, "_fuzzy_exp_cache"):
+            self._fuzzy_exp_cache.clear()
 
 
 def _suggest_rows(

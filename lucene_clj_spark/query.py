@@ -271,9 +271,6 @@ _DSL_TOKEN = re.compile(
 _BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
 
 
-_GROUP_BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
-
-
 def parse_dsl(
     dsl: str,
     default_field: str,
@@ -368,7 +365,7 @@ def parse_dsl(
                 # optional (...)^boost — the tokenizer emits '^N' as its
                 # own token right after the ')'
                 if pos < len(raw):
-                    mb = _GROUP_BOOST.fullmatch(raw[pos])
+                    mb = _BOOST.fullmatch(raw[pos])
                     if mb:
                         pos += 1
                         child = dc_replace(

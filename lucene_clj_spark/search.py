@@ -389,7 +389,9 @@ def _fuzzy_expansions(index, node: FuzzyQ) -> list[tuple[str, int, float]]:
             F.col("term").startswith(q[: node.prefix_length])
         )
     cand = (
-        cand.withColumn("__edits", edit_distance_udf(q)(F.col("term")))
+        cand.withColumn(
+            "__edits", edit_distance_udf(q, node.max_edits)(F.col("term"))
+        )
         .filter(F.col("__edits") <= node.max_edits)
         .withColumn(
             "__fboost",
@@ -583,6 +585,19 @@ def search(
     Spark needs a declared schema where Clojure returned free-form
     maps. ``hit_columns`` prunes which stored columns reach the fn."""
     _validate_opts(results_per_page, page, search_after)
+    if hit_fn is not None:
+        if not with_hit:
+            raise ValidationError(
+                "hit_fn operates on stored docs and requires "
+                "with_hit=True",
+                {},
+            )
+        if not hit_fn_schema:
+            raise ValidationError(
+                "hit_fn requires hit_fn_schema (DDL of the derived "
+                "columns, e.g. 'full_name string')",
+                {},
+            )
     if fuzzy:
         ast = combine_fuzzy(query, index.specs)  # (query.clj:132-147)
     else:
@@ -618,12 +633,6 @@ def search(
             cols = ["doc_id"] + cols
         top = F.broadcast(top).join(index.docs.select(*cols), "doc_id")
         if hit_fn is not None:
-            if not hit_fn_schema:
-                raise ValidationError(
-                    "hit_fn requires hit_fn_schema (DDL of the derived "
-                    "columns, e.g. 'full_name string')",
-                    {},
-                )
             from pyspark.sql.types import StructType
 
             from lucene_clj_spark._udfs import hit_doc_generator

@@ -214,6 +214,11 @@ def test_hit_fn_requires_schema(sample_index):
     with pytest.raises(ValidationError):
         search(sample_index, "shikari", field_name="first_name",
                hit_fn=lambda d: d).collect()
+    # hit_fn without stored docs is a contradiction -> explicit error
+    with pytest.raises(ValidationError):
+        search(sample_index, "shikari", field_name="first_name",
+               hit_fn=lambda d: d, hit_fn_schema="x string",
+               with_hit=False).collect()
 
 
 def test_results_ordered_by_score_then_docid(sample_index):

@@ -36,12 +36,22 @@ def normalize(rows, columns, strict=True):
                 v = v.to_pydatetime()
             elif hasattr(v, "item"):  # numpy scalar from pandas fetch
                 v = v.item()
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                # DuckDB fetchall() yields Decimal for SQL literals like
+                # `1.0 AS score`; the Arrow/pandas path (what the driver
+                # uses) delivers float64 — normalize to that
+                v = float(v)
             if isinstance(v, float):
                 if not strict:
                     v = round(v, 6)
                 if v == -0.0:
                     v = 0.0
-            vals.append(v)
+            # strict mode compares REPRs so an int64 12345 vs float64
+            # 12345.0 (HUGEINT promotion) fails here like it fails the
+            # driver's hash — plain tuple equality would call them equal
+            vals.append(repr(v) if strict else v)
         out.append(tuple(vals))
     out.sort(key=repr)
     return [columns[i] for i in order], out
