@@ -279,6 +279,151 @@ class Index:
         if hasattr(self, "_fuzzy_exp_cache"):
             self._fuzzy_exp_cache.clear()
 
+    def add_documents(
+        self,
+        docs_df: DataFrame,
+        *,
+        id_column: str = "doc_id",
+        ignore_extra_columns: bool = False,
+    ) -> "Index":
+        """Repeated ``index!`` on an existing index (reference
+        indexer.clj:89-111 — ``addDocument`` on a writer over the same
+        directory): append a batch of documents, merging the term
+        dictionary and corpus stats so the result is IDENTICAL to one
+        batch build over the union (scores included — BM25 stats are
+        index-wide, pinned by test).
+
+        Scale shape: the new batch runs the same one-pass flat
+        inversion; the only merge shuffle is the vocab-sized term
+        union-aggregate. On a disk index, postings/docs/suggest APPEND
+        to the partitioned parquet (no rewrite of existing data), the
+        terms table is atomically swapped, and derived segments/
+        manifests are dropped (stale — rebuild with build_segments).
+        """
+        spark = self.spark
+        specs = self.specs
+        extra = set(docs_df.columns) - set(specs) - {id_column}
+        if extra and not ignore_extra_columns:
+            raise UnknownFieldError(
+                f"document columns not in schema: {sorted(extra)} "
+                "(pass ignore_extra_columns=True to keep them as "
+                "stored-only)",
+                {"columns": extra},
+            )
+        docs = docs_df.withColumn("doc_id", F.col(id_column).cast("long"))
+        if id_column != "doc_id" and id_column not in specs:
+            docs = docs.drop(id_column)
+        # id-collision guard: one tiny semi-join action (Lucene would
+        # happily create duplicate docs; this engine keys on doc_id)
+        if (
+            docs.select("doc_id")
+            .join(self.docs.select("doc_id"), "doc_id", "left_semi")
+            .limit(1)
+            .count()
+        ):
+            raise ValidationError(
+                "add_documents: doc_id values collide with existing "
+                "documents",
+                {},
+            )
+        default_an = self.analyzers.get(None, STANDARD)
+        raw, post_new, terms_new, _tf, stats_new, n_new = _build_tables(
+            docs, specs, self.analyzers, default_an, cache=False
+        )
+        merged_terms = (
+            self.terms.select("field", "term", "df", "ctf")
+            .unionByName(terms_new)
+            .groupBy("field", "term")
+            .agg(F.sum("df").alias("df"), F.sum("ctf").alias("ctf"))
+        )
+        stored_cols = [c for c in self.docs.columns]
+        docs_out = docs.select(*stored_cols)
+        sug_parts = [
+            _suggest_rows(docs, n, fs, self.analyzers.get(n, default_an))
+            for n, fs in specs.items()
+            if fs.suggest is not None
+        ]
+        sug_new = None
+        if sug_parts:
+            sug_new = sug_parts[0]
+            for p in sug_parts[1:]:
+                sug_new = sug_new.unionByName(p)
+
+        # merged corpus stats (index-wide, like Lucene's reopened reader)
+        new_stats: dict[str, dict[str, float]] = {}
+        n_total = None
+        for fname, st_old in self.stats.items():
+            st_n = stats_new.get(fname, {"N": 0, "sum_dl": 0})
+            fs = specs.get(fname)
+            if fs is not None and fs.type == "keyword":
+                continue  # filled below once n_total is known
+            N = int(st_old["N"]) + int(st_n["N"])
+            sd = int(st_old["sum_dl"]) + int(st_n["sum_dl"])
+            new_stats[fname] = {
+                "N": N, "sum_dl": sd, "avgdl": (sd / N) if N else 0.0,
+            }
+            n_total = N
+        if n_total is None:
+            n_total = self.docs.count() + n_new
+        for fname, fs in specs.items():
+            if fs.indexed and fs.type == "keyword":
+                new_stats[fname] = {
+                    "N": n_total, "sum_dl": n_total, "avgdl": 1.0,
+                }
+
+        if self.path:
+            import shutil
+
+            nb = self.n_buckets()
+            (
+                post_new.withColumn(
+                    "bucket", F.pmod(F.xxhash64("term"), F.lit(nb))
+                )
+                .repartition("bucket")
+                .sortWithinPartitions("field", "term", "doc_id")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(f"{self.path}/postings")
+            )
+            docs_out.write.mode("append").parquet(f"{self.path}/docs")
+            # terms: materialize the merge to a tmp dir FIRST (it reads
+            # the live terms dir), then swap atomically
+            tmp = f"{self.path}/terms__new"
+            merged_terms.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(f"{self.path}/terms")
+            os.rename(tmp, f"{self.path}/terms")
+            if sug_new is not None and os.path.isdir(f"{self.path}/suggest"):
+                sug_new.write.mode("append").parquet(f"{self.path}/suggest")
+            stats_file = os.path.join(self.path, "_stats.json")
+            if os.path.isfile(stats_file):
+                with open(stats_file) as f:
+                    meta = json.load(f)
+                meta["stats"] = new_stats
+                with open(stats_file, "w") as f:
+                    json.dump(meta, f, indent=1)
+            # derived segment artifacts are stale after an append
+            for sub in ("segments", "manifests"):
+                p = os.path.join(self.path, sub)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+            fresh = Index.load(spark, self.path)
+            self.docs = fresh.docs
+            self.postings = fresh.postings
+            self.terms = fresh.terms
+            self.suggest = fresh.suggest
+        else:
+            self.postings = self.postings.unionByName(post_new)
+            self.docs = self.docs.unionByName(docs_out)
+            self.terms = merged_terms
+            if self.suggest is not None and sug_new is not None:
+                self.suggest = self.suggest.unionByName(sug_new)
+        self.stats = new_stats
+        if hasattr(self, "_term_stats_cache"):
+            self._term_stats_cache.clear()
+        if hasattr(self, "_fuzzy_exp_cache"):
+            self._fuzzy_exp_cache.clear()
+        return self
+
 
 def _suggest_rows(
     docs: DataFrame, name: str, fs: FieldSpec, analyzer: Analyzer
@@ -335,6 +480,85 @@ def _suggest_rows(
         "contexts",
         "doc_id",
     )
+
+
+def _build_tables(docs, specs, analyzers, default_an, cache):
+    """Analysis + per-doc LOCAL inversion -> FLAT postings + term
+    dictionary + corpus stats for one batch of documents.
+
+    ONE mapInPandas pass tokenizes AND inverts per document and emits
+    the final flat postings schema (field, term, doc_id, tf, dl,
+    positions) plus one stats-marker row (term=NULL) per (text field,
+    doc). Partition-local: NO shuffle of token occurrences — the only
+    shuffle left is the (tiny) term-stats aggregate. Emitting flat
+    rows (instead of caching a nested term-vector struct and exploding
+    it JVM-side) avoids Spark's slow generic columnar-cache path for
+    array-of-array types: measured ~4x faster build at local[8]
+    (tools/exp_cache.py). This is the Spark analogue of the
+    reference's compile-encoders-once optimization (README.org:103-110)
+    plus Lucene's doc-at-a-time inversion.
+
+    Returns (raw, postings, terms, terms_full, stats, n_docs)."""
+    from lucene_clj_spark._udfs import POSTINGS_SCHEMA, flat_postings_generator
+
+    text_fields = [
+        n for n, fs in specs.items() if fs.indexed and fs.type == "text"
+    ]
+    kw_fields = [
+        n for n, fs in specs.items() if fs.indexed and fs.type == "keyword"
+    ]
+    if not text_fields and not kw_fields:
+        raise ValidationError("no indexed text/keyword fields in schema", {})
+    emit = flat_postings_generator(
+        [(n, specs[n].multi_valued) for n in text_fields],
+        [(n, specs[n].multi_valued) for n in kw_fields],
+        {n: a for n, a in analyzers.items() if n is not None},
+        default_an,
+    )
+    raw = docs.select("doc_id", *text_fields, *kw_fields).mapInPandas(
+        emit, POSTINGS_SCHEMA
+    )
+    if cache:
+        raw = raw.cache()
+    postings = raw.where(F.col("term").isNotNull())
+
+    # One aggregation computes the term dictionary AND the corpus stats:
+    # the per-doc marker rows (term=NULL) land in the (field, NULL)
+    # group, whose count(*) = N and sum(dl) = sum_dl. Collecting stats
+    # then reads the (tiny, cached) aggregate instead of re-scanning
+    # postings — one big job per build, everything else is vocab-sized.
+    terms_full = raw.groupBy("field", "term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("ctf"),
+        F.sum("dl").alias("__sdl"),
+    )
+    if cache:
+        terms_full = terms_full.cache()
+    terms = terms_full.where(F.col("term").isNotNull()).select(
+        "field", "term", "df", "ctf"
+    )
+
+    # pre-seed zeros so an EMPTY corpus still yields stats for every
+    # text field (searches then return empty results instead of raising)
+    stats: dict[str, dict[str, float]] = {
+        n: {"N": 0, "sum_dl": 0, "avgdl": 0.0} for n in text_fields
+    }
+    n_docs = None
+    if text_fields:
+        for r in terms_full.where(F.col("term").isNull()).collect():
+            n = int(r["df"])
+            sum_dl = int(r["__sdl"] or 0)
+            stats[r["field"]] = {
+                "N": n,
+                "sum_dl": sum_dl,
+                "avgdl": (sum_dl / n) if n else 0.0,
+            }
+            n_docs = n
+    if n_docs is None:
+        n_docs = docs.count()
+    for name in kw_fields:
+        stats[name] = {"N": n_docs, "sum_dl": n_docs, "avgdl": 1.0}
+    return raw, postings, terms, terms_full, stats, n_docs
 
 
 def create_index(
@@ -407,77 +631,9 @@ def create_index(
             )
         docs = assign_dense_ids(docs_df, keys)
 
-    # --- analysis + per-doc LOCAL inversion -> FLAT postings ----------
-    # ONE mapInPandas pass tokenizes AND inverts per document and emits
-    # the final flat postings schema (field, term, doc_id, tf, dl,
-    # positions) plus one stats-marker row (term=NULL) per (text field,
-    # doc). Partition-local: NO shuffle of token occurrences — the only
-    # shuffle left is the (tiny) term-stats aggregate. Emitting flat
-    # rows (instead of caching a nested term-vector struct and exploding
-    # it JVM-side) avoids Spark's slow generic columnar-cache path for
-    # array-of-array types: measured ~4x faster build at local[8]
-    # (tools/exp_cache.py). This is the Spark analogue of the
-    # reference's compile-encoders-once optimization
-    # (README.org:103-110) plus Lucene's doc-at-a-time inversion.
-    from lucene_clj_spark._udfs import POSTINGS_SCHEMA, flat_postings_generator
-
-    text_fields = [
-        n for n, fs in specs.items() if fs.indexed and fs.type == "text"
-    ]
-    kw_fields = [
-        n for n, fs in specs.items() if fs.indexed and fs.type == "keyword"
-    ]
-    if not text_fields and not kw_fields:
-        raise ValidationError("no indexed text/keyword fields in schema", {})
-    emit = flat_postings_generator(
-        [(n, specs[n].multi_valued) for n in text_fields],
-        [(n, specs[n].multi_valued) for n in kw_fields],
-        {n: a for n, a in analyzers.items() if n is not None},
-        default_an,
+    raw, postings, terms, terms_full, stats, n_docs = _build_tables(
+        docs, specs, analyzers, default_an, cache
     )
-    raw = docs.select("doc_id", *text_fields, *kw_fields).mapInPandas(
-        emit, POSTINGS_SCHEMA
-    )
-    if cache:
-        raw = raw.cache()
-    postings = raw.where(F.col("term").isNotNull())
-
-    # One aggregation computes the term dictionary AND the corpus stats:
-    # the per-doc marker rows (term=NULL) land in the (field, NULL)
-    # group, whose count(*) = N and sum(dl) = sum_dl. Collecting stats
-    # then reads the (tiny, cached) aggregate instead of re-scanning
-    # postings — one big job per build, everything else is vocab-sized.
-    terms_full = raw.groupBy("field", "term").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").alias("ctf"),
-        F.sum("dl").alias("__sdl"),
-    )
-    if cache:
-        terms_full = terms_full.cache()
-    terms = terms_full.where(F.col("term").isNotNull()).select(
-        "field", "term", "df", "ctf"
-    )
-
-    # pre-seed zeros so an EMPTY corpus still yields stats for every
-    # text field (searches then return empty results instead of raising)
-    stats: dict[str, dict[str, float]] = {
-        n: {"N": 0, "sum_dl": 0, "avgdl": 0.0} for n in text_fields
-    }
-    n_docs = None
-    if text_fields:
-        for r in terms_full.where(F.col("term").isNull()).collect():
-            n = int(r["df"])
-            sum_dl = int(r["__sdl"] or 0)
-            stats[r["field"]] = {
-                "N": n,
-                "sum_dl": sum_dl,
-                "avgdl": (sum_dl / n) if n else 0.0,
-            }
-            n_docs = n
-    if n_docs is None:
-        n_docs = docs.count()
-    for name in kw_fields:
-        stats[name] = {"N": n_docs, "sum_dl": n_docs, "avgdl": 1.0}
 
     # --- suggest table ------------------------------------------------
     sug_parts = [

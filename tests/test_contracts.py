@@ -358,6 +358,83 @@ def test_truncate_disk_index_clears_disk(spark, tmp_path):
     assert reopened.search("beta", field_name="body").count() == 0
 
 
+def test_add_documents_identical_to_single_build(spark):
+    """Repeated index! (reference indexer.clj:89-111): an incremental
+    add must produce the SAME index as one batch build over the union —
+    postings, term dictionary, corpus stats, and therefore scores."""
+    from lucene_clj_spark import create_index
+
+    a = [(0, "alpha beta gamma"), (1, "beta gamma delta")]
+    b = [(2, "alpha alpha epsilon"), (3, "beta zeta")]
+    schema = "doc_id long, body string"
+    fields = {"body": "text"}
+    idx = create_index(spark, spark.createDataFrame(a, schema), fields,
+                       id_column="doc_id")
+    idx.add_documents(spark.createDataFrame(b, schema))
+    ref = create_index(spark, spark.createDataFrame(a + b, schema), fields,
+                       id_column="doc_id")
+    assert idx.stats == ref.stats
+    t1 = sorted(map(tuple, idx.terms.collect()))
+    t2 = sorted(map(tuple, ref.terms.collect()))
+    assert t1 == t2
+    for q in ("beta", "alpha", "epsilon"):
+        got = idx.search(q, field_name="body", with_hit=False).collect()
+        want = ref.search(q, field_name="body", with_hit=False).collect()
+        assert [(r["doc_id"], round(r["score"], 12)) for r in got] == [
+            (r["doc_id"], round(r["score"], 12)) for r in want
+        ], q
+    # stored-field retrieval covers the appended docs too
+    hit = idx.search("epsilon", field_name="body").collect()
+    assert [r["body"] for r in hit] == ["alpha alpha epsilon"]
+
+
+def test_add_documents_rejects_id_collision(spark):
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.errors import ValidationError
+
+    schema = "doc_id long, body string"
+    idx = create_index(
+        spark, spark.createDataFrame([(0, "alpha")], schema),
+        {"body": "text"}, id_column="doc_id",
+    )
+    with pytest.raises(ValidationError):
+        idx.add_documents(spark.createDataFrame([(0, "beta")], schema))
+
+
+def test_add_documents_disk_appends_and_invalidates_segments(
+    spark, tmp_path
+):
+    import os
+
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.indexer import Index
+    from lucene_clj_spark.segments import build_segments
+
+    path = str(tmp_path / "app_idx")
+    schema = "doc_id long, body string"
+    idx = create_index(
+        spark, spark.createDataFrame([(0, "alpha beta")], schema),
+        {"body": "text"}, id_column="doc_id",
+        path=path, index_type="disk", re_create=True,
+    )
+    build_segments(idx, n_buckets=2, chunk_span=64, block_size=16)
+    idx.add_documents(
+        spark.createDataFrame([(1, "beta gamma"), (2, "gamma")], schema)
+    )
+    # derived segments are stale -> dropped; base tables appended
+    assert not os.path.isdir(os.path.join(path, "segments"))
+    assert idx.search("gamma", field_name="body",
+                      with_hit=False).count() == 2
+    reopened = Index.load(spark, path)
+    assert reopened.docs.count() == 3
+    assert reopened.stats["body"]["N"] == 3
+    got = reopened.search("beta", field_name="body", with_hit=False)
+    assert sorted(r["doc_id"] for r in got.collect()) == [0, 1]
+    # segments rebuild cleanly over the appended index
+    build_segments(reopened, n_buckets=2, chunk_span=64, block_size=16)
+    assert os.path.isdir(os.path.join(path, "segments"))
+
+
 def test_multi_valued_text_field(spark):
     """Multi-valued text: tf sums across values; phrases can match
     across value boundaries (Lucene's default position-increment gap
