@@ -404,6 +404,28 @@ def q_dsl_boost_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_incremental_add_topk(spark, sf_dir):
+    """Repeated index! (L2): build over the first half of the corpus,
+    add_documents the second half, then run the standard term query —
+    must equal the one-shot build (same oracle as term_topk), proving
+    term-dict/stats merge correctness under the driver's hash gate."""
+    key = f"{sf_dir}/incremental"
+    if key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir)
+        mid_row = docs.approxQuantile("doc_id", [0.5], 0.0)
+        mid = int(mid_row[0])
+        idx = create_index(
+            spark, docs.filter(F.col("doc_id") <= mid), DOC_FIELDS,
+            id_column="doc_id",
+        )
+        idx.add_documents(docs.filter(F.col("doc_id") > mid))
+        _INDEX_CACHE[key] = idx
+    out = _INDEX_CACHE[key].search(
+        "merge", field_name="text", results_per_page=10, with_hit=False
+    )
+    return _round6(out, "score")
+
+
 def q_dsl_grouped_topk(spark, sf_dir):
     """Parenthesized QueryParser grouping (Q8): '(merge OR window) AND
     dup' = +(merge window) +dup — requires dup AND at least one of
@@ -595,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "dsl_boost_topk": q_dsl_boost_topk,
         "dsl_grouped_topk": q_dsl_grouped_topk,
+        "incremental_add_topk": q_incremental_add_topk,
         "multi_field_and_topk": q_multi_field_and_topk,
         "phrase3_topk": q_phrase3_topk,
         "suggest_context": q_suggest_context,
@@ -1258,6 +1281,8 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "knn_join": _knn_join_sql(3, 6, 64),
         "dsl_boost_topk": _dsl_boost_sql(),
         "dsl_grouped_topk": _dsl_grouped_sql(),
+        # incremental add must equal the one-shot build -> same oracle
+        "incremental_add_topk": _term_topk_sql("merge", 10),
         "multi_field_and_topk": _multi_field_and_sql(),
         "phrase3_topk": _phrase3_sql("row", "column", "sort"),
         "suggest_context": _suggest_context_sql(),

@@ -2,12 +2,14 @@
 
 A 100 TB training-data pipeline carries images/audio/video as opaque
 ``binary`` columns beside typed metadata, and runs decode / feature /
-resize / frame-sample stages as Arrow-batched UDFs. The image/audio
-codec libraries are NOT in this environment, so the decode kernels are
-STUBBED deterministically (clearly marked below) — but everything
-Spark-side is real and tested: schemas, ``mapInPandas`` batch shapes,
-partition behavior, and the driver-facing API. Swapping a stub for
-PIL/ffmpeg/librosa changes only the per-batch function body.
+resize / frame-sample stages as Arrow-batched UDFs.
+
+Decoders: UNCOMPRESSED container formats are decoded for REAL in pure
+numpy — PGM/PPM (P5/P6), BMP (BI_RGB 8/24/32-bit), and WAV (RIFF PCM
+8/16-bit) need no codec library. Compressed codecs (JPEG/PNG/MP3/...)
+require libs absent from this container and fail fast with a clear
+error naming the format; swapping in PIL/ffmpeg/librosa changes only
+the per-blob decode function, never the Spark plumbing.
 
 Design rules (the parts that matter at scale):
 - Blobs NEVER pass through a shuffle: every stage is ``mapInPandas``
@@ -23,6 +25,7 @@ Design rules (the parts that matter at scale):
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -30,6 +33,160 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+#: magic-number -> human name for compressed formats we refuse clearly
+_COMPRESSED_MAGICS = [
+    (b"\xff\xd8\xff", "JPEG"),
+    (b"\x89PNG", "PNG"),
+    (b"GIF8", "GIF"),
+    (b"RIFF????WEBP", "WEBP"),  # '?' = wildcard byte
+    (b"ID3", "MP3"),
+    (b"\xff\xfb", "MP3"),
+    (b"OggS", "OGG"),
+    (b"fLaC", "FLAC"),
+]
+
+
+def _compressed_format(blob: bytes) -> str | None:
+    for magic, name in _COMPRESSED_MAGICS:
+        if len(blob) < len(magic):
+            continue
+        if all(m in (0x3F,) or blob[i] == m  # 0x3F = '?' wildcard
+               for i, m in enumerate(magic)):
+            return name
+    return None
+
+
+def decode_image_gray(blob: bytes) -> np.ndarray:
+    """Decode an UNCOMPRESSED image blob to a 2-D uint8 grayscale
+    array. Real parsers, no codec libs:
+
+    - PGM ``P5`` / PPM ``P6`` (binary netpbm, maxval <= 255; comments
+      handled); RGB converts to gray by integer channel mean.
+    - BMP ``BM`` with BI_RGB (compression 0), 8/24/32 bpp, bottom-up
+      or top-down rows, 4-byte row padding.
+
+    Compressed formats raise NotImplementedError naming the format and
+    the library that would decode it.
+    """
+    if blob[:2] in (b"P5", b"P6"):
+        return _decode_pnm(blob)
+    if blob[:2] == b"BM":
+        return _decode_bmp(blob)
+    fmt = _compressed_format(blob)
+    if fmt:
+        raise NotImplementedError(
+            f"{fmt} decode requires an image codec library (PIL/"
+            "libjpeg-turbo), absent in this environment; uncompressed "
+            "PGM/PPM/BMP decode natively"
+        )
+    raise ValueError("unrecognized image container (not PGM/PPM/BMP)")
+
+
+def _decode_pnm(blob: bytes) -> np.ndarray:
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens, '#' comments allowed, then ONE whitespace byte then data
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":
+            while i < len(blob) and blob[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and not blob[j : j + 1].isspace():
+            j += 1
+        tokens.append(blob[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if blob[:2] == b"P6" else 1
+    need = w * h * channels
+    data = np.frombuffer(blob, dtype=np.uint8, count=need, offset=i)
+    if channels == 3:
+        rgb = data.reshape(h, w, 3).astype(np.uint16)
+        return (rgb.sum(axis=2) // 3).astype(np.uint8)
+    return data.reshape(h, w).copy()
+
+
+def _decode_bmp(blob: bytes) -> np.ndarray:
+    data_off = struct.unpack_from("<I", blob, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if compression != 0:
+        raise NotImplementedError(
+            "compressed BMP (BI_RLE/BI_BITFIELDS) not supported; only "
+            "BI_RGB decodes natively"
+        )
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    h = abs(h_raw)
+    bottom_up = h_raw > 0
+    row_bytes = ((w * bpp // 8) + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(
+        blob, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    if bottom_up:
+        rows = rows[::-1]
+    px = rows[:, : w * bpp // 8]
+    if bpp == 8:
+        return px.copy()
+    ch = bpp // 8
+    bgr = px.reshape(h, w, ch)[:, :, :3].astype(np.uint16)
+    return (bgr.sum(axis=2) // 3).astype(np.uint8)
+
+
+def decode_wav(blob: bytes) -> tuple[int, np.ndarray]:
+    """Parse a RIFF/WAVE PCM blob (8- or 16-bit, any channel count) to
+    (sample_rate, mono float64 samples in [-1, 1]). Pure struct/numpy —
+    PCM wav is a raw sample container, no codec needed."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        fmt = _compressed_format(blob)
+        if fmt:
+            raise NotImplementedError(
+                f"{fmt} decode requires an audio codec library "
+                "(ffmpeg/librosa), absent in this environment; PCM WAV "
+                "decodes natively"
+            )
+        raise ValueError("unrecognized audio container (not RIFF/WAVE)")
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_chunk = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if fmt_chunk is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt_chunk, 0)
+    bits = struct.unpack_from("<H", fmt_chunk, 14)[0]
+    if audio_fmt != 1:
+        raise NotImplementedError(
+            f"WAV audio format {audio_fmt} (non-PCM) requires a codec "
+            "library; only PCM decodes natively"
+        )
+    if bits == 16:
+        samples = np.frombuffer(
+            data, dtype="<i2", count=len(data) // 2
+        ).astype(np.float64) / 32768.0
+    elif bits == 8:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    else:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    if n_ch > 1:
+        samples = samples[: (samples.size // n_ch) * n_ch]
+        samples = samples.reshape(-1, n_ch).mean(axis=1)
+    return int(rate), samples
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -109,21 +266,33 @@ def decode_and_thumbnail(
 ) -> DataFrame:
     """Decode images and emit (width, height, mean_pixel, thumbnail).
 
-    STUB: real decode needs PIL/turbojpeg, absent in this container —
-    pass ``fake=True`` to run the DETERMINISTIC FAKE decoder (treats
-    the blob as a row-major uint8 grid: width = first byte + 1, height
-    = ceil(rest / width)), which keeps the Spark plumbing (schema,
-    batching, resize arithmetic) fully exercised. With fake=False this
-    raises NotImplementedError at plan execution time.
-    """
+    REAL decode for uncompressed containers (PGM/PPM/BMP — see
+    ``decode_image_gray``); compressed formats (JPEG/PNG/...) raise
+    NotImplementedError naming the missing codec library, surfaced at
+    plan execution. ``fake=True`` keeps the legacy deterministic
+    synthetic decoder (blob = raw uint8 grid, width = first byte + 1)
+    for pipeline tests with arbitrary bytes.
+
+    Thumbnail = nearest-neighbor resample to thumb_size x thumb_size
+    grayscale (numpy index grid — no per-pixel Python)."""
+
+    def to_gray(blob: bytes):
+        """-> (gray 2-D array, mean) — fake mode keeps its original
+        mean-over-unpadded-bytes semantics (pinned by tests)."""
+        if fake:
+            a = np.frombuffer(blob, dtype=np.uint8)
+            w = int(a[0]) + 1
+            body = a[1:]
+            h = max(1, -(-body.size // w))
+            pad = np.zeros(w * h, dtype=np.uint8)
+            pad[: body.size] = body
+            return pad.reshape(h, w), (
+                float(body.mean()) if body.size else 0.0
+            )
+        img = decode_image_gray(bytes(blob))
+        return img, float(img.mean())
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            raise NotImplementedError(
-                "image decode requires PIL/libjpeg (not in this "
-                "environment); pass fake=True for the deterministic "
-                "stub decoder"
-            )
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [],
                    "mean_pixel": [], "thumb": []}
@@ -135,20 +304,14 @@ def decode_and_thumbnail(
                     out["mean_pixel"].append(0.0)
                     out["thumb"].append(b"")
                     continue
-                a = np.frombuffer(blob, dtype=np.uint8)
-                w = int(a[0]) + 1
-                body = a[1:]
-                h = max(1, -(-body.size // w))
-                pad = np.zeros(w * h, dtype=np.uint8)
-                pad[: body.size] = body
-                img = pad.reshape(h, w)
-                # nearest-neighbor "resize" to thumb_size x thumb_size
+                img, mean = to_gray(blob)
+                h, w = img.shape
                 yi = np.linspace(0, h - 1, thumb_size).astype(int)
                 xi = np.linspace(0, w - 1, thumb_size).astype(int)
                 thumb = img[np.ix_(yi, xi)]
                 out["width"].append(w)
                 out["height"].append(h)
-                out["mean_pixel"].append(float(body.mean()) if body.size else 0.0)
+                out["mean_pixel"].append(mean)
                 out["thumb"].append(thumb.tobytes())
             yield pd.DataFrame(out)
 
@@ -199,10 +362,62 @@ def sample_frames(
     return df.select(id_col, blob_col).mapInPandas(kernel, FRAME_SCHEMA)
 
 
-def audio_features(df: DataFrame, **_kw) -> DataFrame:
-    """STUB: MFCC/spectrogram extraction needs librosa/ffmpeg, absent
-    here. Raises immediately (driver-side) so pipelines fail fast."""
-    raise NotImplementedError(
-        "audio feature extraction requires librosa (not in this "
-        "environment); the blob plumbing path is blob_features()"
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "media_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Audio triage features from PCM WAV blobs (REAL decode — RIFF
+    parse + numpy, see ``decode_wav``): sample rate, length, RMS, peak
+    amplitude, zero-crossing count. Compressed audio (MP3/OGG/FLAC)
+    raises NotImplementedError naming the missing codec; MFCC/
+    spectrogram stages would plug into the same kernel with
+    librosa/ffmpeg. Null/empty blobs yield a zero row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURES_SCHEMA.fields}
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                out["media_id"].append(mid)
+                if blob is None or len(blob) == 0:
+                    out["sample_rate"].append(0)
+                    out["n_samples"].append(0)
+                    out["duration_ms"].append(0)
+                    out["rms"].append(0.0)
+                    out["peak"].append(0.0)
+                    out["zero_crossings"].append(0)
+                    continue
+                rate, samples = decode_wav(bytes(blob))
+                n = samples.size
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(
+                    int(round(n * 1000.0 / rate)) if rate else 0
+                )
+                out["rms"].append(
+                    float(np.sqrt(np.mean(samples**2))) if n else 0.0
+                )
+                out["peak"].append(
+                    float(np.abs(samples).max()) if n else 0.0
+                )
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.diff(np.signbit(samples))))
+                    if n > 1
+                    else 0
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        kernel, AUDIO_FEATURES_SCHEMA
     )
