@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--chunk-span", type=int, default=1 << 17)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--append", action="store_true",
+                    help="add --input's documents to the EXISTING index "
+                         "at --output (repeated index!; doc ids must "
+                         "not collide); segments are rebuilt after")
     ap.add_argument("--no-segments", action="store_true")
     args = ap.parse_args()
 
@@ -69,7 +73,17 @@ def main():
     # is rebuilt from scratch (base tables are one atomic-enough job;
     # per-bucket checkpointing applies to the segment encode).
     base_done = os.path.exists(os.path.join(args.output, "_stats.json"))
-    if args.resume and base_done:
+    if args.append:
+        if not base_done:
+            raise SystemExit(
+                f"--append: no completed index at {args.output}"
+            )
+        idx = Index.load(spark, args.output)
+        idx.add_documents(docs, id_column=args.id_col or "doc_id",
+                          ignore_extra_columns=bool(extra))
+        print(f"appended {args.input} to {args.output} "
+              f"in {time.time()-t0:.1f}s")
+    elif args.resume and base_done:
         idx = Index.load(spark, args.output)
         print(f"base index loaded from {args.output} (resume)")
     else:
