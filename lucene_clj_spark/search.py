@@ -542,6 +542,53 @@ def compile_node(index, node: Node) -> DataFrame:
     raise ValidationError(f"cannot compile node {node!r}", {})
 
 
+def _wand_route(index, node: Node) -> tuple[str, list[str], str] | None:
+    """Decide whether a query can execute on the block-max WAND kernel
+    over compressed segments (the scale path): a single unboosted term,
+    or a flat all-MUST / all-SHOULD boolean of unboosted same-field
+    terms, against a disk index with built segments. Returns
+    (field, terms, mode) or None."""
+    import os
+
+    if not index.path:
+        return None
+    if not os.path.isdir(os.path.join(index.path, "segments")):
+        return None
+
+    def ok_term(n: Node) -> TermQ | None:
+        t = _as_term(n)
+        if t is None or t.boost != 1.0:
+            return None
+        return t
+
+    node = _flatten(node)
+    if isinstance(node, TermQ):
+        t = ok_term(node)
+        if t is None or t.field not in index.stats:
+            return None
+        return (t.field, [t.term], "or")
+    if not (isinstance(node, BoolQ) and node.boost == 1.0 and node.clauses):
+        return None
+    occs = {occ for occ, _ in node.clauses}
+    if len(occs) != 1 or next(iter(occs)) not in (MUST, SHOULD):
+        return None
+    terms, fields = [], set()
+    for _, n in node.clauses:
+        t = ok_term(n)
+        if t is None:
+            return None
+        terms.append(t.term)
+        fields.add(t.field)
+    if len(fields) != 1 or len(set(terms)) != len(terms):
+        # duplicate terms merge boosts (no longer 1.0 each) — fall back
+        return None
+    field = next(iter(fields))
+    if field not in index.stats:
+        return None
+    occ = next(iter(occs))
+    return (field, terms, "and" if occ == MUST else "or")
+
+
 def _validate_opts(results_per_page, page, search_after):
     if not isinstance(results_per_page, int) or results_per_page <= 0:
         raise ValidationError(
@@ -572,6 +619,7 @@ def search(
     hit_fn=None,
     hit_fn_schema: str | None = None,
     with_hit: bool = True,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Top-k search -> DataFrame (doc_id, score [, stored columns]),
     ordered by (score desc, doc_id asc). See module docstring.
@@ -583,7 +631,20 @@ def search(
     hits. ``hit_fn_schema`` is the DDL of the returned columns, e.g.
     ``"full_name string, age_2x long"`` — required with hit_fn, since
     Spark needs a declared schema where Clojure returned free-form
-    maps. ``hit_columns`` prunes which stored columns reach the fn."""
+    maps. ``hit_columns`` prunes which stored columns reach the fn.
+
+    ``strategy``: 'auto' (default) routes eligible queries — unboosted
+    term / flat same-field AND/OR booleans on a segment-backed disk
+    index, first page, no keyset — through the block-max WAND kernel
+    (result-identical, pinned by test; the compressed-segment scan +
+    bounded heaps are the 100 TB path); 'dataframe' always uses the
+    exhaustive DataFrame plan; 'wand' requires eligibility and raises
+    otherwise."""
+    if strategy not in ("auto", "dataframe", "wand"):
+        raise ValidationError(
+            "strategy must be 'auto', 'dataframe', or 'wand'",
+            {"strategy": strategy},
+        )
     _validate_opts(results_per_page, page, search_after)
     if hit_fn is not None:
         if not with_hit:
@@ -602,7 +663,34 @@ def search(
         ast = combine_fuzzy(query, index.specs)  # (query.clj:132-147)
     else:
         ast = parse(query, index.specs, index.analyzers, field_name)
-    scores = compile_node(index, ast)
+
+    scores = None
+    route = None
+    if strategy in ("auto", "wand") and page is None and search_after is None:
+        route = _wand_route(index, ast)
+    if strategy == "wand" and route is None:
+        raise ValidationError(
+            "strategy='wand' requires a segment-backed disk index and a "
+            "flat unboosted same-field term/AND/OR query (first page, "
+            "no search_after)",
+            {},
+        )
+    if route is not None:
+        field_, terms_, mode_ = route
+        if mode_ == "and":
+            # a MUST term absent from the dictionary empties the result
+            # (the kernel would silently drop it instead)
+            st = _lookup_term_stats(index, [(field_, t) for t in terms_])
+            if len(st) < len(terms_):
+                scores = _empty_scores(index)
+        if scores is None:
+            from lucene_clj_spark.wand import wand_topk
+
+            scores = wand_topk(
+                index, field_, terms_, k=results_per_page, mode=mode_
+            )
+    if scores is None:
+        scores = compile_node(index, ast)
 
     k = results_per_page
     if search_after is not None:

@@ -41,7 +41,7 @@ def _dataframe_topk(idx, terms, k, mode):
         q = [t for t in terms]
     return idx.search(
         q if mode == "or" else q, field_name="text",
-        results_per_page=k, with_hit=False,
+        results_per_page=k, with_hit=False, strategy="dataframe",
     ).collect()
 
 
@@ -137,7 +137,8 @@ def test_disk_term_query_plan_prunes(disk_index):
     row-group min/max skipping, (c) positions pruned from ReadSchema,
     and (d) bounded-heap top-k (TakeOrderedAndProject), not a global
     sort."""
-    plan = disk_index.search("merge", field_name="text", with_hit=False)
+    plan = disk_index.search("merge", field_name="text", with_hit=False,
+                             strategy="dataframe")
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in s and "bucket" in s.split(
         "PartitionFilters", 1)[1][:120]
@@ -153,11 +154,56 @@ def test_disk_bool_query_plan_prunes_buckets(disk_index):
     bucket directories, same as the single-term path (VERDICT r01
     finding 3)."""
     plan = disk_index.search(["merge", "window"], field_name="text",
-                             with_hit=False)
+                             with_hit=False, strategy="dataframe")
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in s
     pf = s.split("PartitionFilters", 1)[1][:250]
     assert "bucket" in pf
+
+
+def test_auto_strategy_routes_to_wand_and_matches(disk_index):
+    """On a segment-backed disk index, eligible term/AND/OR queries
+    auto-route through the WAND kernel (plan shows the Arrow kernel,
+    not the exhaustive scan+agg) with results identical to the
+    DataFrame path."""
+    for q, kw in [
+        ("merge", {"field_name": "text"}),
+        (["merge", "window"], {"field_name": "text"}),
+        ({"text": {"merge", "dup", "vector"}}, {}),
+    ]:
+        auto = disk_index.search(q, results_per_page=10, with_hit=False,
+                                 **kw)
+        s = auto._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in s  # the WAND kernel
+        want = disk_index.search(q, results_per_page=10, with_hit=False,
+                                 strategy="dataframe", **kw).collect()
+        got = auto.collect()
+        assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+            (r["doc_id"], round(r["score"], 9)) for r in want
+        ], q
+
+
+def test_wand_strategy_ineligible_raises(spark, disk_index):
+    from lucene_clj_spark.errors import ValidationError
+
+    with pytest.raises(ValidationError):  # phrase is not WAND-eligible
+        disk_index.search("the merge", field_name="text",
+                          strategy="wand")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from lucene_clj_spark import create_index
+    mem = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
+                       ignore_extra_columns=True)
+    with pytest.raises(ValidationError):  # no segments on memory index
+        mem.search("merge", field_name="text", strategy="wand")
+
+
+def test_auto_strategy_missing_must_term_empty(disk_index):
+    got = disk_index.search(["merge", "zzzznotaterm"], field_name="text",
+                            with_hit=False).collect()
+    assert got == []
+    want = disk_index.search(["merge", "zzzznotaterm"], field_name="text",
+                             with_hit=False, strategy="dataframe").collect()
+    assert want == []
 
 
 def test_disk_fuzzy_query_plan_prunes_buckets(disk_index):
