@@ -426,6 +426,22 @@ def q_incremental_add_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_hit_fn_topk(spark, sf_dir):
+    """Arbitrary hit->doc projection (S5 / §2.11 UDF surface): a Python
+    callable derives columns from each stored top-k doc, Arrow-batched;
+    oracle reproduces the derivation in SQL over the same top-k."""
+    idx = _index(spark, sf_dir)
+    out = idx.search(
+        "merge", field_name="text", results_per_page=10,
+        hit_fn=lambda d: {
+            "text_len": len(d["text"]),
+            "lang_src": f"{d['lang']}/{d['source']}",
+        },
+        hit_fn_schema="text_len long, lang_src string",
+    )
+    return _round6(out, "score")
+
+
 def q_dsl_grouped_topk(spark, sf_dir):
     """Parenthesized QueryParser grouping (Q8): '(merge OR window) AND
     dup' = +(merge window) +dup — requires dup AND at least one of
@@ -618,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_boost_topk": q_dsl_boost_topk,
         "dsl_grouped_topk": q_dsl_grouped_topk,
         "incremental_add_topk": q_incremental_add_topk,
+        "hit_fn_topk": q_hit_fn_topk,
         "multi_field_and_topk": q_multi_field_and_topk,
         "phrase3_topk": q_phrase3_topk,
         "suggest_context": q_suggest_context,
@@ -1283,6 +1300,14 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "dsl_grouped_topk": _dsl_grouped_sql(),
         # incremental add must equal the one-shot build -> same oracle
         "incremental_add_topk": _term_topk_sql("merge", 10),
+        "hit_fn_topk": _TERM_SCORES.replace("{term}", "merge") + """
+SELECT t.doc_id, round(t.score, 6) AS score,
+       length(d.text) AS text_len,
+       d.lang || '/' || d.source AS lang_src
+FROM (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+) t JOIN documents d USING (doc_id)""",
         "multi_field_and_topk": _multi_field_and_sql(),
         "phrase3_topk": _phrase3_sql("row", "column", "sort"),
         "suggest_context": _suggest_context_sql(),
