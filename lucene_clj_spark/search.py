@@ -210,6 +210,119 @@ def _bucket_pruned(index, scan: DataFrame, terms: list[str]) -> DataFrame:
     return scan.filter(cond)
 
 
+def _scored_group_tree(
+    index, clauses: list[tuple[str, object]]
+) -> DataFrame:
+    """ONE postings scan for a one-level boolean GROUP TREE — clauses
+    are (occ, TermQ) or (occ, BoolQ of all-SHOULD term-likes), occ in
+    {MUST, SHOULD, MUST_NOT}. Generalizes ``_scored_term_group``:
+    every leaf maps to (group_id, effective boost); the scan joins a
+    broadcast leaf relation, aggregates per (doc, group), then per doc
+    — so ``(a OR b) AND c NOT d`` is one scan + two vocab-keyed
+    shuffles regardless of clause count, instead of one join per
+    clause. Lucene semantics: a group's score is the sum of its
+    matching members (scaled by the group boost), the doc's score is
+    the sum of matching non-prohibited groups, every MUST group must
+    match, any MUST_NOT group match excludes the doc."""
+    spark = index.spark
+    # group_id -> (occ, [(field, term, eff_boost)])
+    groups: list[tuple[str, list[tuple[str, str, float]]]] = []
+    for occ, node in clauses:
+        t = _as_term(node)
+        if t is not None:
+            groups.append((occ, [(t.field, t.term, t.boost)]))
+            continue
+        assert isinstance(node, BoolQ)
+        members = []
+        for _, child in node.clauses:
+            ct = _as_term(child)
+            members.append((ct.field, ct.term, ct.boost * node.boost))
+        groups.append((occ, members))
+
+    pairs = [(f, t) for _, ms in groups for f, t, _ in ms]
+    stats = _lookup_term_stats(index, pairs)
+    must_ids = []
+    rows = []
+    for gid, (occ, members) in enumerate(groups):
+        present = [(f, t, b) for f, t, b in members if (f, t) in stats]
+        if occ == MUST:
+            if not present:
+                return _empty_scores(index)  # unmatched MUST group
+            must_ids.append(gid)
+        for f, t, b in present:
+            st = index.field_stats(f)
+            rows.append(
+                (f, t, gid, float(b), occ == "MUST_NOT", occ == MUST,
+                 stats[(f, t)], int(st["N"]), float(st["avgdl"]))
+            )
+    if not rows:
+        return _empty_scores(index)
+    local = spark.createDataFrame(
+        rows,
+        "field string, term string, gid int, boost double, "
+        "is_not boolean, is_must boolean, df long, n_docs long, "
+        "avgdl double",
+    )
+    fields = sorted({r[0] for r in rows})
+    terms_ = sorted({r[1] for r in rows})
+    scan = index.postings.filter(
+        F.col("field").isin(fields) & F.col("term").isin(terms_)
+    )
+    scan = _bucket_pruned(index, scan, terms_)
+    scored = scan.join(F.broadcast(local), ["field", "term"]).select(
+        "doc_id", "gid", "is_not", "is_must",
+        (
+            F.col("boost")
+            * bm25.score_col(
+                F.col("tf"), F.col("dl"), F.col("df"),
+                F.col("n_docs"), F.col("avgdl"),
+            )
+        ).alias("score"),
+    )
+    per_group = scored.groupBy("doc_id", "gid").agg(
+        F.sum("score").alias("g_score"),
+        F.first("is_not").alias("is_not"),
+        F.first("is_must").alias("is_must"),
+    )
+    agg = per_group.groupBy("doc_id").agg(
+        F.sum(
+            F.when(~F.col("is_not"), F.col("g_score")).otherwise(0.0)
+        ).alias("score"),
+        F.sum(F.when(F.col("is_must"), 1).otherwise(0)).alias("__musts"),
+        F.max(F.when(F.col("is_not"), 1).otherwise(0)).alias("__hit_not"),
+    )
+    return agg.filter(
+        (F.col("__musts") == len(must_ids)) & (F.col("__hit_not") == 0)
+    ).select("doc_id", "score")
+
+
+def _group_tree_clauses(node: BoolQ) -> list | None:
+    """Return the (occ, child) clause list if ``node`` is a one-level
+    term-only group tree executable by ``_scored_group_tree``, else
+    None. Also requires at least one positive clause (a pure-negative
+    boolean matches nothing, handled by the generic path)."""
+    if node.boost != 1.0:
+        return None
+    positive = False
+    for occ, child in node.clauses:
+        if occ not in (MUST, SHOULD, "MUST_NOT"):
+            return None
+        if _as_term(child) is not None:
+            positive = positive or occ != "MUST_NOT"
+            continue
+        if not (
+            isinstance(child, BoolQ)
+            and child.clauses
+            and all(
+                o == SHOULD and _as_term(c) is not None
+                for o, c in child.clauses
+            )
+        ):
+            return None
+        positive = positive or occ != "MUST_NOT"
+    return list(node.clauses) if positive else None
+
+
 def _term_postings(index, field: str, term: str) -> DataFrame:
     p = index.postings.filter(
         (F.col("field") == field) & (F.col("term") == term)
@@ -480,6 +593,13 @@ def _scored_bool(index, node: BoolQ) -> DataFrame:
             term_clauses.append((occ, t))
         if ok:
             return _scored_term_group(index, term_clauses)
+
+    # one-level group trees ((a OR b) AND c NOT d, all term leaves) get
+    # the single-scan two-agg plan instead of one join per clause
+    if node.boost == 1.0:
+        gclauses = _group_tree_clauses(node)
+        if gclauses is not None:
+            return _scored_group_tree(index, gclauses)
 
     def c(n: Node) -> DataFrame:
         return compile_node(index, n)

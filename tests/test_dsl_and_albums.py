@@ -102,6 +102,47 @@ def test_dsl_grouped_search_end_to_end(sample_index):
     ]
 
 
+def test_group_tree_plan_matches_generic_path(sample_index, monkeypatch):
+    """The single-scan group-tree plan must score identically to the
+    generic join-per-clause compilation on a nested boolean with MUST /
+    SHOULD-group / MUST_NOT clauses."""
+    from lucene_clj_spark import search as S
+
+    node = parse_dsl(
+        "(first_name:shikari OR first_name:wonder OR first_name:clark) "
+        "AND bio:love NOT bio:kryptonite",
+        "first_name", sample_index.specs, sample_index.analyzers,
+    )
+    got = sample_index.search(node, with_hit=False).collect()
+    monkeypatch.setattr(S, "_group_tree_clauses", lambda n: None)
+    want = sample_index.search(node, with_hit=False).collect()
+    assert [(r["doc_id"], round(r["score"], 12)) for r in got] == [
+        (r["doc_id"], round(r["score"], 12)) for r in want
+    ]
+    assert len(got) > 0  # Shikari + Wonder match; Clark killed by NOT
+
+
+def test_group_tree_single_postings_scan(spark, tmp_path_factory):
+    """(a OR b) AND c compiles to ONE postings scan + two aggregations,
+    not one join per clause (scale contract of _scored_group_tree)."""
+    import re
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).limit(100)
+    path = str(tmp_path_factory.mktemp("gt") / "idx")
+    from lucene_clj_spark import create_index
+    idx = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
+                       path=path, index_type="disk", re_create=True,
+                       ignore_extra_columns=True)
+    node = parse_dsl("(merge OR window) AND dup", "text", idx.specs,
+                     idx.analyzers)
+    plan = idx.search(node, with_hit=False)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    postings_scans = len(re.findall(r"Scan parquet[^\n]*", s))
+    assert postings_scans == 1, s
+
+
 def test_dsl_search_end_to_end(sample_index):
     from lucene_clj_spark.query import parse_dsl as pd_
 
