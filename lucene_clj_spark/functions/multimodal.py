@@ -102,6 +102,8 @@ def _decode_pnm(blob: bytes) -> np.ndarray:
         i = j
     i += 1  # single whitespace after maxval
     w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate netpbm dimensions {w}x{h}")
     if maxval > 255:
         raise ValueError("16-bit netpbm not supported")
     channels = 3 if blob[:2] == b"P6" else 1
@@ -115,6 +117,15 @@ def _decode_pnm(blob: bytes) -> np.ndarray:
 
 def _decode_bmp(blob: bytes) -> np.ndarray:
     data_off = struct.unpack_from("<I", blob, 10)[0]
+    dib_size = struct.unpack_from("<I", blob, 14)[0]
+    if dib_size < 40:
+        # 12-byte BITMAPCOREHEADER (OS/2) lays fields out differently —
+        # reading the INFOHEADER offsets would decode garbage
+        raise NotImplementedError(
+            f"BMP with DIB header size {dib_size} (OS/2 core header) "
+            "not supported; BITMAPINFOHEADER-family BI_RGB decodes "
+            "natively"
+        )
     w, h_raw = struct.unpack_from("<ii", blob, 18)
     bpp = struct.unpack_from("<H", blob, 28)[0]
     compression = struct.unpack_from("<I", blob, 30)[0]
@@ -126,6 +137,8 @@ def _decode_bmp(blob: bytes) -> np.ndarray:
     if bpp not in (8, 24, 32):
         raise ValueError(f"unsupported BMP bit depth {bpp}")
     h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dimensions {w}x{h_raw}")
     bottom_up = h_raw > 0
     row_bytes = ((w * bpp // 8) + 3) & ~3  # rows pad to 4 bytes
     rows = np.frombuffer(
@@ -135,7 +148,15 @@ def _decode_bmp(blob: bytes) -> np.ndarray:
         rows = rows[::-1]
     px = rows[:, : w * bpp // 8]
     if bpp == 8:
-        return px.copy()
+        # 8bpp pixels are indices into the color table that follows the
+        # DIB header (4-byte BGRX entries) — apply it, gray = mean(RGB)
+        n_colors = struct.unpack_from("<I", blob, 46)[0] or 256
+        pal = np.frombuffer(
+            blob, dtype=np.uint8, count=n_colors * 4,
+            offset=14 + dib_size,
+        ).reshape(n_colors, 4)[:, :3].astype(np.uint16)
+        gray_lut = (pal.sum(axis=1) // 3).astype(np.uint8)
+        return gray_lut[px]
     ch = bpp // 8
     bgr = px.reshape(h, w, ch)[:, :, :3].astype(np.uint16)
     return (bgr.sum(axis=2) // 3).astype(np.uint8)

@@ -64,6 +64,58 @@ from lucene_clj_spark.schema import (
 
 DEFAULT_BUCKETS = 32
 
+#: presence of this file under an index path means a disk append was
+#: interrupted mid-way — the tables may be partially written
+APPEND_PENDING = "_append_pending.json"
+
+
+def _write_postings(postings: DataFrame, path: str, n_buckets: int,
+                    mode: str) -> None:
+    """The ONE place that defines the on-disk postings layout: bucket =
+    pmod(xxhash64(term), n_buckets) directory partitioning, files
+    sorted by (field, term, doc_id) for row-group min/max skipping.
+    Used by both the full write and the incremental append so the two
+    can never drift."""
+    (
+        postings.withColumn(
+            "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+        )
+        .repartition("bucket")
+        .sortWithinPartitions("field", "term", "doc_id")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+
+
+def _check_extra_columns(docs_df: DataFrame, specs, id_column,
+                         ignore: bool, keep_hint: str) -> set:
+    extra = set(docs_df.columns) - set(specs) - {id_column}
+    if extra and not ignore:
+        raise UnknownFieldError(
+            f"document columns not in schema: {sorted(extra)} "
+            f"(reference document.clj:85-90; pass "
+            f"ignore_extra_columns=True to {keep_hint})",
+            {"columns": extra},
+        )
+    return extra
+
+
+def _suggest_union(docs: DataFrame, specs, analyzers, default_an):
+    """Union of suggest-table rows across all suggest-enabled fields
+    (None when there are none)."""
+    parts = [
+        _suggest_rows(docs, n, fs, analyzers.get(n, default_an))
+        for n, fs in specs.items()
+        if fs.suggest is not None
+    ]
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
 
 def assign_dense_ids(
     df: DataFrame,
@@ -145,16 +197,7 @@ class Index:
     def write(self, path: str, n_buckets: int = DEFAULT_BUCKETS) -> "Index":
         os.makedirs(path, exist_ok=True)
         self.docs.write.mode("overwrite").parquet(f"{path}/docs")
-        (
-            self.postings.withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
-            )
-            .repartition("bucket")
-            .sortWithinPartitions("field", "term", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{path}/postings")
-        )
+        _write_postings(self.postings, path, n_buckets, "overwrite")
         self.terms.write.mode("overwrite").parquet(f"{path}/terms")
         if self.suggest is not None:
             # range-partitioned on the lookup key: prefix queries prune
@@ -191,7 +234,15 @@ class Index:
     def load(spark: SparkSession, path: str) -> "Index":
         """Reopen a persisted index; field specs come back from the
         sidecar (contract: typed queries work after reopen, reference
-        contract_test.clj:90-119)."""
+        contract_test.clj:90-119). Refuses an index left partial by an
+        interrupted append (see add_documents crash-safety note)."""
+        if os.path.exists(os.path.join(path, APPEND_PENDING)):
+            raise ValidationError(
+                f"index at {path} has an interrupted append "
+                f"({APPEND_PENDING} present) — its tables may be "
+                "partial; rebuild the index or restore from source",
+                {"path": path},
+            )
         with open(f"{path}/_field_specs.json") as f:
             specs = specs_from_json(f.read())
         with open(f"{path}/_stats.json") as f:
@@ -297,22 +348,34 @@ class Index:
         inversion; the only merge shuffle is the vocab-sized term
         union-aggregate. On a disk index, postings/docs/suggest APPEND
         to the partitioned parquet (no rewrite of existing data), the
-        terms table is atomically swapped, and derived segments/
-        manifests are dropped (stale — rebuild with build_segments).
+        terms table is swapped, and derived segments/manifests are
+        dropped (stale — rebuild with build_segments).
+
+        Crash safety (disk): the multi-step append is NOT atomic (that
+        is precisely what an Iceberg-transactional catalog would give;
+        this parquet layout journals instead): ``_append_pending.json``
+        is written before the first table touch and removed after the
+        last, and both ``add_documents`` and ``Index.load`` REFUSE an
+        index whose pending marker survives — a killed append fails
+        fast on reopen instead of silently double-counting postings.
         """
         spark = self.spark
         specs = self.specs
-        extra = set(docs_df.columns) - set(specs) - {id_column}
-        if extra and not ignore_extra_columns:
-            raise UnknownFieldError(
-                f"document columns not in schema: {sorted(extra)} "
-                "(pass ignore_extra_columns=True to keep them as "
-                "stored-only)",
-                {"columns": extra},
-            )
+        extra = _check_extra_columns(
+            docs_df, specs, id_column, ignore_extra_columns,
+            keep_hint="ignore them (kept as stored-only ONLY if the "
+                      "index already stores a column of that name)",
+        )
         docs = docs_df.withColumn("doc_id", F.col(id_column).cast("long"))
         if id_column != "doc_id" and id_column not in specs:
             docs = docs.drop(id_column)
+        missing_stored = set(self.docs.columns) - set(docs.columns)
+        if missing_stored:
+            raise ValidationError(
+                "add_documents batch is missing stored columns of the "
+                f"existing index: {sorted(missing_stored)}",
+                {"columns": missing_stored},
+            )
         # id-collision guard: one tiny semi-join action (Lucene would
         # happily create duplicate docs; this engine keys on doc_id)
         if (
@@ -327,8 +390,12 @@ class Index:
                 {},
             )
         default_an = self.analyzers.get(None, STANDARD)
-        raw, post_new, terms_new, _tf, stats_new, n_new = _build_tables(
-            docs, specs, self.analyzers, default_an, cache=False
+        # cache=True: the batch's inversion materializes ONCE and feeds
+        # the stats collect + every downstream write/union (a memory
+        # index keeps referencing the cached relation afterwards)
+        raw, post_new, terms_new, terms_full_new, stats_new, n_new = (
+            _build_tables(docs, specs, self.analyzers, default_an,
+                          cache=True)
         )
         merged_terms = (
             self.terms.select("field", "term", "df", "ctf")
@@ -338,16 +405,7 @@ class Index:
         )
         stored_cols = [c for c in self.docs.columns]
         docs_out = docs.select(*stored_cols)
-        sug_parts = [
-            _suggest_rows(docs, n, fs, self.analyzers.get(n, default_an))
-            for n, fs in specs.items()
-            if fs.suggest is not None
-        ]
-        sug_new = None
-        if sug_parts:
-            sug_new = sug_parts[0]
-            for p in sug_parts[1:]:
-                sug_new = sug_new.unionByName(p)
+        sug_new = _suggest_union(docs, specs, self.analyzers, default_an)
 
         # merged corpus stats (index-wide, like Lucene's reopened reader)
         new_stats: dict[str, dict[str, float]] = {}
@@ -374,20 +432,23 @@ class Index:
         if self.path:
             import shutil
 
-            nb = self.n_buckets()
-            (
-                post_new.withColumn(
-                    "bucket", F.pmod(F.xxhash64("term"), F.lit(nb))
+            pending = os.path.join(self.path, APPEND_PENDING)
+            if os.path.exists(pending):
+                raise ValidationError(
+                    f"index at {self.path} has an interrupted append "
+                    f"({APPEND_PENDING} present) — its tables may be "
+                    "partial; rebuild the index (re_create=True) or "
+                    "restore from source before appending again",
+                    {"path": self.path},
                 )
-                .repartition("bucket")
-                .sortWithinPartitions("field", "term", "doc_id")
-                .write.mode("append")
-                .partitionBy("bucket")
-                .parquet(f"{self.path}/postings")
-            )
+            with open(pending, "w") as f:
+                json.dump({"n_new_docs": n_new}, f)
+            _write_postings(post_new, self.path, self.n_buckets(),
+                            "append")
             docs_out.write.mode("append").parquet(f"{self.path}/docs")
             # terms: materialize the merge to a tmp dir FIRST (it reads
-            # the live terms dir), then swap atomically
+            # the live terms dir), then swap (rmtree+rename — a crash
+            # between the two is caught by the pending marker)
             tmp = f"{self.path}/terms__new"
             merged_terms.write.mode("overwrite").parquet(tmp)
             shutil.rmtree(f"{self.path}/terms")
@@ -406,6 +467,9 @@ class Index:
                 p = os.path.join(self.path, sub)
                 if os.path.isdir(p):
                     shutil.rmtree(p)
+            os.remove(pending)  # commit point: append fully applied
+            raw.unpersist()
+            terms_full_new.unpersist()
             fresh = Index.load(spark, self.path)
             self.docs = fresh.docs
             self.postings = fresh.postings
@@ -599,14 +663,10 @@ def create_index(
         )
     specs = normalize_field_specs(fields)
 
-    extra = set(docs_df.columns) - set(specs) - {id_column}
-    if extra and not ignore_extra_columns:
-        raise UnknownFieldError(
-            f"document columns not in schema: {sorted(extra)} "
-            "(reference document.clj:85-90; pass ignore_extra_columns=True "
-            "to keep them as stored-only)",
-            {"columns": extra},
-        )
+    extra = _check_extra_columns(
+        docs_df, specs, id_column, ignore_extra_columns,
+        keep_hint="keep them as stored-only",
+    )
 
     default_an = resolve_analyzer(analyzer, STANDARD)
     analyzers: dict[str | None, Analyzer] = {None: default_an}
@@ -636,18 +696,9 @@ def create_index(
     )
 
     # --- suggest table ------------------------------------------------
-    sug_parts = [
-        _suggest_rows(docs, n, fs, analyzers.get(n, default_an))
-        for n, fs in specs.items()
-        if fs.suggest is not None
-    ]
-    suggest_df = None
-    if sug_parts:
-        suggest_df = sug_parts[0]
-        for p in sug_parts[1:]:
-            suggest_df = suggest_df.unionByName(p)
-        if cache:
-            suggest_df = suggest_df.cache()
+    suggest_df = _suggest_union(docs, specs, analyzers, default_an)
+    if suggest_df is not None and cache:
+        suggest_df = suggest_df.cache()
 
     stored_cols = ["doc_id"] + [
         n for n, fs in specs.items() if fs.stored

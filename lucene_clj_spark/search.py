@@ -786,7 +786,11 @@ def search(
 
     scores = None
     route = None
-    if strategy in ("auto", "wand") and page is None and search_after is None:
+    if (
+        strategy in ("auto", "wand")
+        and not page  # None or 0 — both mean the first page
+        and search_after is None
+    ):
         route = _wand_route(index, ast)
     if strategy == "wand" and route is None:
         raise ValidationError(

@@ -401,6 +401,52 @@ def test_add_documents_rejects_id_collision(spark):
         idx.add_documents(spark.createDataFrame([(0, "beta")], schema))
 
 
+def test_add_documents_interrupted_append_refuses(spark, tmp_path):
+    """A surviving _append_pending.json marks a partial append: both
+    reopen and further appends must refuse instead of silently
+    double-counting postings (code-review r02 finding 1)."""
+    import json
+    import os
+
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.errors import ValidationError
+    from lucene_clj_spark.indexer import APPEND_PENDING, Index
+
+    path = str(tmp_path / "pend_idx")
+    schema = "doc_id long, body string"
+    idx = create_index(
+        spark, spark.createDataFrame([(0, "alpha")], schema),
+        {"body": "text"}, id_column="doc_id",
+        path=path, index_type="disk", re_create=True,
+    )
+    with open(os.path.join(path, APPEND_PENDING), "w") as f:
+        json.dump({"n_new_docs": 1}, f)
+    with pytest.raises(ValidationError, match="interrupted append"):
+        Index.load(spark, path)
+    with pytest.raises(ValidationError, match="interrupted append"):
+        idx.add_documents(spark.createDataFrame([(1, "beta")], schema))
+    os.remove(os.path.join(path, APPEND_PENDING))
+    idx.add_documents(spark.createDataFrame([(1, "beta")], schema))
+    assert not os.path.exists(os.path.join(path, APPEND_PENDING))
+    assert Index.load(spark, path).docs.count() == 2
+
+
+def test_add_documents_missing_stored_columns_raises(spark):
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.errors import ValidationError
+
+    idx = create_index(
+        spark,
+        spark.createDataFrame([(0, "alpha", "en")],
+                              "doc_id long, body string, lang string"),
+        {"body": "text", "lang": "keyword"}, id_column="doc_id",
+    )
+    with pytest.raises(ValidationError, match="missing stored columns"):
+        idx.add_documents(
+            spark.createDataFrame([(1, "beta")], "doc_id long, body string")
+        )
+
+
 def test_add_documents_disk_appends_and_invalidates_segments(
     spark, tmp_path
 ):

@@ -83,6 +83,40 @@ def test_decode_pgm_ppm_bmp_real():
     assert (got == img).all()
 
 
+def test_decode_bmp8_applies_palette():
+    """8bpp BMP pixels are palette indices — an inverted-gray palette
+    must invert the output (code-review r02 finding 3)."""
+    w = h = 4
+    idx_px = np.arange(16, dtype=np.uint8).reshape(h, w)
+    pal = b"".join(
+        bytes([255 - i, 255 - i, 255 - i, 0]) for i in range(256)
+    )
+    row_bytes = (w + 3) & ~3
+    body = b""
+    for y in range(h - 1, -1, -1):
+        body += idx_px[y].tobytes() + b"\x00" * (row_bytes - w)
+    off = 14 + 40 + len(pal)
+    blob = (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<iiiHHIIiiII", 40, w, h, 1, 8, 0, len(body),
+                      2835, 2835, 256, 0)
+        + pal + body
+    )
+    got = mm.decode_image_gray(blob)
+    assert (got == (255 - idx_px)).all()
+
+
+def test_decode_degenerate_dimensions_rejected():
+    with pytest.raises(ValueError, match="degenerate"):
+        mm.decode_image_gray(b"P5\n0 0\n255\n")
+    with pytest.raises(NotImplementedError, match="OS/2"):
+        # 12-byte BITMAPCOREHEADER
+        mm.decode_image_gray(
+            b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+            + struct.pack("<IHHHH", 12, 2, 2, 1, 24)
+        )
+
+
 def test_decode_compressed_formats_fail_fast():
     with pytest.raises(NotImplementedError, match="JPEG"):
         mm.decode_image_gray(b"\xff\xd8\xff\xe0" + b"\x00" * 32)

@@ -183,6 +183,16 @@ def test_auto_strategy_routes_to_wand_and_matches(disk_index):
         ], q
 
 
+def test_auto_strategy_page_zero_routes(disk_index):
+    """page=0 is the first page — WAND-eligible like page=None."""
+    a = disk_index.search("merge", field_name="text", page=0,
+                          with_hit=False)
+    s = a._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in s
+    b = disk_index.search("merge", field_name="text", with_hit=False)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
 def test_wand_strategy_ineligible_raises(spark, disk_index):
     from lucene_clj_spark.errors import ValidationError
 
