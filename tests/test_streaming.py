@@ -1,0 +1,84 @@
+"""Structured-Streaming ingestion: micro-batch add_documents through
+foreachBatch, equivalence with the one-shot batch build, and restart
+(checkpoint) behavior."""
+
+import pytest
+
+from lucene_clj_spark import create_index
+from lucene_clj_spark.errors import ValidationError
+from lucene_clj_spark.streaming import stream_index
+
+SCHEMA = "doc_id long, body string"
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    return str(tmp_path / "in"), str(tmp_path / "ckpt")
+
+
+def test_stream_ingest_matches_batch_build(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    a = [(0, "alpha beta gamma"), (1, "beta gamma delta")]
+    b = [(2, "alpha alpha epsilon"), (3, "beta zeta")]
+    _write_batch(spark, src, a)
+    _write_batch(spark, src, b)
+
+    idx = create_index(
+        spark, spark.createDataFrame([], SCHEMA), {"body": "text"},
+        id_column="doc_id",
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = stream_index(stream, idx, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    ref = create_index(
+        spark, spark.createDataFrame(a + b, SCHEMA), {"body": "text"},
+        id_column="doc_id",
+    )
+    assert idx.stats == ref.stats
+    assert sorted(map(tuple, idx.terms.collect())) == sorted(
+        map(tuple, ref.terms.collect())
+    )
+    got = idx.search("beta", field_name="body", with_hit=False).collect()
+    want = ref.search("beta", field_name="body", with_hit=False).collect()
+    assert [(r["doc_id"], round(r["score"], 12)) for r in got] == [
+        (r["doc_id"], round(r["score"], 12)) for r in want
+    ]
+
+
+def test_stream_restart_does_not_duplicate(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    _write_batch(spark, src, [(0, "alpha beta")])
+    idx = create_index(
+        spark, spark.createDataFrame([], SCHEMA), {"body": "text"},
+        id_column="doc_id",
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    stream_index(stream, idx, checkpoint=ckpt).awaitTermination(120)
+    assert idx.stats["body"]["N"] == 1
+
+    # restart on the SAME checkpoint: the already-committed file must
+    # not replay; a genuinely new file must land
+    _write_batch(spark, src, [(1, "beta gamma")])
+    stream2 = spark.readStream.schema(SCHEMA).parquet(src)
+    stream_index(stream2, idx, checkpoint=ckpt).awaitTermination(120)
+    assert idx.stats["body"]["N"] == 2
+    assert idx.search("beta", field_name="body",
+                      with_hit=False).count() == 2
+
+
+def test_stream_index_rejects_batch_df(spark):
+    idx = create_index(
+        spark, spark.createDataFrame([(0, "alpha")], SCHEMA),
+        {"body": "text"}, id_column="doc_id",
+    )
+    with pytest.raises(ValidationError):
+        stream_index(
+            spark.createDataFrame([], SCHEMA), idx, checkpoint="/tmp/x"
+        )
