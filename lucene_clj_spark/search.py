@@ -687,6 +687,14 @@ def _wand_route(index, node: Node) -> tuple[str, list[str], str] | None:
         if t is None or t.field not in index.stats:
             return None
         return (t.field, [t.term], "or")
+    if isinstance(node, PhraseQ):
+        if (
+            node.boost != 1.0
+            or not node.terms
+            or node.field not in index.stats
+        ):
+            return None
+        return (node.field, list(node.terms), "phrase")
     if not (isinstance(node, BoolQ) and node.boost == 1.0 and node.clauses):
         return None
     occs = {occ for occ, _ in node.clauses}
@@ -754,12 +762,13 @@ def search(
     maps. ``hit_columns`` prunes which stored columns reach the fn.
 
     ``strategy``: 'auto' (default) routes eligible queries — unboosted
-    term / flat same-field AND/OR booleans on a segment-backed disk
-    index, first page, no keyset — through the block-max WAND kernel
-    (result-identical, pinned by test; the compressed-segment scan +
-    bounded heaps are the 100 TB path); 'dataframe' always uses the
-    exhaustive DataFrame plan; 'wand' requires eligibility and raises
-    otherwise."""
+    term / phrase / flat same-field AND/OR booleans on a segment-backed
+    disk index, first page, no keyset — through the segment kernels
+    (block-max WAND for term sets, the positions-decoding phrase
+    kernel for phrases; result-identical, pinned by test — the
+    compressed-segment scan + bounded heaps are the 100 TB path);
+    'dataframe' always uses the exhaustive DataFrame plan; 'wand'
+    requires eligibility and raises otherwise."""
     if strategy not in ("auto", "dataframe", "wand"):
         raise ValidationError(
             "strategy must be 'auto', 'dataframe', or 'wand'",
@@ -808,11 +817,16 @@ def search(
             if len(st) < len(terms_):
                 scores = _empty_scores(index)
         if scores is None:
-            from lucene_clj_spark.wand import wand_topk
+            from lucene_clj_spark.wand import phrase_topk, wand_topk
 
-            scores = wand_topk(
-                index, field_, terms_, k=results_per_page, mode=mode_
-            )
+            if mode_ == "phrase":
+                scores = phrase_topk(
+                    index, field_, terms_, k=results_per_page
+                )
+            else:
+                scores = wand_topk(
+                    index, field_, terms_, k=results_per_page, mode=mode_
+                )
     if scores is None:
         scores = compile_node(index, ast)
 

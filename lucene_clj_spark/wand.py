@@ -140,6 +140,211 @@ def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
     return kernel
 
 
+def _phrase_kernel_factory(
+    offsets: dict, term_idfs: dict, idf_sum: float, n_docs: int,
+    avgdl: float, k: int,
+):
+    """Per-partition exact-adjacency phrase kernel over compressed
+    segments. ``offsets`` maps term -> list of phrase offsets (handles
+    duplicate terms). Chunk-level skipping uses the derived bound
+    phrase_score <= idf_sum * min_t(chunk_max_block_score_t / idf_t)
+    (valid because phrase freq <= every member tf and x/(x+d) is
+    increasing in x)."""
+    uniq_terms = list(offsets)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)  # see wand kernel note on materialization
+        pdf = pd.concat(parts, ignore_index=True) if parts else None
+        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
+            {"doc_id": "int64", "score": "float64"}
+        )
+        if pdf is None or len(pdf) == 0:
+            yield empty
+            return
+        denom_cache = bm25.K1 * (
+            (1.0 - bm25.B)
+            + bm25.B * bm25.LENGTH_TABLE.astype(np.float64) / avgdl
+        )
+        heap: list[tuple[float, int]] = []
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -math.inf
+
+        tmax = pdf.groupby(["chunk", "term"])["block_max_score"].max()
+        # chunk bound: idf_sum * min over phrase terms of (max block
+        # score / idf); chunks missing any term can't match at all
+        ub = {}
+        for chunk, grp in tmax.groupby(level=0):
+            per_term = grp.droplevel(0)
+            if not all(t in per_term.index for t in uniq_terms):
+                continue
+            ub[chunk] = idf_sum * min(
+                float(per_term[t]) / term_idfs[t] for t in uniq_terms
+            )
+        by_chunk = dict(tuple(pdf.groupby("chunk")))
+        for chunk, upper in sorted(
+            ub.items(), key=lambda kv: -kv[1]
+        ):
+            if len(heap) >= k and upper < theta():
+                break
+            cpdf = by_chunk[chunk]
+            # decode each term's postings for this chunk
+            per_term: dict = {}
+            ok = True
+            for t in uniq_terms:
+                rows = cpdf[cpdf["term"] == t]
+                ids_l, tf_l, norm_l, pos_l = [], [], [], []
+                for row in rows.itertuples(index=False):
+                    ids = codec.delta_decode(
+                        codec.decode_varints(row.doc_deltas)
+                    )
+                    tfs = codec.decode_varints(row.tfs).astype(np.int64)
+                    ids_l.append(ids)
+                    tf_l.append(tfs)
+                    norm_l.append(
+                        np.frombuffer(row.norms, dtype=np.uint8)
+                    )
+                    pos_l.extend(
+                        codec.decode_positions(row.positions, tfs)
+                    )
+                if not ids_l:
+                    ok = False
+                    break
+                ids = np.concatenate(ids_l)
+                per_term[t] = (
+                    ids,
+                    {int(d): i for i, d in enumerate(ids)},
+                    pos_l,
+                    np.concatenate(norm_l),
+                )
+            if not ok:
+                continue
+            # candidate docs: present in EVERY phrase term (drive from
+            # the smallest posting set)
+            cands = None
+            for t in sorted(
+                uniq_terms, key=lambda t: per_term[t][0].size
+            ):
+                cands = (
+                    per_term[t][0]
+                    if cands is None
+                    else np.intersect1d(
+                        cands, per_term[t][0], assume_unique=True
+                    )
+                )
+            for d in cands.tolist():
+                inter = None
+                for t, offs in offsets.items():
+                    _, lookup, pos_l, _ = per_term[t]
+                    p = pos_l[lookup[d]]
+                    for off in offs:
+                        shifted = p - off
+                        inter = (
+                            shifted
+                            if inter is None
+                            else np.intersect1d(
+                                inter, shifted, assume_unique=True
+                            )
+                        )
+                        if inter.size == 0:
+                            break
+                    if inter is not None and inter.size == 0:
+                        break
+                freq = 0 if inter is None else int(inter.size)
+                if freq == 0:
+                    continue
+                t0 = uniq_terms[0]
+                norm = int(per_term[t0][3][per_term[t0][1][d]])
+                score = (
+                    idf_sum * freq / (freq + denom_cache[norm])
+                )
+                item = (float(score), -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+        yield pd.DataFrame(
+            {
+                "doc_id": [-nd for s, nd in heap],
+                "score": [s for s, nd in heap],
+            }
+        ).astype({"doc_id": "int64", "score": "float64"})
+
+    return kernel
+
+
+def phrase_topk(
+    index,
+    field: str,
+    terms: list[str],
+    k: int = 10,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact-adjacency (slop 0) phrase top-k over the compressed
+    segments — positions decode from the varint stream inside the
+    kernel, so a phrase never shuffles raw postings. Result-identical
+    to the DataFrame ``_scored_phrase`` path (PhraseQuery weight:
+    idf_sum with per-occurrence counts, shared phrase freq, quantized
+    norms)."""
+    import os
+
+    from lucene_clj_spark.segments import segments_meta
+
+    root = index.path
+    if not root or not os.path.isdir(os.path.join(root, "segments")):
+        raise ValueError(
+            "phrase_topk needs a disk index with built segments "
+            "(run segments.build_segments first)"
+        )
+    meta = segments_meta(root)
+    nb = meta["n_buckets"]
+    st = index.field_stats(field)
+    n_docs, avgdl = int(st["N"]), float(st["avgdl"])
+
+    offsets: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        offsets.setdefault(t, []).append(i)
+    uniq = list(offsets)
+    df_rows = (
+        index.terms.filter(
+            (F.col("field") == field) & F.col("term").isin(uniq)
+        )
+        .select("term", "df")
+        .collect()
+    )
+    term_idfs = {
+        r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in df_rows
+    }
+    if len(term_idfs) < len(uniq):  # a phrase term absent -> no match
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    idf_sum = sum(term_idfs[t] * len(offs) for t, offs in offsets.items())
+
+    bucket_row = (
+        index.spark.range(1)
+        .select(
+            *[
+                F.pmod(F.xxhash64(F.lit(t)), F.lit(nb)).alias(f"b{i}")
+                for i, t in enumerate(uniq)
+            ]
+        )
+        .collect()[0]
+    )
+    query_buckets = sorted({int(v) for v in bucket_row})
+    blocks = (
+        index.spark.read.parquet(os.path.join(root, "segments"))
+        .filter(F.col("bucket").isin(query_buckets))
+        .filter((F.col("field") == field) & F.col("term").isin(uniq))
+    )
+    npart = n_partitions or index.spark.sparkContext.defaultParallelism
+    co = blocks.repartitionByRange(npart, "chunk")
+    kernel = _phrase_kernel_factory(
+        offsets, term_idfs, idf_sum, n_docs, avgdl, k
+    )
+    local = co.mapInPandas(kernel, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
 def wand_topk(
     index,
     field: str,

@@ -168,6 +168,7 @@ def test_auto_strategy_routes_to_wand_and_matches(disk_index):
     DataFrame path."""
     for q, kw in [
         ("merge", {"field_name": "text"}),
+        ("the merge", {"field_name": "text"}),  # phrase kernel
         (["merge", "window"], {"field_name": "text"}),
         ({"text": {"merge", "dup", "vector"}}, {}),
     ]:
@@ -195,10 +196,10 @@ def test_auto_strategy_page_zero_routes(disk_index):
 
 def test_wand_strategy_ineligible_raises(spark, disk_index):
     from lucene_clj_spark.errors import ValidationError
+    from lucene_clj_spark.query import TermQ
 
-    with pytest.raises(ValidationError):  # phrase is not WAND-eligible
-        disk_index.search("the merge", field_name="text",
-                          strategy="wand")
+    with pytest.raises(ValidationError):  # boosted term not eligible
+        disk_index.search(TermQ(2.0, "text", "merge"), strategy="wand")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     from lucene_clj_spark import create_index
     mem = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
@@ -243,6 +244,44 @@ def test_fuzzy_results_match_memory_index(spark, disk_index):
                       with_hit=False).collect()
     got = disk_index.search({"text": "merg"}, fuzzy=True,
                             results_per_page=10, with_hit=False).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+
+@pytest.mark.parametrize("phrase", ["the merge", "row column sort"])
+def test_phrase_kernel_matches_dataframe_path(disk_index, phrase):
+    """The segment-resident phrase kernel (positions decode inside the
+    Arrow kernel, no raw-postings shuffle) must rank-and-score match
+    the DataFrame _scored_phrase path."""
+    from lucene_clj_spark.wand import phrase_topk
+
+    want = disk_index.search(phrase, field_name="text",
+                             results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = phrase_topk(disk_index, "text", phrase.split(), k=10).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_phrase_kernel_missing_term_empty(disk_index):
+    from lucene_clj_spark.wand import phrase_topk
+
+    assert phrase_topk(disk_index, "text",
+                       ["the", "zzzznotaterm"], k=5).collect() == []
+
+
+def test_phrase_kernel_duplicate_term(disk_index):
+    """A phrase with a repeated term ('the X the' shape) must count
+    idf twice and shift the same positions list twice."""
+    from lucene_clj_spark.wand import phrase_topk
+
+    phrase = ["the", "the"]
+    want = disk_index.search("the the", field_name="text",
+                             results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = phrase_topk(disk_index, "text", phrase, k=10).collect()
     assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
         (r["doc_id"], round(r["score"], 9)) for r in want
     ]
