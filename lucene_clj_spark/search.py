@@ -662,12 +662,16 @@ def compile_node(index, node: Node) -> DataFrame:
     raise ValidationError(f"cannot compile node {node!r}", {})
 
 
-def _wand_route(index, node: Node) -> tuple[str, list[str], str] | None:
-    """Decide whether a query can execute on the block-max WAND kernel
-    over compressed segments (the scale path): a single unboosted term,
-    or a flat all-MUST / all-SHOULD boolean of unboosted same-field
-    terms, against a disk index with built segments. Returns
-    (field, terms, mode) or None."""
+def _wand_route(
+    index, node: Node
+) -> tuple[str, Any, str, dict | None] | None:
+    """Decide whether a query can execute on the segment kernels (the
+    scale path): a term / boosted term, a flat all-MUST / all-SHOULD
+    boolean of same-field (possibly boosted) terms, an unboosted
+    phrase, or a single-field fuzzy — against a disk index with built
+    segments. Returns (field, terms_or_node, mode, term_weights) or
+    None; boosts ride as term_weights (scores and block-max skip
+    bounds scale linearly, so pruning stays exact)."""
     import os
 
     if not index.path:
@@ -675,18 +679,12 @@ def _wand_route(index, node: Node) -> tuple[str, list[str], str] | None:
     if not os.path.isdir(os.path.join(index.path, "segments")):
         return None
 
-    def ok_term(n: Node) -> TermQ | None:
-        t = _as_term(n)
-        if t is None or t.boost != 1.0:
-            return None
-        return t
-
     node = _flatten(node)
     if isinstance(node, TermQ):
-        t = ok_term(node)
-        if t is None or t.field not in index.stats:
+        if node.field not in index.stats:
             return None
-        return (t.field, [t.term], "or")
+        w = {node.term: node.boost} if node.boost != 1.0 else None
+        return (node.field, [node.term], "or", w)
     if isinstance(node, PhraseQ):
         if (
             node.boost != 1.0
@@ -694,27 +692,34 @@ def _wand_route(index, node: Node) -> tuple[str, list[str], str] | None:
             or node.field not in index.stats
         ):
             return None
-        return (node.field, list(node.terms), "phrase")
+        return (node.field, list(node.terms), "phrase", None)
+    if isinstance(node, FuzzyQ):
+        if node.field not in index.stats:
+            return None
+        return (node.field, node, "fuzzy", None)
     if not (isinstance(node, BoolQ) and node.boost == 1.0 and node.clauses):
         return None
     occs = {occ for occ, _ in node.clauses}
     if len(occs) != 1 or next(iter(occs)) not in (MUST, SHOULD):
         return None
-    terms, fields = [], set()
+    terms, fields, weights = [], set(), {}
     for _, n in node.clauses:
-        t = ok_term(n)
+        t = _as_term(n)
         if t is None:
             return None
         terms.append(t.term)
         fields.add(t.field)
+        weights[t.term] = t.boost
     if len(fields) != 1 or len(set(terms)) != len(terms):
-        # duplicate terms merge boosts (no longer 1.0 each) — fall back
+        # duplicate terms merge boosts per-(doc,term) — fall back
         return None
     field = next(iter(fields))
     if field not in index.stats:
         return None
     occ = next(iter(occs))
-    return (field, terms, "and" if occ == MUST else "or")
+    if all(w == 1.0 for w in weights.values()):
+        weights = None
+    return (field, terms, "and" if occ == MUST else "or", weights)
 
 
 def _validate_opts(results_per_page, page, search_after):
@@ -809,13 +814,26 @@ def search(
             {},
         )
     if route is not None:
-        field_, terms_, mode_ = route
+        field_, terms_, mode_, weights_ = route
         if mode_ == "and":
             # a MUST term absent from the dictionary empties the result
             # (the kernel would silently drop it instead)
             st = _lookup_term_stats(index, [(field_, t) for t in terms_])
             if len(st) < len(terms_):
                 scores = _empty_scores(index)
+        elif mode_ == "fuzzy":
+            # expand driver-side (memoized), then run the weighted-OR
+            # kernel with the closeness boosts as term weights
+            fnode = terms_
+            exp = _fuzzy_expansions(index, fnode)
+            if not exp:
+                scores = _empty_scores(index)
+            else:
+                terms_ = [t for t, _, _ in exp]
+                weights_ = {
+                    t: fb * fnode.boost for t, _, fb in exp
+                }
+                mode_ = "or"
         if scores is None:
             from lucene_clj_spark.wand import phrase_topk, wand_topk
 
@@ -825,7 +843,8 @@ def search(
                 )
             else:
                 scores = wand_topk(
-                    index, field_, terms_, k=results_per_page, mode=mode_
+                    index, field_, terms_, k=results_per_page, mode=mode_,
+                    term_weights=weights_,
                 )
     if scores is None:
         scores = compile_node(index, ast)

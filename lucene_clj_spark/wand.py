@@ -43,7 +43,12 @@ from lucene_clj_spark import bm25, codec
 
 def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
                     mode: str):
-    """Per-partition WAND kernel for mapInPandas."""
+    """Per-partition WAND kernel for mapInPandas.
+
+    ``term_idfs`` may carry WEIGHTED idfs (idf * per-term boost): the
+    per-posting score and every block/chunk upper bound scale linearly
+    in the weight, so the caller pre-scales both the idf map and the
+    ``block_max_score`` column and the skip logic stays exact."""
     n_terms_required = len(term_idfs) if mode == "and" else 1
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -352,10 +357,14 @@ def wand_topk(
     k: int = 10,
     mode: str = "or",
     n_partitions: int | None = None,
+    term_weights: dict | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a multi-term query over the compressed
     segments, via the block-max kernel. ``mode`` = 'or' (SHOULD sum) or
-    'and' (MUST intersection, scores summed)."""
+    'and' (MUST intersection, scores summed). ``term_weights`` scales
+    each term's contribution (query boosts / fuzzy closeness boosts):
+    scores and skip bounds both scale linearly, so pruning stays
+    exact."""
     import os
 
     from lucene_clj_spark.segments import segments_meta
@@ -379,8 +388,10 @@ def wand_topk(
         .select("term", "df")
         .collect()
     )
+    weights = term_weights or {}
     term_idfs = {
-        r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        r["term"]: weights.get(r["term"], 1.0)
+        * math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
         for r in df_rows
     }
     if not term_idfs:
@@ -405,6 +416,16 @@ def wand_topk(
         .filter(F.col("bucket").isin(query_buckets))
         .filter((F.col("field") == field) & F.col("term").isin(list(term_idfs)))
     )
+    if weights:
+        # skip bounds must scale with the weighted scores
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        blocks = blocks.withColumn(
+            "block_max_score",
+            F.col("block_max_score")
+            * F.coalesce(wmap[F.col("term")], F.lit(1.0)),
+        )
 
     npart = n_partitions or index.spark.sparkContext.defaultParallelism
     co = blocks.repartitionByRange(npart, "chunk")

@@ -184,6 +184,40 @@ def test_auto_strategy_routes_to_wand_and_matches(disk_index):
         ], q
 
 
+def test_boosted_or_routes_with_weights(disk_index):
+    """Per-term boosts ride the kernel as term weights — scores and
+    skip bounds scale linearly, results match the DataFrame path."""
+    from lucene_clj_spark.query import parse_dsl
+
+    node = parse_dsl("merge^2 window", "text", disk_index.specs,
+                     disk_index.analyzers)
+    auto = disk_index.search(node, results_per_page=10, with_hit=False)
+    s = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in s
+    want = disk_index.search(node, results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = auto.collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_fuzzy_routes_through_weighted_kernel(disk_index):
+    """Fuzzy on a segment-backed index runs as a weighted-OR over the
+    expanded terms (closeness boosts as weights)."""
+    auto = disk_index.search({"text": "merg"}, fuzzy=True,
+                             results_per_page=10, with_hit=False)
+    s = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in s
+    want = disk_index.search({"text": "merg"}, fuzzy=True,
+                             results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = auto.collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+
 def test_auto_strategy_page_zero_routes(disk_index):
     """page=0 is the first page — WAND-eligible like page=None."""
     a = disk_index.search("merge", field_name="text", page=0,
@@ -196,10 +230,10 @@ def test_auto_strategy_page_zero_routes(disk_index):
 
 def test_wand_strategy_ineligible_raises(spark, disk_index):
     from lucene_clj_spark.errors import ValidationError
-    from lucene_clj_spark.query import TermQ
 
-    with pytest.raises(ValidationError):  # boosted term not eligible
-        disk_index.search(TermQ(2.0, "text", "merge"), strategy="wand")
+    with pytest.raises(ValidationError):  # multi-field AND not eligible
+        disk_index.search({"text": "merge", "lang": "de"},
+                          strategy="wand")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     from lucene_clj_spark import create_index
     mem = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
