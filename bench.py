@@ -210,6 +210,16 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
                 timed(lambda: wand_topk(
                     didx, "text", ["merge", "window"], k=10,
                     mode="and").collect(), name="q_wand_and"), 4)
+            # auto-routed segment kernels (phrase positions decode,
+            # fuzzy weighted-OR) — the engine's default disk hot path
+            queries["q_seg_phrase"] = round(
+                timed(lambda: didx.search(
+                    "the merge", field_name="text",
+                    with_hit=False).collect(), name="q_seg_phrase"), 4)
+            queries["q_seg_fuzzy"] = round(
+                timed(lambda: didx.search(
+                    {"text": "merg"}, fuzzy=True,
+                    with_hit=False).collect(), name="q_seg_fuzzy"), 4)
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
 

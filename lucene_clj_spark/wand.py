@@ -193,39 +193,39 @@ def _phrase_kernel_factory(
             if len(heap) >= k and upper < theta():
                 break
             cpdf = by_chunk[chunk]
-            # decode each term's postings for this chunk
+            # Phase 1: decode ONLY doc ids (cheap) per term; positions
+            # stay as raw varint buffers until a block is known to hold
+            # a candidate — positions are the bulk of segment bytes, so
+            # lazy decode skips most of the frequent term's blocks.
             per_term: dict = {}
             ok = True
             for t in uniq_terms:
                 rows = cpdf[cpdf["term"] == t]
-                ids_l, tf_l, norm_l, pos_l = [], [], [], []
+                blocks = []
                 for row in rows.itertuples(index=False):
                     ids = codec.delta_decode(
                         codec.decode_varints(row.doc_deltas)
                     )
-                    tfs = codec.decode_varints(row.tfs).astype(np.int64)
-                    ids_l.append(ids)
-                    tf_l.append(tfs)
-                    norm_l.append(
-                        np.frombuffer(row.norms, dtype=np.uint8)
+                    blocks.append(
+                        {
+                            "ids": ids,
+                            "tfs_buf": row.tfs,
+                            "norms": row.norms,
+                            "pos_buf": row.positions,
+                            "flat": None,  # decoded lazily
+                        }
                     )
-                    pos_l.extend(
-                        codec.decode_positions(row.positions, tfs)
-                    )
-                if not ids_l:
+                if not blocks:
                     ok = False
                     break
-                ids = np.concatenate(ids_l)
-                per_term[t] = (
-                    ids,
-                    {int(d): i for i, d in enumerate(ids)},
-                    pos_l,
-                    np.concatenate(norm_l),
+                blocks.sort(key=lambda b: int(b["ids"][0]))
+                all_ids = np.concatenate([b["ids"] for b in blocks])
+                firsts = np.array(
+                    [int(b["ids"][0]) for b in blocks], dtype=np.int64
                 )
+                per_term[t] = (all_ids, blocks, firsts)
             if not ok:
                 continue
-            # candidate docs: present in EVERY phrase term (drive from
-            # the smallest posting set)
             cands = None
             for t in sorted(
                 uniq_terms, key=lambda t: per_term[t][0].size
@@ -237,11 +237,40 @@ def _phrase_kernel_factory(
                         cands, per_term[t][0], assume_unique=True
                     )
                 )
+
+            def doc_positions(t, d):
+                """Positions (and norm byte) of doc d for term t —
+                decodes the containing block's streams on first touch."""
+                _, blocks, firsts = per_term[t]
+                bi = int(np.searchsorted(firsts, d, side="right")) - 1
+                b = blocks[bi]
+                if b["flat"] is None:
+                    tfs = codec.decode_varints(b["tfs_buf"]).astype(
+                        np.int64
+                    )
+                    b["tfs"] = tfs
+                    b["starts"] = np.concatenate(
+                        ([0], np.cumsum(tfs)[:-1])
+                    )
+                    b["flat"] = codec.decode_varints(
+                        b["pos_buf"]
+                    ).astype(np.int64)
+                    b["norms_a"] = np.frombuffer(
+                        b["norms"], dtype=np.uint8
+                    )
+                i = int(np.searchsorted(b["ids"], d))
+                s = int(b["starts"][i])
+                n = int(b["tfs"][i])
+                return (
+                    np.cumsum(b["flat"][s : s + n]),
+                    int(b["norms_a"][i]),
+                )
+
             for d in cands.tolist():
                 inter = None
+                norm = None
                 for t, offs in offsets.items():
-                    _, lookup, pos_l, _ = per_term[t]
-                    p = pos_l[lookup[d]]
+                    p, norm = doc_positions(t, d)
                     for off in offs:
                         shifted = p - off
                         inter = (
@@ -258,8 +287,6 @@ def _phrase_kernel_factory(
                 freq = 0 if inter is None else int(inter.size)
                 if freq == 0:
                     continue
-                t0 = uniq_terms[0]
-                norm = int(per_term[t0][3][per_term[t0][1][d]])
                 score = (
                     idf_sum * freq / (freq + denom_cache[norm])
                 )
