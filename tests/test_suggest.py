@@ -58,6 +58,36 @@ def test_suggest_skip_duplicates(sample_index):
     assert got == ["Oliver"]
 
 
+def test_disk_suggest_plan_prunes(spark, tmp_path):
+    """On a persisted index, a prefix suggest must (a) push the
+    StartsWith predicate into the parquet scan (range-partitioned,
+    key-sorted files -> row-group min/max skipping) and (b) run top-k
+    as TakeOrderedAndProject, not a global sort — the §2.5 scale
+    contract."""
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.indexer import Index
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).limit(200)
+    path = str(tmp_path / "sugidx")
+    create_index(
+        spark, docs,
+        {"text": "text",
+         "source": {"type": "keyword", "suggest": {"weight": 2}}},
+        id_column="doc_id", path=path, index_type="disk",
+        re_create=True, ignore_extra_columns=True,
+    )
+    idx = Index.load(spark, path)
+    out = idx.suggest_("source", "sr", with_hit=False)
+    s = out._jdf.queryExecution().executedPlan().toString()
+    # the PushedFilters list is elided in toString; the prefix shows
+    assert "StringStartsWith(completion_" in s
+    assert "EqualTo(field,source)" in s
+    assert "TakeOrderedAndProject" in s
+    assert out.count() >= 0  # executes cleanly
+
+
 def test_suggest_validation(sample_index):
     from lucene_clj_spark.errors import ValidationError
 
