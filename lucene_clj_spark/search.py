@@ -766,9 +766,10 @@ def search(
     Spark needs a declared schema where Clojure returned free-form
     maps. ``hit_columns`` prunes which stored columns reach the fn.
 
-    ``strategy``: 'auto' (default) routes eligible queries — unboosted
-    term / phrase / flat same-field AND/OR booleans on a segment-backed
-    disk index, first page, no keyset — through the segment kernels
+    ``strategy``: 'auto' (default) routes eligible queries — term /
+    phrase / flat same-field AND/OR booleans (boosts ride as kernel
+    weights) / fuzzy on a segment-backed disk index, any page, no
+    keyset — through the segment kernels
     (block-max WAND for term sets, the positions-decoding phrase
     kernel for phrases; result-identical, pinned by test — the
     compressed-segment scan + bounded heaps are the 100 TB path);
@@ -800,17 +801,16 @@ def search(
 
     scores = None
     route = None
-    if (
-        strategy in ("auto", "wand")
-        and not page  # None or 0 — both mean the first page
-        and search_after is None
-    ):
+    # kernels serve any page by fetching k*(page+1) into the bounded
+    # heaps; search_after stays on the DataFrame path (its keyset
+    # filter applies BEFORE top-k, which a k-bounded kernel can't see)
+    kernel_k = results_per_page * ((page or 0) + 1)
+    if strategy in ("auto", "wand") and search_after is None:
         route = _wand_route(index, ast)
     if strategy == "wand" and route is None:
         raise ValidationError(
             "strategy='wand' requires a segment-backed disk index and a "
-            "flat unboosted same-field term/AND/OR query (first page, "
-            "no search_after)",
+            "same-field term/AND/OR/phrase/fuzzy query (no search_after)",
             {},
         )
     if route is not None:
@@ -838,12 +838,10 @@ def search(
             from lucene_clj_spark.wand import phrase_topk, wand_topk
 
             if mode_ == "phrase":
-                scores = phrase_topk(
-                    index, field_, terms_, k=results_per_page
-                )
+                scores = phrase_topk(index, field_, terms_, k=kernel_k)
             else:
                 scores = wand_topk(
-                    index, field_, terms_, k=results_per_page, mode=mode_,
+                    index, field_, terms_, k=kernel_k, mode=mode_,
                     term_weights=weights_,
                 )
     if scores is None:

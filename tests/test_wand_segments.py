@@ -228,6 +228,23 @@ def test_auto_strategy_page_zero_routes(disk_index):
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
 
 
+def test_auto_strategy_page2_matches_dataframe(disk_index):
+    """Later pages route too: the kernel fetches k*(page+1) into its
+    heaps, then the page window drops the earlier rows."""
+    a = disk_index.search("the", field_name="text", page=2,
+                          results_per_page=5, with_hit=False)
+    s = a._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in s
+    want = disk_index.search("the", field_name="text", page=2,
+                             results_per_page=5, with_hit=False,
+                             strategy="dataframe").collect()
+    got = a.collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+    assert len(got) == 5
+
+
 def test_wand_strategy_ineligible_raises(spark, disk_index):
     from lucene_clj_spark.errors import ValidationError
 
