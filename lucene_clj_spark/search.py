@@ -681,7 +681,9 @@ def _wand_route(
 
     node = _flatten(node)
     if isinstance(node, TermQ):
-        if node.field not in index.stats:
+        if node.field not in index.stats or node.boost <= 0:
+            # non-positive boosts invert the kernel's block-max upper
+            # bounds (pruning would skip true top-k docs) — fall back
             return None
         w = {node.term: node.boost} if node.boost != 1.0 else None
         return (node.field, [node.term], "or", w)
@@ -694,7 +696,7 @@ def _wand_route(
             return None
         return (node.field, list(node.terms), "phrase", None)
     if isinstance(node, FuzzyQ):
-        if node.field not in index.stats:
+        if node.field not in index.stats or node.boost <= 0:
             return None
         return (node.field, node, "fuzzy", None)
     if not (isinstance(node, BoolQ) and node.boost == 1.0 and node.clauses):
@@ -713,6 +715,8 @@ def _wand_route(
     if len(fields) != 1 or len(set(terms)) != len(terms):
         # duplicate terms merge boosts per-(doc,term) — fall back
         return None
+    if any(w <= 0 for w in weights.values()):
+        return None  # see the non-positive-boost note above
     field = next(iter(fields))
     if field not in index.stats:
         return None
@@ -859,7 +863,7 @@ def search(
             (F.col("score") < F.lit(s))
             | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))
         )
-    fetch = k * ((page or 0) + 1)
+    fetch = kernel_k  # k * (page+1) — same arithmetic both paths
     top = scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(fetch)
     if page:
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))

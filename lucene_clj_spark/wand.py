@@ -145,9 +145,63 @@ def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
     return kernel
 
 
+def _segment_scan(index, field: str, terms: list[str]):
+    """Shared driver preamble for the segment kernels: validate the
+    segments dir, resolve corpus stats and per-term idfs (one tiny
+    terms-table action), resolve bucket literals (one tiny JVM eval of
+    the writer's xxhash64), and return the bucket/term-filtered blocks
+    scan. Returns (n_docs, avgdl, term_idfs, blocks) — term_idfs may
+    be missing absent terms."""
+    import os
+
+    from lucene_clj_spark.segments import segments_meta
+
+    root = index.path
+    if not root or not os.path.isdir(os.path.join(root, "segments")):
+        raise ValueError(
+            "segment kernels need a disk index with built segments "
+            "(run segments.build_segments first)"
+        )
+    meta = segments_meta(root)
+    nb = meta["n_buckets"]
+    st = index.field_stats(field)
+    n_docs, avgdl = int(st["N"]), float(st["avgdl"])
+    uniq = sorted(set(terms))
+    df_rows = (
+        index.terms.filter(
+            (F.col("field") == field) & F.col("term").isin(uniq)
+        )
+        .select("term", "df")
+        .collect()
+    )
+    term_idfs = {
+        r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        for r in df_rows
+    }
+    present = sorted(term_idfs)
+    if not present:
+        return n_docs, avgdl, term_idfs, None
+    bucket_row = (
+        index.spark.range(1)
+        .select(
+            *[
+                F.pmod(F.xxhash64(F.lit(t)), F.lit(nb)).alias(f"b{i}")
+                for i, t in enumerate(present)
+            ]
+        )
+        .collect()[0]
+    )
+    query_buckets = sorted({int(v) for v in bucket_row})
+    blocks = (
+        index.spark.read.parquet(os.path.join(root, "segments"))
+        .filter(F.col("bucket").isin(query_buckets))
+        .filter((F.col("field") == field) & F.col("term").isin(present))
+    )
+    return n_docs, avgdl, term_idfs, blocks
+
+
 def _phrase_kernel_factory(
-    offsets: dict, term_idfs: dict, idf_sum: float, n_docs: int,
-    avgdl: float, k: int,
+    offsets: dict, term_idfs: dict, idf_sum: float, avgdl: float, k: int,
 ):
     """Per-partition exact-adjacency phrase kernel over compressed
     segments. ``offsets`` maps term -> list of phrase offsets (handles
@@ -240,7 +294,8 @@ def _phrase_kernel_factory(
 
             def doc_positions(t, d):
                 """Positions (and norm byte) of doc d for term t —
-                decodes the containing block's streams on first touch."""
+                decodes the containing block's streams (via the codec)
+                on first touch; untouched blocks never decode."""
                 _, blocks, firsts = per_term[t]
                 bi = int(np.searchsorted(firsts, d, side="right")) - 1
                 b = blocks[bi]
@@ -248,23 +303,12 @@ def _phrase_kernel_factory(
                     tfs = codec.decode_varints(b["tfs_buf"]).astype(
                         np.int64
                     )
-                    b["tfs"] = tfs
-                    b["starts"] = np.concatenate(
-                        ([0], np.cumsum(tfs)[:-1])
-                    )
-                    b["flat"] = codec.decode_varints(
-                        b["pos_buf"]
-                    ).astype(np.int64)
+                    b["flat"] = codec.decode_positions(b["pos_buf"], tfs)
                     b["norms_a"] = np.frombuffer(
                         b["norms"], dtype=np.uint8
                     )
                 i = int(np.searchsorted(b["ids"], d))
-                s = int(b["starts"][i])
-                n = int(b["tfs"][i])
-                return (
-                    np.cumsum(b["flat"][s : s + n]),
-                    int(b["norms_a"][i]),
-                )
+                return b["flat"][i], int(b["norms_a"][i])
 
             for d in cands.tolist():
                 inter = None
@@ -318,61 +362,18 @@ def phrase_topk(
     to the DataFrame ``_scored_phrase`` path (PhraseQuery weight:
     idf_sum with per-occurrence counts, shared phrase freq, quantized
     norms)."""
-    import os
-
-    from lucene_clj_spark.segments import segments_meta
-
-    root = index.path
-    if not root or not os.path.isdir(os.path.join(root, "segments")):
-        raise ValueError(
-            "phrase_topk needs a disk index with built segments "
-            "(run segments.build_segments first)"
-        )
-    meta = segments_meta(root)
-    nb = meta["n_buckets"]
-    st = index.field_stats(field)
-    n_docs, avgdl = int(st["N"]), float(st["avgdl"])
-
     offsets: dict[str, list[int]] = {}
     for i, t in enumerate(terms):
         offsets.setdefault(t, []).append(i)
-    uniq = list(offsets)
-    df_rows = (
-        index.terms.filter(
-            (F.col("field") == field) & F.col("term").isin(uniq)
-        )
-        .select("term", "df")
-        .collect()
-    )
-    term_idfs = {
-        r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-        for r in df_rows
-    }
-    if len(term_idfs) < len(uniq):  # a phrase term absent -> no match
+    _, avgdl, term_idfs, blocks = _segment_scan(index, field, terms)
+    if blocks is None or len(term_idfs) < len(offsets):
+        # a phrase term absent from the dictionary -> no match
         return index.spark.createDataFrame([], "doc_id long, score double")
     idf_sum = sum(term_idfs[t] * len(offs) for t, offs in offsets.items())
 
-    bucket_row = (
-        index.spark.range(1)
-        .select(
-            *[
-                F.pmod(F.xxhash64(F.lit(t)), F.lit(nb)).alias(f"b{i}")
-                for i, t in enumerate(uniq)
-            ]
-        )
-        .collect()[0]
-    )
-    query_buckets = sorted({int(v) for v in bucket_row})
-    blocks = (
-        index.spark.read.parquet(os.path.join(root, "segments"))
-        .filter(F.col("bucket").isin(query_buckets))
-        .filter((F.col("field") == field) & F.col("term").isin(uniq))
-    )
     npart = n_partitions or index.spark.sparkContext.defaultParallelism
     co = blocks.repartitionByRange(npart, "chunk")
-    kernel = _phrase_kernel_factory(
-        offsets, term_idfs, idf_sum, n_docs, avgdl, k
-    )
+    kernel = _phrase_kernel_factory(offsets, term_idfs, idf_sum, avgdl, k)
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -392,57 +393,13 @@ def wand_topk(
     each term's contribution (query boosts / fuzzy closeness boosts):
     scores and skip bounds both scale linearly, so pruning stays
     exact."""
-    import os
-
-    from lucene_clj_spark.segments import segments_meta
-
-    root = index.path
-    if not root or not os.path.isdir(os.path.join(root, "segments")):
-        raise ValueError(
-            "wand_topk needs a disk index with built segments "
-            "(run segments.build_segments first)"
-        )
-    meta = segments_meta(root)
-    nb = meta["n_buckets"]
-    st = index.field_stats(field)
-    n_docs, avgdl = int(st["N"]), float(st["avgdl"])
-
-    # tiny driver-side df lookup for the query terms -> exact idf
-    df_rows = (
-        index.terms.filter(
-            (F.col("field") == field) & F.col("term").isin(list(terms))
-        )
-        .select("term", "df")
-        .collect()
-    )
     weights = term_weights or {}
-    term_idfs = {
-        r["term"]: weights.get(r["term"], 1.0)
-        * math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-        for r in df_rows
-    }
-    if not term_idfs:
+    n_docs, avgdl, term_idfs, blocks = _segment_scan(index, field, terms)
+    if blocks is None:
         return index.spark.createDataFrame([], "doc_id long, score double")
-
-    # partition pruning: resolve each query term's bucket (one tiny JVM
-    # eval of the same xxhash64 the writer used), then filter bucket IN
-    # literals -> parquet directory pruning
-    bucket_row = (
-        index.spark.range(1)
-        .select(
-            *[
-                F.pmod(F.xxhash64(F.lit(t)), F.lit(nb)).alias(f"b{i}")
-                for i, t in enumerate(term_idfs)
-            ]
-        )
-        .collect()[0]
-    )
-    query_buckets = sorted({int(v) for v in bucket_row})
-    blocks = (
-        index.spark.read.parquet(os.path.join(root, "segments"))
-        .filter(F.col("bucket").isin(query_buckets))
-        .filter((F.col("field") == field) & F.col("term").isin(list(term_idfs)))
-    )
+    term_idfs = {
+        t: weights.get(t, 1.0) * idf for t, idf in term_idfs.items()
+    }
     if weights:
         # skip bounds must scale with the weighted scores
         wmap = F.create_map(

@@ -259,6 +259,22 @@ def test_wand_strategy_ineligible_raises(spark, disk_index):
         mem.search("merge", field_name="text", strategy="wand")
 
 
+def test_negative_boost_not_kernel_routed(disk_index):
+    """A non-positive boost would invert the kernel's block-max upper
+    bounds (pruning could skip true top-k docs) — such queries must
+    fall back to the DataFrame path (code-review r02b finding 1)."""
+    from lucene_clj_spark.errors import ValidationError
+    from lucene_clj_spark.query import SHOULD, BoolQ, TermQ
+
+    node = BoolQ(1.0, ((SHOULD, TermQ(-1.0, "text", "the")),
+                       (SHOULD, TermQ(3.0, "text", "merge"))))
+    plan = disk_index.search(node, with_hit=False)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in s
+    with pytest.raises(ValidationError):
+        disk_index.search(node, strategy="wand")
+
+
 def test_auto_strategy_missing_must_term_empty(disk_index):
     got = disk_index.search(["merge", "zzzznotaterm"], field_name="text",
                             with_hit=False).collect()
