@@ -122,6 +122,50 @@ def test_group_tree_plan_matches_generic_path(sample_index, monkeypatch):
     assert len(got) > 0  # Shikari + Wonder match; Clark killed by NOT
 
 
+def test_group_tree_random_shapes_match_generic(sample_index, monkeypatch):
+    """Property check: for randomized one-level boolean trees (MUST /
+    SHOULD / MUST_NOT over terms and OR-groups, with boosts), the
+    single-scan group-tree plan and the generic join-per-clause path
+    agree doc-for-doc and score-for-score."""
+    import random
+
+    from lucene_clj_spark import search as S
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, TermQ
+
+    vocab = ["shikari", "suppandi", "wonder", "strong", "love",
+             "antics", "innocent", "zzznope"]
+    fields = ["first_name", "bio"]
+    rng = random.Random(7)
+
+    def rand_leaf():
+        return TermQ(rng.choice([1.0, 1.0, 2.0, 0.5]),
+                     rng.choice(fields), rng.choice(vocab))
+
+    def rand_group():
+        n = rng.randint(1, 3)
+        return BoolQ(rng.choice([1.0, 1.0, 3.0]),
+                     tuple((SHOULD, rand_leaf()) for _ in range(n)))
+
+    for trial in range(12):
+        clauses = []
+        for _ in range(rng.randint(2, 4)):
+            occ = rng.choice([MUST, SHOULD, SHOULD, "MUST_NOT"])
+            child = rand_leaf() if rng.random() < 0.5 else rand_group()
+            clauses.append((occ, child))
+        if all(occ == "MUST_NOT" for occ, _ in clauses):
+            clauses.append((SHOULD, rand_leaf()))
+        node = BoolQ(1.0, tuple(clauses))
+        got = sample_index.search(node, results_per_page=20,
+                                  with_hit=False).collect()
+        monkeypatch.setattr(S, "_group_tree_clauses", lambda n: None)
+        want = sample_index.search(node, results_per_page=20,
+                                   with_hit=False).collect()
+        monkeypatch.undo()
+        assert [(r["doc_id"], round(r["score"], 10)) for r in got] == [
+            (r["doc_id"], round(r["score"], 10)) for r in want
+        ], f"trial {trial}: {node}"
+
+
 def test_group_tree_single_postings_scan(spark, tmp_path_factory):
     """(a OR b) AND c compiles to ONE postings scan + two aggregations,
     not one join per clause (scale contract of _scored_group_tree)."""
