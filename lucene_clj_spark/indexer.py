@@ -228,6 +228,12 @@ class Index:
                 indent=1,
             )
         self.path = path
+        # record the layout so a later add_documents on THIS object
+        # appends under the same bucket count the directories were
+        # written with (ADVICE r02: a default-bucket append onto a
+        # custom-bucket layout would silently miss postings at query
+        # time once _bucket_pruned filters on the wrong pmod)
+        self.buckets = n_buckets
         return self
 
     @staticmethod
@@ -443,8 +449,29 @@ class Index:
                 )
             with open(pending, "w") as f:
                 json.dump({"n_new_docs": n_new}, f)
-            _write_postings(post_new, self.path, self.n_buckets(),
-                            "append")
+            # the sidecar is the authority on the on-disk bucket layout
+            # (ADVICE r02): an Index object whose ``buckets`` drifted
+            # from the directories (e.g. constructed by hand) must not
+            # append under a different pmod
+            nb = self.n_buckets()
+            if os.path.isfile(stats_file := os.path.join(
+                    self.path, "_stats.json")):
+                with open(stats_file) as f:
+                    nb = int(json.load(f).get("n_buckets") or nb)
+                self.buckets = nb
+            post_dir = f"{self.path}/postings"
+            if os.path.isdir(post_dir) and not any(
+                d.startswith("bucket=") for d in os.listdir(post_dir)
+            ):
+                # post-truncate state: the dir holds only an empty flat
+                # relation (no bucket= partitions). Appending partition
+                # directories next to flat part files would produce a
+                # layout Spark refuses to read (ADVICE r02) — replace
+                # the empty relation with a fresh partitioned write.
+                shutil.rmtree(post_dir)
+                _write_postings(post_new, self.path, nb, "overwrite")
+            else:
+                _write_postings(post_new, self.path, nb, "append")
             docs_out.write.mode("append").parquet(f"{self.path}/docs")
             # terms: materialize the merge to a tmp dir FIRST (it reads
             # the live terms dir), then swap (rmtree+rename — a crash

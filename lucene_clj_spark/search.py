@@ -838,7 +838,24 @@ def search(
                     t: fb * fnode.boost for t, _, fb in exp
                 }
                 mode_ = "or"
-        if scores is None:
+                if any(w <= 0 for w in weights_.values()):
+                    # closeness boost 1 - edits/min(|q|,|t|) can be <= 0
+                    # for short terms; a non-positive weight inverts the
+                    # kernel's block-max upper bounds (pruning would
+                    # skip true top-k docs) — same hazard _wand_route
+                    # guards for term boosts (ADVICE r02). Fall back.
+                    if strategy == "wand":
+                        raise ValidationError(
+                            "strategy='wand' cannot run this fuzzy "
+                            "query: an expansion's closeness weight is "
+                            "non-positive (short query term), which "
+                            "would invert the kernel's skip bounds",
+                            {"weights": weights_},
+                        )
+                    route = None
+                    scores = None
+                    terms_ = None
+        if scores is None and route is not None:
             from lucene_clj_spark.wand import phrase_topk, wand_topk
 
             if mode_ == "phrase":

@@ -4,21 +4,34 @@ stream of documents.
 The reference is batch-only (README.org:43-46), but its repeated
 ``index!``-on-an-open-writer usage pattern maps directly onto Spark's
 micro-batch model: each epoch is one ``Index.add_documents`` call
-(indexer.py) inside ``foreachBatch``. Exactly-once ingestion comes
-from two independent layers:
+(indexer.py) inside ``foreachBatch``.
 
-1. the streaming checkpoint (source offsets are committed only after
-   the batch function returns, so a crashed epoch replays), and
-2. the engine's own guards — the doc_id collision check rejects a
-   replayed batch that already landed, and the ``_append_pending``
-   journal refuses an index left partial by a mid-append crash.
+Delivery semantics — no-duplicates, replay-idempotent:
+
+1. the streaming checkpoint commits source offsets only AFTER the
+   batch function returns, so a crashed epoch replays;
+2. a replayed batch whose doc_ids are ALL already present is detected
+   and skipped (the crash happened between sink completion and
+   checkpoint commit — the batch is fully applied, re-applying would
+   duplicate), so restarts make progress instead of tripping the
+   collision guard forever;
+3. a batch whose doc_ids are only PARTIALLY present is a genuine id
+   collision with pre-existing documents and fails the query (the
+   engine keys on doc_id; Lucene would happily duplicate);
+4. a crash in the MIDDLE of an append leaves ``_append_pending.json``
+   on the index — ``Index.load`` and further appends refuse until the
+   index is rebuilt (re_create) or restored. Recovery is manual by
+   design: the parquet layout has no transactional catalog (an
+   Iceberg-backed deployment gets atomic appends and loses this case).
 
 Scale notes: each micro-batch runs the same one-pass flat inversion as
 the batch build (no token shuffle) and appends to the bucket-
-partitioned postings layout via the shared writer; derived segments
-are invalidated per append, so schedule ``build_segments`` on a cadence
-(e.g. every N epochs or on a timer), exactly like Lucene's background
-merges.
+partitioned postings layout via the shared writer; if compressed
+segments are built, each append encodes the batch into DELTA segment
+files per bucket (segments.append_segments) — Lucene's flush-then-merge
+model — so WAND queries see new docs without a rebuild; schedule
+``segments.merge_segments`` on a cadence, exactly like Lucene's
+background merges.
 """
 
 from __future__ import annotations
@@ -26,8 +39,44 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from lucene_clj_spark.errors import ValidationError
+
+
+def ingest_batch(
+    index: Any,
+    batch_df: DataFrame,
+    *,
+    id_column: str = "doc_id",
+    ignore_extra_columns: bool = False,
+) -> bool:
+    """Apply one micro-batch to ``index`` idempotently. Returns True if
+    the batch was appended, False if it was recognized as a fully
+    applied replay and skipped. Raises on partial overlap (genuine
+    doc_id collision)."""
+    ids = batch_df.select(
+        F.col(id_column).cast("long").alias("doc_id")
+    ).distinct()
+    counts = ids.join(
+        index.docs.select("doc_id"), "doc_id", "left_semi"
+    ).count(), ids.count()
+    present, total = counts
+    if total and present == total:
+        return False  # fully applied replay — skip (idempotent)
+    if present:
+        raise ValidationError(
+            "streaming batch doc_ids partially collide with existing "
+            f"documents ({present}/{total} present) — not a replay; "
+            "refusing to double-apply",
+            {"present": present, "total": total},
+        )
+    index.add_documents(
+        batch_df,
+        id_column=id_column,
+        ignore_extra_columns=ignore_extra_columns,
+    )
+    return True
 
 
 def stream_index(
@@ -57,8 +106,8 @@ def stream_index(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        index.add_documents(
-            batch_df,
+        ingest_batch(
+            index, batch_df,
             id_column=id_column,
             ignore_extra_columns=ignore_extra_columns,
         )

@@ -358,6 +358,63 @@ def test_truncate_disk_index_clears_disk(spark, tmp_path):
     assert reopened.search("beta", field_name="body").count() == 0
 
 
+def test_truncate_disk_then_add_documents(spark, tmp_path):
+    """clear! then index! on a DISK index (reference usage pattern):
+    the post-truncate postings dir must stay compatible with the
+    partitioned append layout — Spark must be able to read the result
+    (ADVICE r02: the flat empty relation + bucket= dirs mix was
+    unreadable)."""
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.indexer import Index
+
+    path = str(tmp_path / "trunc_add_idx")
+    schema = "doc_id long, body string"
+    idx = create_index(
+        spark, spark.createDataFrame([(0, "alpha beta")], schema),
+        {"body": "text"}, id_column="doc_id",
+        path=path, index_type="disk", re_create=True,
+    )
+    idx.truncate()
+    idx.add_documents(
+        spark.createDataFrame([(5, "gamma delta"), (6, "delta")], schema)
+    )
+    got = idx.search("delta", field_name="body", with_hit=False)
+    assert sorted(r["doc_id"] for r in got.collect()) == [5, 6]
+    # the old (pre-truncate) corpus must NOT resurrect
+    assert idx.search("alpha", field_name="body").count() == 0
+    reopened = Index.load(spark, path)
+    assert reopened.docs.count() == 2
+    assert reopened.search("gamma", field_name="body").count() == 1
+
+
+def test_write_custom_buckets_then_add_documents(spark, tmp_path):
+    """Index.write(path, n_buckets=N) followed by add_documents on the
+    SAME object must append under the recorded bucket layout, not the
+    default — otherwise the query-time bucket pruning misses the
+    appended postings (ADVICE r02)."""
+    import os
+
+    from lucene_clj_spark import create_index
+
+    path = str(tmp_path / "nb_idx")
+    schema = "doc_id long, body string"
+    idx = create_index(
+        spark, spark.createDataFrame([(0, "alpha beta")], schema),
+        {"body": "text"}, id_column="doc_id",
+    )
+    idx.write(path, n_buckets=4)
+    assert idx.buckets == 4
+    idx.add_documents(spark.createDataFrame([(1, "beta gamma")], schema))
+    buckets = {
+        d for d in os.listdir(os.path.join(path, "postings"))
+        if d.startswith("bucket=")
+    }
+    assert all(int(b.split("=")[1]) < 4 for b in buckets)
+    # pruned query still sees the appended posting
+    got = idx.search("gamma", field_name="body", with_hit=False)
+    assert [r["doc_id"] for r in got.collect()] == [1]
+
+
 def test_add_documents_identical_to_single_build(spark):
     """Repeated index! (reference indexer.clj:89-111): an incremental
     add must produce the SAME index as one batch build over the union —

@@ -73,6 +73,31 @@ def test_stream_restart_does_not_duplicate(spark, stream_dirs):
                       with_hit=False).count() == 2
 
 
+def test_ingest_batch_replay_is_idempotent(spark):
+    """A batch replayed after a crash between sink completion and
+    checkpoint commit must be SKIPPED (all its doc_ids already landed),
+    not fail the query forever; a partial overlap is a genuine
+    collision and still fails (ADVICE r02)."""
+    from lucene_clj_spark.streaming import ingest_batch
+
+    idx = create_index(
+        spark, spark.createDataFrame([], SCHEMA), {"body": "text"},
+        id_column="doc_id",
+    )
+    batch = spark.createDataFrame([(0, "alpha beta"), (1, "beta")], SCHEMA)
+    assert ingest_batch(idx, batch) is True
+    assert idx.stats["body"]["N"] == 2
+    # full replay of the same batch: skipped, index unchanged
+    assert ingest_batch(idx, batch) is False
+    assert idx.stats["body"]["N"] == 2
+    assert idx.search("beta", field_name="body",
+                      with_hit=False).count() == 2
+    # partial overlap: genuine collision
+    bad = spark.createDataFrame([(1, "beta"), (9, "gamma")], SCHEMA)
+    with pytest.raises(ValidationError, match="partially collide"):
+        ingest_batch(idx, bad)
+
+
 def test_stream_index_rejects_batch_df(spark):
     idx = create_index(
         spark, spark.createDataFrame([(0, "alpha")], SCHEMA),

@@ -275,6 +275,38 @@ def test_negative_boost_not_kernel_routed(disk_index):
         disk_index.search(node, strategy="wand")
 
 
+def test_fuzzy_short_term_zero_weight_not_kernel_routed(
+    spark, tmp_path_factory
+):
+    """Fuzzy closeness boost 1 - edits/min(|q|,|t|) is 0 (or negative)
+    for short terms at max_edits=2 — a non-positive kernel weight would
+    invert the block-max skip bounds, so such queries must fall back to
+    the DataFrame path and still match it (ADVICE r02)."""
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.errors import ValidationError
+    from lucene_clj_spark.segments import build_segments
+
+    docs = spark.createDataFrame(
+        [(0, "ab xy kq"), (1, "ab ab zz"), (2, "qq xy")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path_factory.mktemp("shortfz") / "idx")
+    idx = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
+                       path=path, index_type="disk", re_create=True)
+    build_segments(idx, n_buckets=2, chunk_span=64, block_size=16)
+    auto = idx.search({"text": "ab"}, fuzzy=True, with_hit=False)
+    s = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in s  # fell back — no kernel
+    want = idx.search({"text": "ab"}, fuzzy=True, with_hit=False,
+                      strategy="dataframe").collect()
+    got = auto.collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+    with pytest.raises(ValidationError):
+        idx.search({"text": "ab"}, fuzzy=True, strategy="wand")
+
+
 def test_auto_strategy_missing_must_term_empty(disk_index):
     got = disk_index.search(["merge", "zzzznotaterm"], field_name="text",
                             with_hit=False).collect()
