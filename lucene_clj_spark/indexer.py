@@ -354,8 +354,11 @@ class Index:
         inversion; the only merge shuffle is the vocab-sized term
         union-aggregate. On a disk index, postings/docs/suggest APPEND
         to the partitioned parquet (no rewrite of existing data), the
-        terms table is swapped, and derived segments/manifests are
-        dropped (stale — rebuild with build_segments).
+        terms table is swapped, and built segments take the batch as
+        DELTA blocks (segments.append_segments — existing segment
+        files are untouched; their impact metadata is
+        stats-independent). Compact accumulated deltas on a cadence
+        with segments.merge_segments, like Lucene's background merges.
 
         Crash safety (disk): the multi-step append is NOT atomic (that
         is precisely what an Iceberg-transactional catalog would give;
@@ -489,11 +492,31 @@ class Index:
                 meta["stats"] = new_stats
                 with open(stats_file, "w") as f:
                     json.dump(meta, f, indent=1)
-            # derived segment artifacts are stale after an append
-            for sub in ("segments", "manifests"):
-                p = os.path.join(self.path, sub)
-                if os.path.isdir(p):
-                    shutil.rmtree(p)
+            # compressed segments take the batch as DELTA blocks —
+            # Lucene's writer-flushes-new-segments model. Existing
+            # segment files stay valid because their impact metadata is
+            # stats-independent (segments.py format 2); only an
+            # unreadable older format forces a drop.
+            seg_meta = os.path.join(
+                self.path, "manifests", "_segments_meta.json"
+            )
+            if os.path.isfile(seg_meta):
+                from lucene_clj_spark.segments import (
+                    SEGMENT_FORMAT,
+                    append_segments,
+                    segments_meta,
+                )
+
+                if segments_meta(self.path).get("format") == SEGMENT_FORMAT:
+                    append_segments(
+                        self, post_new, self.path,
+                        lineage={"append_n_docs": n_new},
+                    )
+                else:
+                    for sub in ("segments", "manifests"):
+                        p = os.path.join(self.path, sub)
+                        if os.path.isdir(p):
+                            shutil.rmtree(p)
             os.remove(pending)  # commit point: append fully applied
             raw.unpersist()
             terms_full_new.unpersist()

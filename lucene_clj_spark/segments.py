@@ -10,8 +10,20 @@ resumable from per-partition manifests):
         doc_deltas BINARY (varint gaps), tfs BINARY (varint),
         norms BINARY (1 byte/posting, SmallFloat byte4),
         positions BINARY (varint, per-posting delta runs),
-        block_max_score FLOAT8
+        impacts ARRAY<STRUCT<tf,qdl>> (pareto frontier, see below)
     <index>/manifests/bucket_<b>.json       lineage + metrics manifest
+    <index>/manifests/delta_<n>.json        per-append delta manifest
+
+Impacts instead of scores (format 2): each block stores the PARETO
+FRONTIER of its postings' (tf, quantized-dl) pairs — exactly Lucene's
+impact metadata model. The BM25 block upper bound
+``max_i idf * tf_i / (tf_i + k1*(1-b+b*qdl_i/avgdl))`` is computed AT
+QUERY TIME from the frontier with the CURRENT corpus stats (wand.py
+_segment_scan), which keeps block-max pruning exact. This makes the
+encoded segments independent of (N, avgdl, df) — so an append of new
+documents never invalidates or re-encodes existing segment files, it
+just adds DELTA blocks (append_segments), Lucene's flush-then-merge
+model (reference indexer.clj:35-39).
 
 Scale/skew design:
 - Buckets = ``pmod(xxhash64(term), n_buckets)`` — the repartition-by-
@@ -24,9 +36,11 @@ Scale/skew design:
   stopword with 10^11 postings becomes 10^11/chunk_span bounded groups
   spread over all partitions. This is structural salting; no AQE luck
   needed.
-- ``block_max_score`` is the exact BM25 score upper bound for the block
-  (computed from the final corpus stats, like Lucene impacts after a
-  merge), consumed by the WAND kernel (wand.py).
+- Each bucket writes MULTIPLE files, range-partitioned and sorted on
+  (field, term, chunk): parquet min/max statistics on the sorted term
+  column preserve seek behavior while the write parallelism scales with
+  the cluster instead of funnelling a bucket through one task (the
+  VERDICT r02 repartition(1) choke).
 """
 
 from __future__ import annotations
@@ -45,71 +59,97 @@ from lucene_clj_spark import bm25, codec
 SEGMENT_SCHEMA = (
     "field string, term string, chunk long, block_id int, n int, "
     "first_doc long, last_doc long, doc_deltas binary, tfs binary, "
-    "norms binary, positions binary, block_max_score double"
+    "norms binary, positions binary, "
+    "impacts array<struct<tf: double, qdl: double>>"
 )
+
+SEGMENT_FORMAT = 2  # 1 = encode-time block_max_score; 2 = impact pairs
 
 DEFAULT_CHUNK_SPAN = 1 << 17  # 131072 docs per chunk group
 DEFAULT_BUCKETS = 16
 
 
-def _encode_group_factory(stats: dict, block_size: int):
-    """Returns the applyInPandas encoder for one (field, term, chunk)
-    group. ``stats`` maps field -> {N, avgdl}; df arrives as a column."""
+def _impact_frontier(tfs: np.ndarray, qdl: np.ndarray) -> list[dict]:
+    """Pareto frontier of (tf, qdl): keep pairs where no other pair has
+    tf >= and qdl <=. BM25 is increasing in tf and decreasing in qdl,
+    so ``max over frontier`` equals ``max over postings`` for ANY
+    (idf, avgdl) — the stats-independent exact block bound."""
+    order = np.lexsort((qdl, -tfs))  # tf desc, qdl asc
+    out = []
+    best_qdl = np.inf
+    for i in order:
+        if qdl[i] < best_qdl:
+            out.append({"tf": float(tfs[i]), "qdl": float(qdl[i])})
+            best_qdl = qdl[i]
+    return out
 
+
+def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Encode one (field, term, chunk) group of postings into blocks.
+    Stats-free: needs only the postings themselves (format 2)."""
+    pdf = pdf.sort_values("doc_id")
+    field = pdf["field"].iloc[0]
+    term = pdf["term"].iloc[0]
+    chunk = int(pdf["chunk"].iloc[0])
+
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    tfs = pdf["tf"].to_numpy(np.int64)
+    dls = pdf["dl"].to_numpy(np.int64)
+    norms = bm25.norm_byte_np(dls)
+    has_pos = pdf["positions"].iloc[0] is not None
+    out = []
+    for b0 in range(0, len(pdf), block_size):
+        sl = slice(b0, b0 + block_size)
+        ids = doc_ids[sl]
+        btf = tfs[sl]
+        bnorm = norms[sl]
+        qdl = bm25.LENGTH_TABLE[bnorm].astype(np.float64)
+        if has_pos:
+            pos_list = [
+                np.asarray(p, dtype=np.int64)
+                for p in pdf["positions"].iloc[sl]
+            ]
+            pos_buf = codec.encode_positions(btf, pos_list)
+        else:
+            pos_buf = b""
+        out.append(
+            {
+                "field": field,
+                "term": term,
+                "chunk": chunk,
+                "block_id": b0 // block_size,
+                "n": len(ids),
+                "first_doc": int(ids[0]),
+                "last_doc": int(ids[-1]),
+                "doc_deltas": codec.encode_varints(
+                    codec.delta_encode(ids).astype(np.uint64)
+                ),
+                "tfs": codec.encode_varints(btf.astype(np.uint64)),
+                "norms": bnorm.tobytes(),
+                "positions": pos_buf,
+                "impacts": _impact_frontier(
+                    btf.astype(np.float64), qdl
+                ),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def _encode_blocks(postings: DataFrame, chunk_span: int,
+                   block_size: int) -> DataFrame:
+    """postings (field, term, doc_id, tf, dl, positions[, ...]) ->
+    encoded block rows, grouped on the bounded (field, term, chunk)
+    key (structural hot-term salting)."""
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        field = pdf["field"].iloc[0]
-        term = pdf["term"].iloc[0]
-        chunk = int(pdf["chunk"].iloc[0])
-        df_ = int(pdf["df"].iloc[0])
-        st = stats[field]
-        n_docs, avgdl = int(st["N"]), float(st["avgdl"])
-        idf = float(np.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5)))
+        return _encode_group(pdf, block_size)
 
-        doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        tfs = pdf["tf"].to_numpy(np.int64)
-        dls = pdf["dl"].to_numpy(np.int64)
-        norms = bm25.norm_byte_np(dls)
-        has_pos = pdf["positions"].iloc[0] is not None
-        out = []
-        for b0 in range(0, len(pdf), block_size):
-            sl = slice(b0, b0 + block_size)
-            ids = doc_ids[sl]
-            btf = tfs[sl]
-            bnorm = norms[sl]
-            qdl = bm25.LENGTH_TABLE[bnorm].astype(np.float64)
-            scores = idf * btf / (
-                btf + bm25.K1 * (1.0 - bm25.B + bm25.B * qdl / avgdl)
-            )
-            if has_pos:
-                pos_list = [
-                    np.asarray(p, dtype=np.int64)
-                    for p in pdf["positions"].iloc[sl]
-                ]
-                pos_buf = codec.encode_positions(btf, pos_list)
-            else:
-                pos_buf = b""
-            out.append(
-                {
-                    "field": field,
-                    "term": term,
-                    "chunk": chunk,
-                    "block_id": b0 // block_size,
-                    "n": len(ids),
-                    "first_doc": int(ids[0]),
-                    "last_doc": int(ids[-1]),
-                    "doc_deltas": codec.encode_varints(
-                        codec.delta_encode(ids).astype(np.uint64)
-                    ),
-                    "tfs": codec.encode_varints(btf.astype(np.uint64)),
-                    "norms": bnorm.tobytes(),
-                    "positions": pos_buf,
-                    "block_max_score": float(scores.max()),
-                }
-            )
-        return pd.DataFrame(out)
-
-    return encode
+    return (
+        postings.withColumn(
+            "chunk", (F.col("doc_id") / F.lit(chunk_span)).cast("long")
+        )
+        .groupBy("field", "term", "chunk")
+        .applyInPandas(encode, SEGMENT_SCHEMA)
+    )
 
 
 def build_segments(
@@ -123,6 +163,7 @@ def build_segments(
     lineage: dict | None = None,
     log=None,
     concurrency: int = 4,
+    files_per_bucket: int | None = None,
 ) -> str:
     """Encode the index's postings into compressed segments, one
     committed job PER BUCKET (see module docstring). Returns the
@@ -133,7 +174,13 @@ def build_segments(
     Spark schedules concurrent jobs fine) — checkpoint granularity is
     unchanged because each bucket still writes its data before its own
     manifest, but the job-submission latency no longer serializes
-    across n_buckets."""
+    across n_buckets.
+
+    ``files_per_bucket`` controls write parallelism WITHIN a bucket:
+    blocks are range-partitioned on (field, term, chunk) and sorted
+    within each file, so term seeks still prune via parquet min/max
+    while the write fans out across the cluster. Defaults to
+    2 * defaultParallelism / n_buckets (at least 2)."""
     root = path or index.path
     if not root:
         raise ValueError("segments need a disk path (index.path or path=)")
@@ -142,12 +189,15 @@ def build_segments(
     os.makedirs(seg_root, exist_ok=True)
     os.makedirs(man_root, exist_ok=True)
 
-    post = index.postings.join(
-        index.terms.select("field", "term", "df"), ["field", "term"]
-    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
-    encode = _encode_group_factory(index.stats, block_size)
+    nf = files_per_bucket or max(
+        2, (index.spark.sparkContext.defaultParallelism * 2) // n_buckets
+    )
+    post = index.postings.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
 
     meta = {
+        "format": SEGMENT_FORMAT,
         "n_buckets": n_buckets,
         "chunk_span": chunk_span,
         "block_size": block_size,
@@ -190,7 +240,7 @@ def build_segments(
         for d in os.listdir(seg_root):
             shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
         for fjson in os.listdir(man_root):
-            if fjson.startswith("bucket_"):
+            if fjson.startswith("bucket_") or fjson.startswith("delta_"):
                 os.remove(os.path.join(man_root, fjson))
     with open(meta_path, "w") as f:
         json.dump(meta, f, indent=1)
@@ -218,22 +268,17 @@ def build_segments(
             return
         t0 = time.time()
         part = post.filter(F.col("bucket") == b).drop("bucket")
-        blocks = (
-            part.withColumn(
-                "chunk", (F.col("doc_id") / F.lit(chunk_span)).cast("long")
-            )
-            .groupBy("field", "term", "chunk")
-            .applyInPandas(encode, SEGMENT_SCHEMA)
-        )
+        blocks = _encode_blocks(part, chunk_span, block_size)
         out_dir = os.path.join(seg_root, f"bucket={b}")
         (
-            blocks.repartition(1)
+            blocks.repartitionByRange(nf, "field", "term", "chunk")
             .sortWithinPartitions("field", "term", "chunk", "block_id")
             .write.mode("overwrite")
             .parquet(out_dir)
         )
-        # metrics pass over what was written (cheap: local parquet)
-        written = index.spark.read.parquet(out_dir)
+        # metrics pass over what was written (cheap: local parquet);
+        # explicit schema so an EMPTY bucket (no part files) still reads
+        written = index.spark.read.schema(SEGMENT_SCHEMA).parquet(out_dir)
         row = written.agg(
             F.count("*").alias("n_blocks"),
             F.sum("n").alias("n_postings"),
@@ -269,6 +314,149 @@ def build_segments(
     else:
         for b in range(n_buckets):
             run_bucket(b)
+    return seg_root
+
+
+def append_segments(index, postings: DataFrame, root: str | None = None,
+                    lineage: dict | None = None) -> str:
+    """Encode a BATCH of new postings into delta segment files appended
+    under the existing bucket layout — Lucene's writer-flushes-new-
+    segments model. Existing segment files are untouched (their impact
+    metadata is stats-independent, so changed corpus stats never
+    invalidate them). One job over all buckets: the batch is small
+    relative to the index, per-bucket commit granularity isn't worth
+    n_buckets job submissions.
+
+    Caller (Index.add_documents) runs this inside its _append_pending
+    journal window, so a mid-append crash is refused at reopen."""
+    root = root or index.path
+    meta = segments_meta(root)
+    if meta.get("format") != SEGMENT_FORMAT:
+        raise ValueError(
+            "segments were built by an older format "
+            f"({meta.get('format')}); rebuild with "
+            "build_segments(resume=False) before appending"
+        )
+    seg_root = os.path.join(root, "segments")
+    man_root = os.path.join(root, "manifests")
+    blocks = _encode_blocks(
+        postings, meta["chunk_span"], meta["block_size"]
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(meta["n_buckets"]))
+    )
+    (
+        blocks.repartition("bucket")
+        .sortWithinPartitions("field", "term", "chunk", "block_id")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(seg_root)
+    )
+    n = len([f for f in os.listdir(man_root) if f.startswith("delta_")])
+    man_path = os.path.join(man_root, f"delta_{n}.json")
+    with open(man_path, "w") as f:
+        json.dump(
+            {
+                "delta": n,
+                "completed_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+                "lineage": lineage or {"source": root},
+                **meta,
+            },
+            f,
+            indent=1,
+        )
+    return seg_root
+
+
+def merge_segments(index, root: str | None = None,
+                   files_per_bucket: int | None = None) -> str:
+    """Background-merge analogue: re-encode each (field, term, chunk)
+    group's blocks (base + accumulated deltas) into full-size blocks,
+    restoring optimal block-max pruning and file counts after a run of
+    appends. Decodes FROM the segments themselves — the postings table
+    is not re-read.
+
+    The swap is rename-based (segments -> segments__old, new ->
+    segments). A crash mid-swap leaves no segments dir: queries fall
+    back to the exhaustive DataFrame path (correct, slower) and
+    build_segments(resume=False) rebuilds — derived data is never the
+    source of truth."""
+    root = root or index.path
+    meta = segments_meta(root)
+    if meta.get("format") != SEGMENT_FORMAT:
+        raise ValueError(
+            "segments were built by an older format; rebuild with "
+            "build_segments(resume=False)"
+        )
+    seg_root = os.path.join(root, "segments")
+    man_root = os.path.join(root, "manifests")
+    block_size = meta["block_size"]
+    spark = index.spark
+    nf = files_per_bucket or max(
+        2,
+        (spark.sparkContext.defaultParallelism * 2) // meta["n_buckets"],
+    )
+
+    def remerge(pdf: pd.DataFrame) -> pd.DataFrame:
+        # decode every block of the group back to flat postings, then
+        # re-encode: one pass, bounded by the (field, term, chunk) group
+        rows = {"doc_id": [], "tf": [], "dl": [], "positions": []}
+        has_pos = False
+        for r in pdf.itertuples(index=False):
+            ids = codec.delta_decode(codec.decode_varints(r.doc_deltas))
+            tfs = codec.decode_varints(r.tfs).astype(np.int64)
+            norms = np.frombuffer(r.norms, dtype=np.uint8)
+            # norm byte -> quantized length; re-encoding quantizes again
+            # (idempotent: int_to_int4(int4_to_int(b)) == b)
+            dls = bm25.LENGTH_TABLE[norms].astype(np.int64)
+            if len(r.positions):
+                has_pos = True
+                pos = codec.decode_positions(r.positions, tfs)
+            else:
+                pos = [None] * len(ids)
+            rows["doc_id"].extend(ids.tolist())
+            rows["tf"].extend(tfs.tolist())
+            rows["dl"].extend(dls.tolist())
+            rows["positions"].extend(pos)
+        flat = pd.DataFrame(rows)
+        flat["field"] = pdf["field"].iloc[0]
+        flat["term"] = pdf["term"].iloc[0]
+        flat["chunk"] = int(pdf["chunk"].iloc[0])
+        if not has_pos:
+            flat["positions"] = None
+        return _encode_group(flat, block_size)
+
+    merged = (
+        spark.read.schema(SEGMENT_SCHEMA + ", bucket int")
+        .parquet(seg_root)
+        .groupBy("field", "term", "chunk")
+        .applyInPandas(remerge, SEGMENT_SCHEMA)
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(meta["n_buckets"])),
+        )
+    )
+    tmp = seg_root + "__new"
+    (
+        merged.repartitionByRange(
+            nf * meta["n_buckets"], "bucket", "field", "term", "chunk"
+        )
+        .sortWithinPartitions("bucket", "field", "term", "chunk", "block_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    import shutil
+
+    old = seg_root + "__old"
+    os.rename(seg_root, old)
+    os.rename(tmp, seg_root)
+    shutil.rmtree(old)
+    # delta manifests are absorbed into the merged base
+    for fjson in os.listdir(man_root):
+        if fjson.startswith("delta_"):
+            os.remove(os.path.join(man_root, fjson))
     return seg_root
 
 

@@ -6,25 +6,39 @@ block-max WAND posting-list intersection and a bounded min-heap"):
 - Term selection prunes at THREE levels before any decode: parquet
   directory pruning on ``bucket=`` (same xxhash64 as the writer),
   row-group min/max skipping on the sorted ``term`` column, and the
-  ``block_max_score`` metadata below.
+  per-block upper bounds below.
+- Block upper bounds are computed AT SCAN TIME from each block's
+  stored impact frontier (pareto (tf, qdl) pairs — segments.py) with
+  the CURRENT corpus stats, as a JVM column expression whose float64
+  operation order matches the kernel's numpy scoring exactly, so the
+  bound equals the true max block score bit-for-bit for any stats.
+  This is what lets delta segments appended after a corpus change keep
+  exact pruning (Lucene's impacts model).
 - Blocks are co-located by doc range: ``repartitionByRange("chunk")``
-  puts every query term's blocks for a doc interval in the same
-  partition, so scoring is partition-local (one narrow shuffle of
-  compressed blocks, no row-level shuffle ever).
-- Inside each partition (Arrow-batched kernel): chunks are processed in
-  DESCENDING upper-bound order (sum over terms of the chunk's max
-  block_max_score). Once the bounded min-heap holds k results with
-  min-score θ >= the next chunk's upper bound, the remaining chunks in
-  the partition are skipped wholesale — the block-max WAND skip. Within
-  a surviving chunk, per-block upper bounds skip individual blocks, and
-  the actually-decoded blocks are scored fully vectorized (numpy varint
-  decode + LUT norms).
+  + ``sortWithinPartitions("chunk")`` puts every query term's blocks
+  for a doc interval in the same partition IN CHUNK ORDER, so scoring
+  is partition-local (one narrow shuffle of compressed blocks, no
+  row-level shuffle ever).
+- Inside each partition the kernel STREAMS Arrow batches chunk by
+  chunk (doc-order traversal): a chunk whose upper bound (sum over
+  query keys of its max block bound) can't beat the bounded min-heap's
+  θ is dropped without decoding; within a surviving chunk, per-block
+  upper bounds skip individual blocks, and the actually-decoded blocks
+  are scored fully vectorized (numpy varint decode + LUT norms). Peak
+  kernel memory is ONE chunk's blocks — not the partition — so the
+  per-task footprint is set by chunk_span, independent of partition
+  size (VERDICT r02 item 5).
 - Partitions emit their local top-k; the driver-side
   ``orderBy(...).limit(k)`` (TakeOrderedAndProject) merges heaps.
 
+Queries may span MULTIPLE fields: every posting stream is keyed by
+``fkey = field || '\\x1f' || term`` with its own idf and its field's
+norm-denominator cache, so a map query {title: ..., body: ...} runs in
+the SAME one-pass kernel (chunk = doc range is field-independent).
+
 Scores are computed with the same double-precision formula as the
 DataFrame path (bm25.score_col), so the two execution strategies are
-result-identical — pinned by tests/test_wand.py.
+result-identical — pinned by tests/test_wand_segments.py.
 """
 
 from __future__ import annotations
@@ -40,68 +54,84 @@ from pyspark.sql import functions as F
 
 from lucene_clj_spark import bm25, codec
 
+_EMPTY = {"doc_id": "int64", "score": "float64"}
 
-def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
-                    mode: str):
-    """Per-partition WAND kernel for mapInPandas.
 
-    ``term_idfs`` may carry WEIGHTED idfs (idf * per-term boost): the
+def _empty_frame() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": [], "score": []}).astype(_EMPTY)
+
+
+def _heap_frame(heap) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": [-nd for s, nd in heap],
+            "score": [s for s, nd in heap],
+        }
+    ).astype(_EMPTY)
+
+
+def _denom_cache(avgdl: float) -> np.ndarray:
+    """norm byte -> k1*(1-b+b*qdl/avgdl), like BM25Scorer's cache."""
+    return bm25.K1 * (
+        (1.0 - bm25.B)
+        + bm25.B * bm25.LENGTH_TABLE.astype(np.float64) / avgdl
+    )
+
+
+def _stream_chunks(batches: Iterator[pd.DataFrame], process) -> None:
+    """Drive ``process(chunk_pdf)`` over the partition's batches one
+    chunk at a time. The scan is sorted by chunk within the partition,
+    so a chunk is complete when the key changes — peak memory is one
+    chunk's blocks, never the whole partition."""
+    cur = None
+    buf: list[pd.DataFrame] = []
+    for b in batches:
+        if len(b) == 0:
+            continue
+        for chunk, grp in b.groupby("chunk", sort=True):
+            if cur is not None and chunk != cur:
+                process(pd.concat(buf, ignore_index=True)
+                        if len(buf) > 1 else buf[0])
+                buf = []
+            cur = chunk
+            buf.append(grp)
+    if buf:
+        process(pd.concat(buf, ignore_index=True)
+                if len(buf) > 1 else buf[0])
+
+
+def _kernel_factory(key_idfs: dict, key_denoms: dict, k: int, mode: str):
+    """Per-partition streaming WAND kernel for mapInPandas.
+
+    ``key_idfs`` maps fkey -> (possibly boost-weighted) idf: the
     per-posting score and every block/chunk upper bound scale linearly
     in the weight, so the caller pre-scales both the idf map and the
-    ``block_max_score`` column and the skip logic stays exact."""
-    n_terms_required = len(term_idfs) if mode == "and" else 1
+    scan-time ``block_max_score`` column and the skip logic stays
+    exact. ``key_denoms`` maps fkey -> the field's norm-denominator
+    cache (multi-field queries carry per-field avgdl)."""
+    n_keys = len(key_idfs)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # The partition's batches are materialized ONCE here, by design:
-        # best-first processing needs the partition-wide chunk ordering
-        # (descending upper bound), and per-doc aggregation needs every
-        # block of a chunk together — both impossible over raw Arrow
-        # batch boundaries without a partition-local sort that would
-        # destroy the best-first order. Memory is bounded: these rows
-        # are the QUERY TERMS' compressed blocks for this chunk range
-        # only (already bucket/term-pruned at the scan), i.e.
-        # O(#terms x chunks/partition x blocks/chunk) — raise
-        # n_partitions to shrink the per-task footprint at scale.
-        parts = list(batches)
-        pdf = pd.concat(parts, ignore_index=True) if parts else None
-        if pdf is None or len(pdf) == 0:
-            yield pd.DataFrame({"doc_id": [], "score": []}).astype(
-                {"doc_id": "int64", "score": "float64"}
-            )
-            return
-        # norm -> k1*(1-b+b*qdl/avgdl) cache, like BM25Scorer's
-        denom_cache = bm25.K1 * (
-            (1.0 - bm25.B)
-            + bm25.B * bm25.LENGTH_TABLE.astype(np.float64) / avgdl
-        )
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
 
         def theta() -> float:
             return heap[0][0] if len(heap) >= k else -math.inf
 
-        # chunk upper bound = sum over terms of max block_max in chunk
-        ub = (
-            pdf.groupby(["chunk", "term"])["block_max_score"].max()
-            .groupby("chunk").sum()
-            .sort_values(ascending=False)
-        )
-        by_chunk = dict(tuple(pdf.groupby("chunk")))
-        for chunk, upper in ub.items():
+        def process(cpdf: pd.DataFrame) -> None:
+            if mode == "and" and cpdf["fkey"].nunique() < n_keys:
+                return
+            # per-key chunk maxima ONCE: the chunk bound is their sum;
+            # a block's skip bound is its own max + the OTHER keys' sums
+            key_maxes = cpdf.groupby("fkey")["block_max_score"].max()
+            tm_sum = float(key_maxes.sum())
             # STRICT bound: a doc scoring exactly theta can still win
             # the (score desc, doc_id asc) tiebreak against the current
             # heap minimum, so ties must be decoded, not skipped
-            if len(heap) >= k and upper < theta():
-                break  # descending uppers: nothing below can qualify
-            cpdf = by_chunk[chunk]
-            if mode == "and" and cpdf["term"].nunique() < len(term_idfs):
-                continue
-            # per-term chunk maxima ONCE: a block's skip bound is its
-            # own max + the sum of the OTHER terms' chunk maxima
-            term_maxes = cpdf.groupby("term")["block_max_score"].max()
-            tm_sum = float(term_maxes.sum())
+            if len(heap) >= k and tm_sum < theta():
+                return
             doc_parts, score_parts = [], []
             for row in cpdf.itertuples(index=False):
-                others = tm_sum - float(term_maxes[row.term])
+                others = tm_sum - float(key_maxes[row.fkey])
                 if (
                     len(heap) >= k
                     and row.block_max_score + others < theta()
@@ -112,12 +142,13 @@ def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
                 )
                 tfs = codec.decode_varints(row.tfs).astype(np.float64)
                 norms = np.frombuffer(row.norms, dtype=np.uint8)
-                idf = term_idfs[row.term]
-                scores = idf * tfs / (tfs + denom_cache[norms])
+                idf = key_idfs[row.fkey]
+                denom = key_denoms[row.fkey]
+                scores = idf * tfs / (tfs + denom[norms])
                 doc_parts.append(ids)
                 score_parts.append(scores)
             if not doc_parts:
-                continue
+                return
             docs = np.concatenate(doc_parts)
             scores = np.concatenate(score_parts)
             uniq, inv, counts = np.unique(
@@ -126,7 +157,7 @@ def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
             agg = np.zeros(uniq.size, dtype=np.float64)
             np.add.at(agg, inv, scores)
             if mode == "and":
-                keep = counts >= n_terms_required
+                keep = counts >= n_keys
                 uniq, agg = uniq[keep], agg[keep]
             for d, s in zip(uniq.tolist(), agg.tolist()):
                 item = (s, -d)
@@ -134,27 +165,34 @@ def _kernel_factory(term_idfs: dict, n_docs: int, avgdl: float, k: int,
                     heapq.heappush(heap, item)
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
-        out = pd.DataFrame(
-            {
-                "doc_id": [-nd for s, nd in heap],
-                "score": [s for s, nd in heap],
-            }
-        ).astype({"doc_id": "int64", "score": "float64"})
-        yield out
+
+        _stream_chunks(batches, process)
+        yield _heap_frame(heap)
 
     return kernel
 
 
-def _segment_scan(index, field: str, terms: list[str]):
+def _segment_scan(index, pairs: list[tuple[str, str]],
+                  weights: dict | None = None):
     """Shared driver preamble for the segment kernels: validate the
-    segments dir, resolve corpus stats and per-term idfs (one tiny
+    segments dir + format, resolve per-(field, term) idfs (one tiny
     terms-table action), resolve bucket literals (one tiny JVM eval of
     the writer's xxhash64), and return the bucket/term-filtered blocks
-    scan. Returns (n_docs, avgdl, term_idfs, blocks) — term_idfs may
-    be missing absent terms."""
+    scan with a scan-time ``block_max_score`` column computed from each
+    block's impact frontier and the CURRENT stats — float64 operation
+    order matched to the kernel's numpy scoring, so the bound is the
+    exact max block score.
+
+    ``weights`` maps (field, term) -> boost; folded into the idfs (and
+    therefore the bounds) so pruning stays exact under boosts.
+
+    Returns (key_idfs, blocks); keys are ``field + '\\x1f' + term``.
+    Absent terms are missing from key_idfs; blocks is None if no term
+    is present."""
     import os
 
-    from lucene_clj_spark.segments import segments_meta
+    from lucene_clj_spark.errors import ValidationError
+    from lucene_clj_spark.segments import SEGMENT_FORMAT, segments_meta
 
     root = index.path
     if not root or not os.path.isdir(os.path.join(root, "segments")):
@@ -163,96 +201,178 @@ def _segment_scan(index, field: str, terms: list[str]):
             "(run segments.build_segments first)"
         )
     meta = segments_meta(root)
-    nb = meta["n_buckets"]
-    st = index.field_stats(field)
-    n_docs, avgdl = int(st["N"]), float(st["avgdl"])
-    uniq = sorted(set(terms))
-    df_rows = (
-        index.terms.filter(
-            (F.col("field") == field) & F.col("term").isin(uniq)
+    if meta.get("format") != SEGMENT_FORMAT:
+        raise ValidationError(
+            f"segments at {root} use format {meta.get('format')}; this "
+            f"engine reads format {SEGMENT_FORMAT} — rebuild with "
+            "build_segments(resume=False)",
+            {"path": root},
         )
-        .select("term", "df")
+    nb = meta["n_buckets"]
+    weights = weights or {}
+    uniq = sorted(set(pairs))
+    by_field: dict[str, list[str]] = {}
+    for f_, t_ in uniq:
+        by_field.setdefault(f_, []).append(t_)
+    cond = None
+    for f_, ts in by_field.items():
+        c = (F.col("field") == f_) & F.col("term").isin(ts)
+        cond = c if cond is None else (cond | c)
+    # idf computed JVM-side (bm25.idf_col) so the kernel's Python map
+    # is BIT-IDENTICAL to the DataFrame path's literals — libm log and
+    # java.lang.Math.log differ by 1 ULP on some inputs, which would
+    # break the result-identical-strategies contract on tie-ish scores
+    n_map = F.create_map(
+        *[
+            F.lit(x)
+            for f_ in by_field
+            for x in (f_, float(int(index.field_stats(f_)["N"])))
+        ]
+    )
+    df_rows = (
+        index.terms.filter(cond)
+        .select(
+            "field", "term",
+            bm25.idf_col(F.col("df"), n_map[F.col("field")]).alias("idf"),
+        )
         .collect()
     )
-    term_idfs = {
-        r["term"]: math.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
-        for r in df_rows
-    }
-    present = sorted(term_idfs)
-    if not present:
-        return n_docs, avgdl, term_idfs, None
+    key_idfs = {}
+    for r in df_rows:
+        fk = (r["field"], r["term"])
+        if fk not in uniq:
+            continue
+        key_idfs[f"{r['field']}\x1f{r['term']}"] = (
+            weights.get(fk, 1.0) * float(r["idf"])
+        )
+    if not key_idfs:
+        return key_idfs, None
+    present_terms = sorted(
+        {k.split("\x1f", 1)[1] for k in key_idfs}
+    )
     bucket_row = (
         index.spark.range(1)
         .select(
             *[
                 F.pmod(F.xxhash64(F.lit(t)), F.lit(nb)).alias(f"b{i}")
-                for i, t in enumerate(present)
+                for i, t in enumerate(present_terms)
             ]
         )
         .collect()[0]
     )
     query_buckets = sorted({int(v) for v in bucket_row})
+    cond2 = None
+    for f_, ts in by_field.items():
+        keep = [t for t in ts if f"{f_}\x1f{t}" in key_idfs]
+        if not keep:
+            continue
+        c = (F.col("field") == f_) & F.col("term").isin(keep)
+        cond2 = c if cond2 is None else (cond2 | c)
+    idf_map = F.create_map(
+        *[F.lit(x) for kv in key_idfs.items() for x in kv]
+    )
+    avg_map = F.create_map(
+        *[
+            F.lit(x)
+            for f_ in by_field
+            for x in (f_, float(index.field_stats(f_)["avgdl"]))
+        ]
+    )
+    fkey = F.concat(F.col("field"), F.lit("\x1f"), F.col("term"))
     blocks = (
         index.spark.read.parquet(os.path.join(root, "segments"))
         .filter(F.col("bucket").isin(query_buckets))
-        .filter((F.col("field") == field) & F.col("term").isin(present))
+        .filter(cond2)
+        .withColumn("fkey", fkey)
+        .withColumn("__idf", idf_map[F.col("fkey")])
+        .withColumn("__avgdl", avg_map[F.col("field")])
+        .withColumn(
+            "block_max_score",
+            F.array_max(
+                F.transform(
+                    "impacts",
+                    # idf * tf / (tf + k1*(1-b) + (k1*b*qdl)/avgdl) with
+                    # the same association as the kernel's numpy:
+                    # (idf * tf) / (tf + K1*((1-B) + (B*qdl)/avgdl))
+                    lambda im: (F.col("__idf") * im["tf"])
+                    / (
+                        im["tf"]
+                        + F.lit(bm25.K1)
+                        * (
+                            F.lit(1.0 - bm25.B)
+                            + F.lit(bm25.B) * im["qdl"] / F.col("__avgdl")
+                        )
+                    ),
+                )
+            ),
+        )
     )
-    return n_docs, avgdl, term_idfs, blocks
+    return key_idfs, blocks
+
+
+def _key_denoms(index, key_idfs: dict) -> dict:
+    """fkey -> the field's norm-denominator cache (shared per field)."""
+    per_field: dict[str, np.ndarray] = {}
+    out = {}
+    for key in key_idfs:
+        f_ = key.split("\x1f", 1)[0]
+        if f_ not in per_field:
+            per_field[f_] = _denom_cache(
+                float(index.field_stats(f_)["avgdl"])
+            )
+        out[key] = per_field[f_]
+    return out
+
+
+def _co_located(blocks: DataFrame, cols: list[str],
+                n_partitions: int) -> DataFrame:
+    """Chunk-range co-location + in-partition chunk order (the contract
+    _stream_chunks relies on), with the kernel's input pruned to the
+    columns it decodes — positions stay out of the WAND scan."""
+    return (
+        blocks.select(*cols)
+        .repartitionByRange(n_partitions, "chunk")
+        .sortWithinPartitions("chunk")
+    )
 
 
 def _phrase_kernel_factory(
     offsets: dict, term_idfs: dict, idf_sum: float, avgdl: float, k: int,
 ):
     """Per-partition exact-adjacency phrase kernel over compressed
-    segments. ``offsets`` maps term -> list of phrase offsets (handles
-    duplicate terms). Chunk-level skipping uses the derived bound
+    segments, streaming chunk by chunk. ``offsets`` maps term -> list
+    of phrase offsets (handles duplicate terms). Chunk-level skipping
+    uses the derived bound
     phrase_score <= idf_sum * min_t(chunk_max_block_score_t / idf_t)
     (valid because phrase freq <= every member tf and x/(x+d) is
     increasing in x)."""
     uniq_terms = list(offsets)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        parts = list(batches)  # see wand kernel note on materialization
-        pdf = pd.concat(parts, ignore_index=True) if parts else None
-        empty = pd.DataFrame({"doc_id": [], "score": []}).astype(
-            {"doc_id": "int64", "score": "float64"}
-        )
-        if pdf is None or len(pdf) == 0:
-            yield empty
-            return
-        denom_cache = bm25.K1 * (
-            (1.0 - bm25.B)
-            + bm25.B * bm25.LENGTH_TABLE.astype(np.float64) / avgdl
-        )
+        denom_cache = _denom_cache(avgdl)
         heap: list[tuple[float, int]] = []
 
         def theta() -> float:
             return heap[0][0] if len(heap) >= k else -math.inf
 
-        tmax = pdf.groupby(["chunk", "term"])["block_max_score"].max()
-        # chunk bound: idf_sum * min over phrase terms of (max block
-        # score / idf); chunks missing any term can't match at all
-        ub = {}
-        for chunk, grp in tmax.groupby(level=0):
-            per_term = grp.droplevel(0)
-            if not all(t in per_term.index for t in uniq_terms):
-                continue
-            ub[chunk] = idf_sum * min(
-                float(per_term[t]) / term_idfs[t] for t in uniq_terms
+        def process(cpdf: pd.DataFrame) -> None:
+            tmax = cpdf.groupby("term")["block_max_score"].max()
+            # chunks missing any phrase term can't match at all
+            if not all(t in tmax.index for t in uniq_terms):
+                return
+            upper = idf_sum * min(
+                float(tmax[t]) / term_idfs[t] for t in uniq_terms
             )
-        by_chunk = dict(tuple(pdf.groupby("chunk")))
-        for chunk, upper in sorted(
-            ub.items(), key=lambda kv: -kv[1]
-        ):
             if len(heap) >= k and upper < theta():
-                break
-            cpdf = by_chunk[chunk]
+                return
             # Phase 1: decode ONLY doc ids (cheap) per term; positions
             # stay as raw varint buffers until a block is known to hold
             # a candidate — positions are the bulk of segment bytes, so
             # lazy decode skips most of the frequent term's blocks.
+            # Delta-appended blocks may INTERLEAVE doc ranges with base
+            # blocks, so the lookup goes through a global argsort of
+            # the chunk's ids, not block-first_doc bisection.
             per_term: dict = {}
-            ok = True
             for t in uniq_terms:
                 rows = cpdf[cpdf["term"] == t]
                 blocks = []
@@ -269,17 +389,17 @@ def _phrase_kernel_factory(
                             "flat": None,  # decoded lazily
                         }
                     )
-                if not blocks:
-                    ok = False
-                    break
-                blocks.sort(key=lambda b: int(b["ids"][0]))
+                counts = [len(b["ids"]) for b in blocks]
                 all_ids = np.concatenate([b["ids"] for b in blocks])
-                firsts = np.array(
-                    [int(b["ids"][0]) for b in blocks], dtype=np.int64
+                order = np.argsort(all_ids, kind="mergesort")
+                per_term[t] = (
+                    all_ids[order],
+                    blocks,
+                    np.repeat(np.arange(len(blocks)), counts)[order],
+                    np.concatenate(
+                        [np.arange(c, dtype=np.int64) for c in counts]
+                    )[order],
                 )
-                per_term[t] = (all_ids, blocks, firsts)
-            if not ok:
-                continue
             cands = None
             for t in sorted(
                 uniq_terms, key=lambda t: per_term[t][0].size
@@ -296,9 +416,9 @@ def _phrase_kernel_factory(
                 """Positions (and norm byte) of doc d for term t —
                 decodes the containing block's streams (via the codec)
                 on first touch; untouched blocks never decode."""
-                _, blocks, firsts = per_term[t]
-                bi = int(np.searchsorted(firsts, d, side="right")) - 1
-                b = blocks[bi]
+                sorted_ids, blocks, blk_of, pos_in = per_term[t]
+                i = int(np.searchsorted(sorted_ids, d))
+                b = blocks[int(blk_of[i])]
                 if b["flat"] is None:
                     tfs = codec.decode_varints(b["tfs_buf"]).astype(
                         np.int64
@@ -307,8 +427,8 @@ def _phrase_kernel_factory(
                     b["norms_a"] = np.frombuffer(
                         b["norms"], dtype=np.uint8
                     )
-                i = int(np.searchsorted(b["ids"], d))
-                return b["flat"][i], int(b["norms_a"][i])
+                j = int(pos_in[i])
+                return b["flat"][j], int(b["norms_a"][j])
 
             for d in cands.tolist():
                 inter = None
@@ -339,12 +459,9 @@ def _phrase_kernel_factory(
                     heapq.heappush(heap, item)
                 elif item > heap[0]:
                     heapq.heapreplace(heap, item)
-        yield pd.DataFrame(
-            {
-                "doc_id": [-nd for s, nd in heap],
-                "score": [s for s, nd in heap],
-            }
-        ).astype({"doc_id": "int64", "score": "float64"})
+
+        _stream_chunks(batches, process)
+        yield _heap_frame(heap)
 
     return kernel
 
@@ -365,15 +482,56 @@ def phrase_topk(
     offsets: dict[str, list[int]] = {}
     for i, t in enumerate(terms):
         offsets.setdefault(t, []).append(i)
-    _, avgdl, term_idfs, blocks = _segment_scan(index, field, terms)
-    if blocks is None or len(term_idfs) < len(offsets):
+    key_idfs, blocks = _segment_scan(
+        index, [(field, t) for t in offsets]
+    )
+    if blocks is None or len(key_idfs) < len(offsets):
         # a phrase term absent from the dictionary -> no match
         return index.spark.createDataFrame([], "doc_id long, score double")
+    term_idfs = {
+        key.split("\x1f", 1)[1]: idf for key, idf in key_idfs.items()
+    }
     idf_sum = sum(term_idfs[t] * len(offs) for t, offs in offsets.items())
+    avgdl = float(index.field_stats(field)["avgdl"])
 
     npart = n_partitions or index.spark.sparkContext.defaultParallelism
-    co = blocks.repartitionByRange(npart, "chunk")
+    co = _co_located(
+        blocks,
+        ["chunk", "term", "block_max_score", "doc_deltas", "tfs",
+         "norms", "positions"],
+        npart,
+    )
     kernel = _phrase_kernel_factory(offsets, term_idfs, idf_sum, avgdl, k)
+    local = co.mapInPandas(kernel, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def wand_pairs_topk(
+    index,
+    pairs: list[tuple[str, str]],
+    k: int = 10,
+    mode: str = "or",
+    n_partitions: int | None = None,
+    weights: dict | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score) for a (field, term) set — possibly
+    spanning SEVERAL fields — over the compressed segments, via the
+    streaming block-max kernel. ``mode`` = 'or' (SHOULD sum) or 'and'
+    (MUST intersection, scores summed). ``weights`` maps
+    (field, term) -> boost: scores and skip bounds both scale linearly,
+    so pruning stays exact."""
+    key_idfs, blocks = _segment_scan(index, pairs, weights)
+    if blocks is None:
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    npart = n_partitions or index.spark.sparkContext.defaultParallelism
+    co = _co_located(
+        blocks,
+        ["chunk", "fkey", "block_max_score", "doc_deltas", "tfs", "norms"],
+        npart,
+    )
+    kernel = _kernel_factory(
+        key_idfs, _key_denoms(index, key_idfs), k, mode
+    )
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -387,32 +545,17 @@ def wand_topk(
     n_partitions: int | None = None,
     term_weights: dict | None = None,
 ) -> DataFrame:
-    """Top-k (doc_id, score) for a multi-term query over the compressed
-    segments, via the block-max kernel. ``mode`` = 'or' (SHOULD sum) or
-    'and' (MUST intersection, scores summed). ``term_weights`` scales
-    each term's contribution (query boosts / fuzzy closeness boosts):
-    scores and skip bounds both scale linearly, so pruning stays
-    exact."""
-    weights = term_weights or {}
-    n_docs, avgdl, term_idfs, blocks = _segment_scan(index, field, terms)
-    if blocks is None:
-        return index.spark.createDataFrame([], "doc_id long, score double")
-    term_idfs = {
-        t: weights.get(t, 1.0) * idf for t, idf in term_idfs.items()
-    }
-    if weights:
-        # skip bounds must scale with the weighted scores
-        wmap = F.create_map(
-            *[F.lit(x) for kv in weights.items() for x in kv]
-        )
-        blocks = blocks.withColumn(
-            "block_max_score",
-            F.col("block_max_score")
-            * F.coalesce(wmap[F.col("term")], F.lit(1.0)),
-        )
-
-    npart = n_partitions or index.spark.sparkContext.defaultParallelism
-    co = blocks.repartitionByRange(npart, "chunk")
-    kernel = _kernel_factory(term_idfs, n_docs, avgdl, k, mode)
-    local = co.mapInPandas(kernel, "doc_id long, score double")
-    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    """Single-field convenience wrapper over ``wand_pairs_topk``."""
+    weights = (
+        {(field, t): w for t, w in term_weights.items()}
+        if term_weights
+        else None
+    )
+    return wand_pairs_topk(
+        index,
+        [(field, t) for t in terms],
+        k=k,
+        mode=mode,
+        n_partitions=n_partitions,
+        weights=weights,
+    )

@@ -504,9 +504,11 @@ def test_add_documents_missing_stored_columns_raises(spark):
         )
 
 
-def test_add_documents_disk_appends_and_invalidates_segments(
-    spark, tmp_path
-):
+def test_add_documents_disk_appends_delta_segments(spark, tmp_path):
+    """Append to a disk index with built segments: the base segment
+    files are NOT invalidated — the batch lands as delta blocks
+    (Lucene's flush-then-merge model), and segment-kernel answers
+    include the new docs without a build_segments rerun."""
     import os
 
     from lucene_clj_spark import create_index
@@ -524,8 +526,10 @@ def test_add_documents_disk_appends_and_invalidates_segments(
     idx.add_documents(
         spark.createDataFrame([(1, "beta gamma"), (2, "gamma")], schema)
     )
-    # derived segments are stale -> dropped; base tables appended
-    assert not os.path.isdir(os.path.join(path, "segments"))
+    # segments stay valid; the append is recorded as a delta manifest
+    assert os.path.isdir(os.path.join(path, "segments"))
+    manifests = os.listdir(os.path.join(path, "manifests"))
+    assert any(m.startswith("delta_") for m in manifests)
     assert idx.search("gamma", field_name="body",
                       with_hit=False).count() == 2
     reopened = Index.load(spark, path)
@@ -533,9 +537,18 @@ def test_add_documents_disk_appends_and_invalidates_segments(
     assert reopened.stats["body"]["N"] == 3
     got = reopened.search("beta", field_name="body", with_hit=False)
     assert sorted(r["doc_id"] for r in got.collect()) == [0, 1]
-    # segments rebuild cleanly over the appended index
-    build_segments(reopened, n_buckets=2, chunk_span=64, block_size=16)
-    assert os.path.isdir(os.path.join(path, "segments"))
+    # the kernel path answers over base + delta WITHOUT a rebuild,
+    # score-identical to the exhaustive DataFrame path
+    from lucene_clj_spark.wand import wand_topk
+
+    kern = wand_topk(reopened, "body", ["beta", "gamma"], k=10).collect()
+    exhaustive = reopened.search(
+        {"beta", "gamma"}, field_name="body", with_hit=False,
+        strategy="dataframe",
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in kern] == [
+        (r["doc_id"], r["score"]) for r in exhaustive
+    ]
 
 
 def test_multi_valued_text_field(spark):

@@ -72,7 +72,6 @@ def test_segment_blocks_structure(spark, disk_index):
     blocks = spark.read.parquet(os.path.join(disk_index.path, "segments"))
     row = blocks.filter(F.col("n") > 1).first()
     assert row["first_doc"] <= row["last_doc"]
-    assert row["block_max_score"] > 0
     assert len(row["norms"]) == row["n"]
     # every posting has delta-coded ids that decode to sorted ids
     from lucene_clj_spark import codec
@@ -80,6 +79,23 @@ def test_segment_blocks_structure(spark, disk_index):
     ids = codec.delta_decode(codec.decode_varints(row["doc_deltas"]))
     assert list(ids) == sorted(ids)
     assert ids[0] == row["first_doc"] and ids[-1] == row["last_doc"]
+    # impact frontier (format 2): pareto (tf, qdl) pairs — stats-free
+    # exact block bound. tf strictly decreasing, qdl strictly
+    # decreasing along the frontier; the max tf of the block is the
+    # frontier head.
+    from lucene_clj_spark import bm25
+
+    tfs = codec.decode_varints(row["tfs"])
+    norms = __import__("numpy").frombuffer(row["norms"], dtype="uint8")
+    imp = row["impacts"]
+    assert imp[0]["tf"] == float(tfs.max())
+    assert all(
+        imp[i]["tf"] > imp[i + 1]["tf"] and imp[i]["qdl"] > imp[i + 1]["qdl"]
+        for i in range(len(imp) - 1)
+    )
+    # frontier covers the block: min qdl present
+    qdls = bm25.LENGTH_TABLE[norms]
+    assert imp[-1]["qdl"] == float(qdls.min())
 
 
 def test_resume_skips_completed_buckets(disk_index):
@@ -453,3 +469,127 @@ def test_resume_with_changed_params_refuses(spark, tmp_path_factory):
     # same params with no meta file: manifests validate clean, resume ok
     build_segments(idx, n_buckets=8, chunk_span=64, block_size=16,
                    resume=True)
+
+
+def test_append_merge_matches_from_scratch(spark, tmp_path_factory):
+    """Lucene's flush-then-merge model end-to-end: base build + two
+    delta appends answer kernel queries bit-identically to a
+    from-scratch build over the full corpus; merge_segments absorbs
+    the deltas (manifests removed, block layout re-optimized) without
+    changing any answer."""
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.segments import merge_segments
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(90)
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    root = tmp_path_factory.mktemp("delta")
+    inc_path, full_path = str(root / "inc"), str(root / "full")
+    inc = create_index(spark, base, {"text": "text"}, id_column="doc_id",
+                       path=inc_path, index_type="disk", re_create=True,
+                       ignore_extra_columns=True)
+    build_segments(inc, n_buckets=4, chunk_span=32, block_size=8)
+    inc.add_documents(b1, ignore_extra_columns=True)
+    inc.add_documents(b2, ignore_extra_columns=True)
+
+    full = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
+                        path=full_path, index_type="disk", re_create=True,
+                        ignore_extra_columns=True)
+    build_segments(full, n_buckets=4, chunk_span=32, block_size=8)
+
+    def topk(idx, mode):
+        return [
+            (r["doc_id"], r["score"])
+            for r in wand_topk(idx, "text", ["merge", "dup", "the"],
+                               k=15, mode=mode).collect()
+        ]
+
+    for mode in ("or", "and"):
+        assert topk(inc, mode) == topk(full, mode)
+
+    man = os.path.join(inc_path, "manifests")
+    assert sum(f.startswith("delta_") for f in os.listdir(man)) == 2
+    before = topk(inc, "or")
+    merge_segments(inc)
+    assert not any(f.startswith("delta_") for f in os.listdir(man))
+    assert topk(inc, "or") == before
+    # merged layout is block-optimal: same block count as from-scratch
+    n_inc = spark.read.parquet(os.path.join(inc_path, "segments")).count()
+    n_full = spark.read.parquet(os.path.join(full_path, "segments")).count()
+    assert n_inc == n_full
+
+
+def test_multi_field_pairs_kernel(spark, tmp_path_factory):
+    """A map query spanning TWO text fields runs in ONE kernel pass
+    (wand_pairs_topk): scores equal the sum of the per-field DataFrame
+    scores, for both OR (sum) and AND (intersection) semantics."""
+    import pandas as pd
+
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.wand import wand_pairs_topk
+
+    rows = [
+        (i,
+         f"alpha title {'beta ' * (i % 3)}gamma",
+         f"body delta {'epsilon ' * (i % 4)}zeta alpha")
+        for i in range(40)
+    ]
+    path = str(tmp_path_factory.mktemp("mf") / "idx")
+    idx = create_index(
+        spark, spark.createDataFrame(rows, "doc_id long, title string, "
+                                           "body string"),
+        {"title": "text", "body": "text"}, id_column="doc_id",
+        path=path, index_type="disk", re_create=True,
+    )
+    build_segments(idx, n_buckets=4, chunk_span=16, block_size=4)
+
+    pairs = [("title", "beta"), ("body", "epsilon")]
+
+    def field_scores(field, term):
+        out = idx.search(term, field_name=field, results_per_page=100,
+                         with_hit=False, strategy="dataframe").collect()
+        return {r["doc_id"]: r["score"] for r in out}
+
+    s_t = field_scores("title", "beta")
+    s_b = field_scores("body", "epsilon")
+    all_ids = set(s_t) | set(s_b)
+    or_expect = sorted(
+        ((d, s_t.get(d, 0.0) + s_b.get(d, 0.0)) for d in all_ids),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    and_expect = sorted(
+        ((d, s_t[d] + s_b[d]) for d in set(s_t) & set(s_b)),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+
+    got_or = [(r["doc_id"], r["score"])
+              for r in wand_pairs_topk(idx, pairs, k=10, mode="or").collect()]
+    got_and = [(r["doc_id"], r["score"])
+               for r in wand_pairs_topk(idx, pairs, k=10,
+                                        mode="and").collect()]
+    assert got_or == or_expect
+    assert got_and == and_expect
+
+
+def test_stream_chunks_reassembles_across_batches():
+    """_stream_chunks must hand process() COMPLETE chunks even when a
+    chunk's rows span multiple Arrow batches, and must never hold more
+    than one chunk at a time."""
+    import pandas as pd
+
+    from lucene_clj_spark.wand import _stream_chunks
+
+    batches = [
+        pd.DataFrame({"chunk": [0, 0, 1], "v": [1, 2, 3]}),
+        pd.DataFrame({"chunk": [1], "v": [4]}),
+        pd.DataFrame({"chunk": [1, 2], "v": [5, 6]}),
+        pd.DataFrame({"chunk": [], "v": []}),
+        pd.DataFrame({"chunk": [3], "v": [7]}),
+    ]
+    seen = []
+    _stream_chunks(iter(batches), lambda pdf: seen.append(
+        (int(pdf["chunk"].iloc[0]), sorted(pdf["v"].tolist()))
+    ))
+    assert seen == [(0, [1, 2]), (1, [3, 4, 5]), (2, [6]), (3, [7])]
