@@ -664,14 +664,21 @@ def compile_node(index, node: Node) -> DataFrame:
 
 def _wand_route(
     index, node: Node
-) -> tuple[str, Any, str, dict | None] | None:
+) -> tuple[str | None, Any, str, dict | None] | None:
     """Decide whether a query can execute on the segment kernels (the
     scale path): a term / boosted term, a flat all-MUST / all-SHOULD
-    boolean of same-field (possibly boosted) terms, an unboosted
-    phrase, or a single-field fuzzy — against a disk index with built
-    segments. Returns (field, terms_or_node, mode, term_weights) or
-    None; boosts ride as term_weights (scores and block-max skip
-    bounds scale linearly, so pruning stays exact)."""
+    boolean of (possibly boosted) terms — SPANNING ANY MIX OF FIELDS,
+    e.g. a map query {title: ..., body: ...} (wand_pairs_topk runs a
+    field-keyed one-pass kernel) — an unboosted phrase, or a
+    single-field fuzzy — against a disk index with built segments.
+
+    Returns (field, payload, mode, weights) or None:
+    - mode 'phrase'      -> (field, terms, ...)
+    - mode 'fuzzy'       -> (field, FuzzyQ node, ...)
+    - mode 'and' / 'or'  -> (None, [(field, term), ...], mode,
+                             {(field, term): boost} | None)
+    Boosts ride as kernel weights (scores and block-max skip bounds
+    scale linearly, so pruning stays exact)."""
     import os
 
     if not index.path:
@@ -685,8 +692,9 @@ def _wand_route(
             # non-positive boosts invert the kernel's block-max upper
             # bounds (pruning would skip true top-k docs) — fall back
             return None
-        w = {node.term: node.boost} if node.boost != 1.0 else None
-        return (node.field, [node.term], "or", w)
+        pair = (node.field, node.term)
+        w = {pair: node.boost} if node.boost != 1.0 else None
+        return (None, [pair], "or", w)
     if isinstance(node, PhraseQ):
         if (
             node.boost != 1.0
@@ -704,26 +712,25 @@ def _wand_route(
     occs = {occ for occ, _ in node.clauses}
     if len(occs) != 1 or next(iter(occs)) not in (MUST, SHOULD):
         return None
-    terms, fields, weights = [], set(), {}
+    pairs, weights = [], {}
     for _, n in node.clauses:
         t = _as_term(n)
         if t is None:
             return None
-        terms.append(t.term)
-        fields.add(t.field)
-        weights[t.term] = t.boost
-    if len(fields) != 1 or len(set(terms)) != len(terms):
-        # duplicate terms merge boosts per-(doc,term) — fall back
+        pairs.append((t.field, t.term))
+        weights[(t.field, t.term)] = t.boost
+    if len(set(pairs)) != len(pairs):
+        # duplicate (field, term) pairs merge boosts per-(doc, pair) —
+        # fall back to the DataFrame path which sums them
         return None
     if any(w <= 0 for w in weights.values()):
         return None  # see the non-positive-boost note above
-    field = next(iter(fields))
-    if field not in index.stats:
+    if any(f not in index.stats for f, _ in pairs):
         return None
     occ = next(iter(occs))
     if all(w == 1.0 for w in weights.values()):
         weights = None
-    return (field, terms, "and" if occ == MUST else "or", weights)
+    return (None, pairs, "and" if occ == MUST else "or", weights)
 
 
 def _validate_opts(results_per_page, page, search_after):
@@ -771,7 +778,8 @@ def search(
     maps. ``hit_columns`` prunes which stored columns reach the fn.
 
     ``strategy``: 'auto' (default) routes eligible queries — term /
-    phrase / flat same-field AND/OR booleans (boosts ride as kernel
+    phrase / flat AND/OR booleans over ANY mix of fields, including
+    map queries {title: ..., body: ...} (boosts ride as kernel
     weights) / fuzzy on a segment-backed disk index, any page, no
     keyset — through the segment kernels
     (block-max WAND for term sets, the positions-decoding phrase
@@ -814,7 +822,7 @@ def search(
     if strategy == "wand" and route is None:
         raise ValidationError(
             "strategy='wand' requires a segment-backed disk index and a "
-            "same-field term/AND/OR/phrase/fuzzy query (no search_after)",
+            "term/AND/OR/map/phrase/fuzzy query (no search_after)",
             {},
         )
     if route is not None:
@@ -822,7 +830,7 @@ def search(
         if mode_ == "and":
             # a MUST term absent from the dictionary empties the result
             # (the kernel would silently drop it instead)
-            st = _lookup_term_stats(index, [(field_, t) for t in terms_])
+            st = _lookup_term_stats(index, terms_)
             if len(st) < len(terms_):
                 scores = _empty_scores(index)
         elif mode_ == "fuzzy":
@@ -833,9 +841,9 @@ def search(
             if not exp:
                 scores = _empty_scores(index)
             else:
-                terms_ = [t for t, _, _ in exp]
+                terms_ = [(field_, t) for t, _, _ in exp]
                 weights_ = {
-                    t: fb * fnode.boost for t, _, fb in exp
+                    (field_, t): fb * fnode.boost for t, _, fb in exp
                 }
                 mode_ = "or"
                 if any(w <= 0 for w in weights_.values()):
@@ -856,14 +864,14 @@ def search(
                     scores = None
                     terms_ = None
         if scores is None and route is not None:
-            from lucene_clj_spark.wand import phrase_topk, wand_topk
+            from lucene_clj_spark.wand import phrase_topk, wand_pairs_topk
 
             if mode_ == "phrase":
                 scores = phrase_topk(index, field_, terms_, k=kernel_k)
             else:
-                scores = wand_topk(
-                    index, field_, terms_, k=kernel_k, mode=mode_,
-                    term_weights=weights_,
+                scores = wand_pairs_topk(
+                    index, terms_, k=kernel_k, mode=mode_,
+                    weights=weights_,
                 )
     if scores is None:
         scores = compile_node(index, ast)

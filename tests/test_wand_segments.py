@@ -264,15 +264,32 @@ def test_auto_strategy_page2_matches_dataframe(disk_index):
 def test_wand_strategy_ineligible_raises(spark, disk_index):
     from lucene_clj_spark.errors import ValidationError
 
-    with pytest.raises(ValidationError):  # multi-field AND not eligible
-        disk_index.search({"text": "merge", "lang": "de"},
-                          strategy="wand")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     from lucene_clj_spark import create_index
     mem = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
                        ignore_extra_columns=True)
     with pytest.raises(ValidationError):  # no segments on memory index
         mem.search("merge", field_name="text", strategy="wand")
+    with pytest.raises(ValidationError):  # keyset filter pre-top-k
+        disk_index.search("merge", field_name="text", strategy="wand",
+                          search_after={"score": 1.0, "doc_id": 0})
+
+
+def test_multi_field_map_query_kernel_routes_and_matches(disk_index):
+    """A map query {text: ..., lang: ...} — AND across fields, Q4 —
+    now rides the one-pass multi-field kernel (wand_pairs_topk) under
+    strategy='wand'/'auto', result-identical to the DataFrame path
+    (VERDICT r02 item 4)."""
+    q = {"text": "merge", "lang": "de"}
+    want = disk_index.search(q, results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = disk_index.search(q, results_per_page=10, with_hit=False,
+                            strategy="wand")
+    s = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in s  # actually on the kernel
+    assert [(r["doc_id"], r["score"]) for r in got.collect()] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
 
 
 def test_negative_boost_not_kernel_routed(disk_index):
@@ -593,3 +610,16 @@ def test_stream_chunks_reassembles_across_batches():
         (int(pdf["chunk"].iloc[0]), sorted(pdf["v"].tolist()))
     ))
     assert seen == [(0, [1, 2]), (1, [3, 4, 5]), (2, [6]), (3, [7])]
+
+
+def test_multi_field_map_dataframe_plan_single_scan(disk_index):
+    """VERDICT r02 item 4 'Done=' condition: the DataFrame plan for a
+    two-field map query must contain exactly ONE postings scan (the
+    broadcast leaf-relation join of _scored_term_group), not
+    join-per-clause."""
+    plan = disk_index.search({"text": "merge", "lang": "de"},
+                             with_hit=False, strategy="dataframe")
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    n_scans = s.count("Scan parquet")
+    assert n_scans == 1, f"expected 1 postings scan, saw {n_scans}"
+    assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
