@@ -710,27 +710,58 @@ def _wand_route(
     if not (isinstance(node, BoolQ) and node.boost == 1.0 and node.clauses):
         return None
     occs = {occ for occ, _ in node.clauses}
-    if len(occs) != 1 or next(iter(occs)) not in (MUST, SHOULD):
+    if len(occs) == 1 and next(iter(occs)) in (MUST, SHOULD):
+        # flat single-occurrence boolean -> the lean or/and kernel
+        pairs, weights = [], {}
+        ok = True
+        for _, n in node.clauses:
+            t = _as_term(n)
+            if t is None:
+                ok = False
+                break
+            pairs.append((t.field, t.term))
+            weights[(t.field, t.term)] = t.boost
+        if (
+            ok
+            and len(set(pairs)) == len(pairs)
+            and all(w > 0 for w in weights.values())
+            and all(f in index.stats for f, _ in pairs)
+        ):
+            # duplicate (field, term) pairs would need per-(doc, pair)
+            # boost merging — those fall through to the group attempt /
+            # DataFrame path
+            occ = next(iter(occs))
+            if all(w == 1.0 for w in weights.values()):
+                weights = None
+            return (None, pairs, "and" if occ == MUST else "or", weights)
+    # one-level group trees ((a OR b) AND c NOT d) and mixed MUST/
+    # SHOULD flat booleans -> the group kernel, same eligibility rules
+    # as _scored_group_tree plus kernel-specific guards (no duplicate
+    # pairs, positive scored boosts)
+    gclauses = _group_tree_clauses(node)
+    if gclauses is None:
         return None
-    pairs, weights = [], {}
-    for _, n in node.clauses:
-        t = _as_term(n)
-        if t is None:
-            return None
-        pairs.append((t.field, t.term))
-        weights[(t.field, t.term)] = t.boost
-    if len(set(pairs)) != len(pairs):
-        # duplicate (field, term) pairs merge boosts per-(doc, pair) —
-        # fall back to the DataFrame path which sums them
-        return None
-    if any(w <= 0 for w in weights.values()):
-        return None  # see the non-positive-boost note above
-    if any(f not in index.stats for f, _ in pairs):
-        return None
-    occ = next(iter(occs))
-    if all(w == 1.0 for w in weights.values()):
-        weights = None
-    return (None, pairs, "and" if occ == MUST else "or", weights)
+    groups: list[tuple[str, list[tuple[str, str, float]]]] = []
+    seen_pairs: set[tuple[str, str]] = set()
+    for occ, child in gclauses:
+        t = _as_term(child)
+        if t is not None:
+            members = [(t.field, t.term, t.boost)]
+        else:
+            members = [
+                (c.field, c.term, c.boost * child.boost)
+                for c in (_as_term(cc) for _, cc in child.clauses)
+            ]
+        for f_, t_, b_ in members:
+            if (f_, t_) in seen_pairs:
+                return None  # per-(doc, pair) boost merge — fall back
+            seen_pairs.add((f_, t_))
+            if f_ not in index.stats:
+                return None
+            if occ != "MUST_NOT" and b_ <= 0:
+                return None  # non-positive weight inverts skip bounds
+        groups.append((occ, members))
+    return (None, groups, "group", None)
 
 
 def _validate_opts(results_per_page, page, search_after):
@@ -864,10 +895,18 @@ def search(
                     scores = None
                     terms_ = None
         if scores is None and route is not None:
-            from lucene_clj_spark.wand import phrase_topk, wand_pairs_topk
+            from lucene_clj_spark.wand import (
+                phrase_topk,
+                wand_group_topk,
+                wand_pairs_topk,
+            )
 
             if mode_ == "phrase":
                 scores = phrase_topk(index, field_, terms_, k=kernel_k)
+            elif mode_ == "group":
+                # absent MUST members / pure-negative trees are handled
+                # inside wand_group_topk (empty result)
+                scores = wand_group_topk(index, terms_, k=kernel_k)
             else:
                 scores = wand_pairs_topk(
                     index, terms_, k=kernel_k, mode=mode_,

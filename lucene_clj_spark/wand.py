@@ -100,15 +100,18 @@ def _stream_chunks(batches: Iterator[pd.DataFrame], process) -> None:
                 if len(buf) > 1 else buf[0])
 
 
-def _kernel_factory(key_idfs: dict, key_denoms: dict, k: int, mode: str):
+def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
+                    k: int, mode: str):
     """Per-partition streaming WAND kernel for mapInPandas.
 
-    ``key_idfs`` maps fkey -> (possibly boost-weighted) idf: the
-    per-posting score and every block/chunk upper bound scale linearly
-    in the weight, so the caller pre-scales both the idf map and the
-    scan-time ``block_max_score`` column and the skip logic stays
-    exact. ``key_denoms`` maps fkey -> the field's norm-denominator
-    cache (multi-field queries carry per-field avgdl)."""
+    ``key_idfs`` maps fkey -> idf and ``key_ws`` -> its boost weight,
+    applied LAST (w * ((idf*tf)/denom)) to match the DataFrame path's
+    ``boost * score_col`` association bit-for-bit. Scores and every
+    block/chunk upper bound scale linearly in the weight (the scan
+    already folds it into ``block_max_score`` with the same
+    association), so the skip logic stays exact. ``key_denoms`` maps
+    fkey -> the field's norm-denominator cache (multi-field queries
+    carry per-field avgdl)."""
     n_keys = len(key_idfs)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -144,7 +147,9 @@ def _kernel_factory(key_idfs: dict, key_denoms: dict, k: int, mode: str):
                 norms = np.frombuffer(row.norms, dtype=np.uint8)
                 idf = key_idfs[row.fkey]
                 denom = key_denoms[row.fkey]
-                scores = idf * tfs / (tfs + denom[norms])
+                scores = key_ws[row.fkey] * (
+                    idf * tfs / (tfs + denom[norms])
+                )
                 doc_parts.append(ids)
                 score_parts.append(scores)
             if not doc_parts:
@@ -237,16 +242,16 @@ def _segment_scan(index, pairs: list[tuple[str, str]],
         )
         .collect()
     )
-    key_idfs = {}
+    key_idfs, key_ws = {}, {}
     for r in df_rows:
         fk = (r["field"], r["term"])
         if fk not in uniq:
             continue
-        key_idfs[f"{r['field']}\x1f{r['term']}"] = (
-            weights.get(fk, 1.0) * float(r["idf"])
-        )
+        fkey_s = f"{r['field']}\x1f{r['term']}"
+        key_idfs[fkey_s] = float(r["idf"])
+        key_ws[fkey_s] = float(weights.get(fk, 1.0))
     if not key_idfs:
-        return key_idfs, None
+        return key_idfs, key_ws, None
     present_terms = sorted(
         {k.split("\x1f", 1)[1] for k in key_idfs}
     )
@@ -271,6 +276,9 @@ def _segment_scan(index, pairs: list[tuple[str, str]],
     idf_map = F.create_map(
         *[F.lit(x) for kv in key_idfs.items() for x in kv]
     )
+    w_map = F.create_map(
+        *[F.lit(x) for kv in key_ws.items() for x in kv]
+    )
     avg_map = F.create_map(
         *[
             F.lit(x)
@@ -285,29 +293,37 @@ def _segment_scan(index, pairs: list[tuple[str, str]],
         .filter(cond2)
         .withColumn("fkey", fkey)
         .withColumn("__idf", idf_map[F.col("fkey")])
+        .withColumn("__w", w_map[F.col("fkey")])
         .withColumn("__avgdl", avg_map[F.col("field")])
         .withColumn(
             "block_max_score",
             F.array_max(
                 F.transform(
                     "impacts",
-                    # idf * tf / (tf + k1*(1-b) + (k1*b*qdl)/avgdl) with
-                    # the same association as the kernel's numpy:
-                    # (idf * tf) / (tf + K1*((1-B) + (B*qdl)/avgdl))
-                    lambda im: (F.col("__idf") * im["tf"])
-                    / (
-                        im["tf"]
-                        + F.lit(bm25.K1)
-                        * (
-                            F.lit(1.0 - bm25.B)
-                            + F.lit(bm25.B) * im["qdl"] / F.col("__avgdl")
+                    # w * ((idf * tf) / (tf + K1*((1-B) + (B*qdl)/avgdl)))
+                    # — EXACTLY the association of both the kernel's
+                    # numpy scoring and the DataFrame path's
+                    # ``boost * score_col`` (weight applied LAST), so
+                    # the bound equals the true max block score
+                    # bit-for-bit and all three agree under boosts
+                    lambda im: F.col("__w")
+                    * (
+                        (F.col("__idf") * im["tf"])
+                        / (
+                            im["tf"]
+                            + F.lit(bm25.K1)
+                            * (
+                                F.lit(1.0 - bm25.B)
+                                + F.lit(bm25.B) * im["qdl"]
+                                / F.col("__avgdl")
+                            )
                         )
                     ),
                 )
             ),
         )
     )
-    return key_idfs, blocks
+    return key_idfs, key_ws, blocks
 
 
 def _key_denoms(index, key_idfs: dict) -> dict:
@@ -482,7 +498,7 @@ def phrase_topk(
     offsets: dict[str, list[int]] = {}
     for i, t in enumerate(terms):
         offsets.setdefault(t, []).append(i)
-    key_idfs, blocks = _segment_scan(
+    key_idfs, _ws, blocks = _segment_scan(
         index, [(field, t) for t in offsets]
     )
     if blocks is None or len(key_idfs) < len(offsets):
@@ -520,7 +536,7 @@ def wand_pairs_topk(
     (MUST intersection, scores summed). ``weights`` maps
     (field, term) -> boost: scores and skip bounds both scale linearly,
     so pruning stays exact."""
-    key_idfs, blocks = _segment_scan(index, pairs, weights)
+    key_idfs, key_ws, blocks = _segment_scan(index, pairs, weights)
     if blocks is None:
         return index.spark.createDataFrame([], "doc_id long, score double")
     npart = n_partitions or index.spark.sparkContext.defaultParallelism
@@ -530,7 +546,7 @@ def wand_pairs_topk(
         npart,
     )
     kernel = _kernel_factory(
-        key_idfs, _key_denoms(index, key_idfs), k, mode
+        key_idfs, key_ws, _key_denoms(index, key_idfs), k, mode
     )
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -559,3 +575,190 @@ def wand_topk(
         n_partitions=n_partitions,
         weights=weights,
     )
+
+
+def _group_kernel_factory(
+    key_idfs: dict,
+    key_ws: dict,
+    key_denoms: dict,
+    key_gid: dict,
+    must_gids: frozenset,
+    not_keys: frozenset,
+    k: int,
+):
+    """Per-partition streaming kernel for one-level boolean GROUP
+    trees — the segment analogue of search._scored_group_tree. Lucene
+    semantics: a doc's score is the sum of its matching non-prohibited
+    keys, every MUST group must be matched by at least one member, any
+    MUST_NOT match excludes the doc.
+
+    Bound soundness: NOT keys never contribute to the chunk/block
+    upper bounds (exclusion only removes docs, so positive-only sums
+    stay valid upper bounds), and only their doc ids are decoded —
+    never skipped on bounds, since missing an exclusion would be a
+    wrong answer, not a missed optimization. A chunk that lacks every
+    member of some MUST group is skipped wholesale: chunk == doc-id
+    range, so no doc of this chunk can satisfy that group elsewhere."""
+    n_must = len(must_gids)
+    max_gid = max(key_gid.values()) + 1
+    is_must_gid = np.zeros(max_gid, dtype=bool)
+    for g in must_gids:
+        is_must_gid[g] = True
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -math.inf
+
+        def process(cpdf: pd.DataFrame) -> None:
+            if not_keys:
+                neg = cpdf[cpdf["fkey"].isin(not_keys)]
+                pos = cpdf[~cpdf["fkey"].isin(not_keys)]
+            else:
+                neg = None
+                pos = cpdf
+            if len(pos) == 0:
+                return
+            if n_must:
+                present = {key_gid[f] for f in pos["fkey"].unique()}
+                if not all(g in present for g in must_gids):
+                    return
+            key_maxes = pos.groupby("fkey")["block_max_score"].max()
+            tm_sum = float(key_maxes.sum())
+            # STRICT bound (ties must be decoded) — see _kernel_factory
+            if len(heap) >= k and tm_sum < theta():
+                return
+            doc_parts, score_parts, gid_parts = [], [], []
+            for row in pos.itertuples(index=False):
+                others = tm_sum - float(key_maxes[row.fkey])
+                if (
+                    len(heap) >= k
+                    and row.block_max_score + others < theta()
+                ):
+                    continue
+                ids = codec.delta_decode(
+                    codec.decode_varints(row.doc_deltas)
+                )
+                tfs = codec.decode_varints(row.tfs).astype(np.float64)
+                norms = np.frombuffer(row.norms, dtype=np.uint8)
+                idf = key_idfs[row.fkey]
+                denom = key_denoms[row.fkey]
+                doc_parts.append(ids)
+                score_parts.append(
+                    key_ws[row.fkey] * (idf * tfs / (tfs + denom[norms]))
+                )
+                gid_parts.append(
+                    np.full(ids.size, key_gid[row.fkey], dtype=np.int64)
+                )
+            if not doc_parts:
+                return
+            docs = np.concatenate(doc_parts)
+            scores = np.concatenate(score_parts)
+            gids = np.concatenate(gid_parts)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            agg = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(agg, inv, scores)
+            keep = np.ones(uniq.size, dtype=bool)
+            if n_must:
+                mm = is_must_gid[gids]
+                # distinct (doc, must-group) pairs per doc
+                pair = np.unique(inv[mm] * max_gid + gids[mm])
+                cnt = np.bincount(pair // max_gid, minlength=uniq.size)
+                keep &= cnt == n_must
+            if neg is not None and len(neg):
+                ex_parts = [
+                    codec.delta_decode(codec.decode_varints(r.doc_deltas))
+                    for r in neg.itertuples(index=False)
+                ]
+                keep &= ~np.isin(uniq, np.concatenate(ex_parts))
+            uniq, agg = uniq[keep], agg[keep]
+            for d, s in zip(uniq.tolist(), agg.tolist()):
+                item = (s, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+
+        _stream_chunks(batches, process)
+        yield _heap_frame(heap)
+
+    return kernel
+
+
+def wand_group_topk(
+    index,
+    groups: list[tuple[str, list[tuple[str, str, float]]]],
+    k: int = 10,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score) for a one-level boolean GROUP tree over
+    the compressed segments — ``groups`` is a list of
+    ``(occ, [(field, term, effective_boost), ...])`` with occ in
+    {'MUST', 'SHOULD', 'MUST_NOT'} (group boosts pre-folded into the
+    member boosts by the caller). Executes the same semantics as
+    search._scored_group_tree on the streaming block-max kernel: one
+    pruned scan of the query keys' blocks, no join per clause.
+
+    A MUST group with no member present in the dictionary empties the
+    result; absent SHOULD/MUST_NOT members just drop out. The caller
+    guarantees no duplicate (field, term) pair across the tree and
+    positive boosts on all scored members."""
+    pairs, weights = [], {}
+    for occ, members in groups:
+        for f_, t_, b_ in members:
+            pairs.append((f_, t_))
+            # NOT members are exclusion-only: never scored, never in
+            # bounds — weight is irrelevant but must be positive for
+            # the shared scan preamble
+            weights[(f_, t_)] = 1.0 if occ == "MUST_NOT" else b_
+    key_idfs, key_ws, blocks = _segment_scan(index, pairs, weights)
+    if blocks is None:
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    key_gid, must_gids, not_keys = {}, set(), set()
+    next_gid = 0
+    for occ, members in groups:
+        present = [
+            (f_, t_) for f_, t_, _ in members
+            if f"{f_}\x1f{t_}" in key_idfs
+        ]
+        if not present:
+            if occ == "MUST":
+                return index.spark.createDataFrame(
+                    [], "doc_id long, score double"
+                )
+            continue
+        gid = next_gid
+        next_gid += 1
+        if occ == "MUST":
+            must_gids.add(gid)
+        for f_, t_ in present:
+            fk = f"{f_}\x1f{t_}"
+            key_gid[fk] = gid
+            if occ == "MUST_NOT":
+                not_keys.add(fk)
+    # a pure-negative surviving tree matches nothing
+    if not (set(key_gid) - not_keys):
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    # drop keys that fell out entirely (absent groups)
+    key_idfs = {fk: v for fk, v in key_idfs.items() if fk in key_gid}
+    npart = n_partitions or index.spark.sparkContext.defaultParallelism
+    blocks = blocks.filter(
+        F.col("fkey").isin(list(key_gid))
+    )
+    co = _co_located(
+        blocks,
+        ["chunk", "fkey", "block_max_score", "doc_deltas", "tfs", "norms"],
+        npart,
+    )
+    kernel = _group_kernel_factory(
+        key_idfs,
+        key_ws,
+        _key_denoms(index, key_idfs),
+        key_gid,
+        frozenset(must_gids),
+        frozenset(not_keys),
+        k,
+    )
+    local = co.mapInPandas(kernel, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -623,3 +623,102 @@ def test_multi_field_map_dataframe_plan_single_scan(disk_index):
     n_scans = s.count("Scan parquet")
     assert n_scans == 1, f"expected 1 postings scan, saw {n_scans}"
     assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
+
+
+@pytest.mark.parametrize(
+    "node_fn",
+    [
+        # (merge OR window) AND dup NOT scan — full one-level group tree
+        lambda B, T, M, S: B(1.0, (
+            (S if False else M, B(1.0, ((S, T(1.0, "text", "merge")),
+                                        (S, T(1.0, "text", "window"))))),
+            (M, T(1.0, "text", "dup")),
+            ("MUST_NOT", T(1.0, "text", "scan")),
+        )),
+        # mixed MUST/SHOULD flat boolean
+        lambda B, T, M, S: B(1.0, (
+            (M, T(1.0, "text", "merge")),
+            (S, T(1.0, "text", "dup")),
+            (S, T(2.0, "text", "vector")),
+        )),
+        # boosted OR group + NOT
+        lambda B, T, M, S: B(1.0, (
+            (S, B(2.0, ((S, T(1.0, "text", "merge")),
+                        (S, T(1.5, "text", "dup"))))),
+            ("MUST_NOT", T(1.0, "text", "window")),
+        )),
+    ],
+)
+def test_group_tree_kernel_matches_dataframe(disk_index, node_fn):
+    """One-level group trees ((a OR b) AND c NOT d, mixed MUST/SHOULD,
+    boosted groups, MUST_NOT exclusion) execute on the segment group
+    kernel result-identically to _scored_group_tree — same docs, same
+    rank, scores equal to within a few ULPs (float addition is
+    non-associative, and a doc matching 3+ clauses sums its per-clause
+    scores in physical row order, which differs between the postings
+    scan and the segment scan; the per-clause scores themselves are
+    bit-identical, pinned by the 1- and 2-clause cases)."""
+    import math as m
+
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, TermQ
+
+    node = node_fn(BoolQ, TermQ, MUST, SHOULD)
+    want = disk_index.search(node, results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = disk_index.search(node, results_per_page=10, with_hit=False,
+                            strategy="wand")
+    s = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in s  # actually on the kernel
+    got = got.collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) <= 4 * m.ulp(b["score"]), (
+            a["doc_id"], a["score"], b["score"]
+        )
+
+
+def test_group_tree_kernel_missing_must_empty(disk_index):
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, TermQ
+
+    node = BoolQ(1.0, (
+        (MUST, BoolQ(1.0, ((SHOULD, TermQ(1.0, "text", "zzzqqqxx")),))),
+        (SHOULD, TermQ(1.0, "text", "merge")),
+    ))
+    # flatten unwraps the single-clause group to a MUST term; either
+    # way the absent MUST empties the result on both paths
+    got = disk_index.search(node, with_hit=False).collect()
+    assert got == []
+
+
+def test_group_tree_kernel_not_excludes(disk_index):
+    """Docs matching the MUST_NOT group must vanish from kernel
+    results even when they top the positive score order."""
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, TermQ
+
+    node = BoolQ(1.0, (
+        (SHOULD, TermQ(1.0, "text", "merge")),
+        ("MUST_NOT", TermQ(1.0, "text", "window")),
+    ))
+    got = disk_index.search(node, results_per_page=50, with_hit=False,
+                            strategy="wand").collect()
+    want = disk_index.search(node, results_per_page=50, with_hit=False,
+                             strategy="dataframe").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    # and the exclusion actually bites: some merge-docs contain window
+    with_w = {
+        r["doc_id"]
+        for r in disk_index.search(
+            ["merge", "window"], field_name="text", results_per_page=50,
+            with_hit=False, strategy="dataframe").collect()
+    }
+    got_ids = {r["doc_id"] for r in got}
+    assert with_w and not (got_ids & with_w)
+    # a duplicate (field, term) pair across groups is NOT kernel-
+    # eligible (per-(doc, pair) boost merge) — falls back cleanly
+    dup = BoolQ(1.0, (
+        (SHOULD, TermQ(1.0, "text", "merge")),
+        ("MUST_NOT", TermQ(1.0, "text", "merge")),
+    ))
+    assert disk_index.search(dup, with_hit=False).collect() == []
