@@ -515,6 +515,51 @@ def q_wand_or_topk(spark, sf_dir):
     return _round6(out.select("doc_id", "score"), "score")
 
 
+def q_wand_group_topk(spark, sf_dir):
+    """Boolean GROUP TREE on the segment kernel: '(merge OR window)
+    AND dup' parsed by the DSL, forced through strategy='wand' (raises
+    if it fell off the kernel path) — same oracle as dsl_grouped_topk,
+    proving the group kernel's MUST-group accounting."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _wand_index(spark, sf_dir)
+    ast = parse_dsl("(merge OR window) AND dup", "text", idx.specs,
+                    idx.analyzers)
+    out = idx.search(ast, results_per_page=10, with_hit=False,
+                     strategy="wand")
+    return _round6(out, "score")
+
+
+def q_wand_group_not_topk(spark, sf_dir):
+    """Group tree with MUST_NOT exclusion on the segment kernel:
+    '(merge OR window) AND dup NOT scan' — NOT keys are exclusion-only
+    (never scored, never bound-skipped)."""
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, TermQ
+
+    idx = _wand_index(spark, sf_dir)
+    node = BoolQ(1.0, (
+        (MUST, BoolQ(1.0, ((SHOULD, TermQ(1.0, "text", "merge")),
+                           (SHOULD, TermQ(1.0, "text", "window"))))),
+        (MUST, TermQ(1.0, "text", "dup")),
+        ("MUST_NOT", TermQ(1.0, "text", "scan")),
+    ))
+    out = idx.search(node, results_per_page=10, with_hit=False,
+                     strategy="wand")
+    return _round6(out, "score")
+
+
+def q_wand_multi_field_topk(spark, sf_dir):
+    """Multi-field map query on the one-pass segment kernel:
+    {text: merge, lang: de} forced through strategy='wand' — same
+    oracle as multi_field_and_topk (DataFrame path), proving the
+    field-keyed kernel combine."""
+    idx = _wand_index(spark, sf_dir)
+    out = idx.search({"text": "merge", "lang": "de"},
+                     results_per_page=10, with_hit=False,
+                     strategy="wand")
+    return _round6(out, "score")
+
+
 def _webpages_index(spark: SparkSession, sf_dir: str):
     """The north-rule input shape end-to-end: wrap documents into a
     Common-Crawl-style pages table (url, warc_ts, html, text, lang),
@@ -641,6 +686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_fuzzy": q_suggest_fuzzy,
         "events_ts_exact": q_events_ts_exact,
         "wand_or_topk": q_wand_or_topk,
+        "wand_group_topk": q_wand_group_topk,
+        "wand_group_not_topk": q_wand_group_not_topk,
+        "wand_multi_field_topk": q_wand_multi_field_topk,
         "webpages_pipeline_topk": q_webpages_pipeline_topk,
         "embed_near_dup": q_embed_near_dup,
         "blob_features": q_blob_features,
@@ -732,6 +780,24 @@ SELECT doc_id, round(score, 6) AS score FROM (
   FROM scores GROUP BY doc_id
   HAVING sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) > 0
      AND sum(CASE WHEN term IN ('merge', 'window') THEN 1 ELSE 0 END) > 0
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _dsl_grouped_not_sql() -> str:
+    # '(merge OR window) AND dup NOT scan': the NOT term participates
+    # only as an exclusion — it contributes no score
+    return (
+        _multi_term_scores_sql(["merge", "window", "dup", "scan"])
+        + """
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id,
+         sum(CASE WHEN term <> 'scan' THEN score ELSE 0 END) AS score
+  FROM scores GROUP BY doc_id
+  HAVING sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN term IN ('merge', 'window') THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) = 0
   ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
     )
@@ -1314,6 +1380,9 @@ FROM (
         "suggest_fuzzy": _suggest_fuzzy_sql("sre1", 1, 10),
         "events_ts_exact": _events_ts_sql(),
         "wand_or_topk": _bool_or_sql(),
+        "wand_group_topk": _dsl_grouped_sql(),
+        "wand_group_not_topk": _dsl_grouped_not_sql(),
+        "wand_multi_field_topk": _multi_field_and_sql(),
         "webpages_pipeline_topk": _term_topk_sql("merge", 10),
         "embed_near_dup": _embed_near_dup_sql(0.35, 4, 64),
         # byte-accurate over the UTF-8 encoding (hex-pair extraction),
