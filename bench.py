@@ -220,6 +220,21 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
                 timed(lambda: didx.search(
                     {"text": "merg"}, fuzzy=True,
                     with_hit=False).collect(), name="q_seg_fuzzy"), 4)
+            # group-tree and multi-field kernels (r03): one pruned
+            # segment pass instead of join-per-clause
+            from lucene_clj_spark.query import parse_dsl
+
+            gast = parse_dsl("(merge OR window) AND dup", "text",
+                             didx.specs, didx.analyzers)
+            queries["q_seg_group"] = round(
+                timed(lambda: didx.search(
+                    gast, with_hit=False,
+                    strategy="wand").collect(), name="q_seg_group"), 4)
+            queries["q_seg_multi_field"] = round(
+                timed(lambda: didx.search(
+                    {"text": "merge", "lang": "de"}, with_hit=False,
+                    strategy="wand").collect(),
+                    name="q_seg_multi_field"), 4)
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
 
