@@ -75,17 +75,36 @@ def delta_decode(deltas: np.ndarray) -> np.ndarray:
 def encode_positions(tfs: np.ndarray, positions: list[np.ndarray]) -> bytes:
     """Concatenate per-posting position lists, each delta-coded, into
     one varint stream; ``tfs`` gives the per-posting counts needed to
-    split at decode time."""
-    if not positions:
+    split at decode time. One flat pass: deltas across the whole
+    concatenation with a reset at each posting boundary — no per-
+    posting numpy calls (this is the index build's hottest loop)."""
+    if len(positions) == 0:
         return b""
-    parts = [delta_encode(np.asarray(p, dtype=np.int64)) for p in positions]
-    return encode_varints(np.concatenate(parts) if parts else np.zeros(0))
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
+    if flat.size == 0:
+        return b""
+    counts = np.asarray(tfs, dtype=np.int64)
+    deltas = np.empty_like(flat)
+    deltas[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=deltas[1:])
+    starts = np.cumsum(counts)[:-1]
+    deltas[starts] = flat[starts]  # boundary reset: absolute first pos
+    return encode_varints(deltas)
 
 
 def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of encode_positions. Vectorized: one cumsum over the
+    flat stream, then a per-posting offset correction (the cumsum
+    carries the previous postings' totals across boundaries), then
+    zero-copy splits."""
     flat = decode_varints(buf).astype(np.int64)
-    out = []
-    starts = np.concatenate(([0], np.cumsum(tfs)[:-1].astype(np.int64)))
-    for s, n in zip(starts, tfs):
-        out.append(np.cumsum(flat[s : s + int(n)]))
-    return out
+    counts = np.asarray(tfs, dtype=np.int64)
+    if flat.size == 0:
+        return [np.zeros(0, dtype=np.int64) for _ in range(counts.size)]
+    starts = np.cumsum(counts)[:-1]
+    c = np.cumsum(flat)
+    # subtract each posting's incoming running total (c[start-1]) so
+    # every split behaves like its own cumsum
+    run_off = np.concatenate(([0], c[starts - 1]))
+    adj = c - np.repeat(run_off, counts)
+    return np.split(adj, starts)

@@ -111,11 +111,9 @@ def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         bnorm = norms[sl]
         qdl = bm25.LENGTH_TABLE[bnorm].astype(np.float64)
         if has_pos:
-            pos_list = [
-                np.asarray(p, dtype=np.int64)
-                for p in pdf["positions"].iloc[sl]
-            ]
-            pos_buf = codec.encode_positions(btf, pos_list)
+            pos_buf = codec.encode_positions(
+                btf, pdf["positions"].iloc[sl].to_list()
+            )
         else:
             pos_buf = b""
         out.append(
