@@ -685,6 +685,16 @@ def _wand_route(
         return None
     if not os.path.isdir(os.path.join(index.path, "segments")):
         return None
+    from lucene_clj_spark.segments import segments_format_ok
+
+    if not segments_format_ok(index.path):
+        # segments written by an older engine format: auto falls back
+        # to the (correct, slower) DataFrame path instead of turning
+        # every previously-working query into an error after an
+        # upgrade; rebuild with build_segments(resume=False) to get the
+        # kernels back. strategy='wand' still raises, via the
+        # eligibility error in search().
+        return None
 
     node = _flatten(node)
     if isinstance(node, TermQ):

@@ -473,6 +473,11 @@ def merge_segments(index, root: str | None = None,
     import shutil
 
     old = seg_root + "__old"
+    # a crash after the rename-in but before this rmtree leaves a
+    # stale __old behind — clear it up-front so the next merge's own
+    # rename never collides (the live segments dir is the source of
+    # truth; __old is always discardable residue)
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(seg_root, old)
     os.rename(tmp, seg_root)
     shutil.rmtree(old)
@@ -486,3 +491,28 @@ def merge_segments(index, root: str | None = None,
 def segments_meta(root: str) -> dict:
     with open(os.path.join(root, "manifests", "_segments_meta.json")) as f:
         return json.load(f)
+
+
+_FORMAT_OK_CACHE: dict[str, tuple[float, bool]] = {}
+
+
+def segments_format_ok(root: str) -> bool:
+    """True iff the segments at ``root`` were written by THIS engine's
+    format — the auto-routing gate (search._wand_route): older-format
+    segments silently fall back to the DataFrame path instead of
+    failing previously-working queries after an upgrade. Cached per
+    meta-file mtime, so the common case costs one os.stat per query."""
+    meta_path = os.path.join(root, "manifests", "_segments_meta.json")
+    try:
+        mtime = os.path.getmtime(meta_path)
+    except OSError:
+        return False
+    hit = _FORMAT_OK_CACHE.get(root)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    try:
+        ok = segments_meta(root).get("format") == SEGMENT_FORMAT
+    except (OSError, ValueError):
+        ok = False
+    _FORMAT_OK_CACHE[root] = (mtime, ok)
+    return ok

@@ -54,7 +54,10 @@ def ingest_batch(
     """Apply one micro-batch to ``index`` idempotently. Returns True if
     the batch was appended, False if it was recognized as a fully
     applied replay and skipped. Raises on partial overlap (genuine
-    doc_id collision)."""
+    doc_id collision) AND on a full-overlap batch whose CONTENT differs
+    from what is stored — same ids with different documents is a
+    conflicting re-ingest, not a crash replay, and silently dropping it
+    would lose data."""
     ids = batch_df.select(
         F.col(id_column).cast("long").alias("doc_id")
     ).distinct()
@@ -63,6 +66,41 @@ def ingest_batch(
     ).count(), ids.count()
     present, total = counts
     if total and present == total:
+        # verify it really is a replay: row-for-row content equality on
+        # the shared columns (md5 of the canonical JSON row), joined on
+        # doc_id — one bounded job on the (rare) suspected-replay path
+        shared = sorted(
+            (set(batch_df.columns) - {id_column})
+            & set(index.docs.columns)
+        )
+        if not shared:
+            return False  # ids-only batch: nothing to compare
+
+        def _digest(df, idc):
+            return df.select(
+                F.col(idc).cast("long").alias("doc_id"),
+                F.md5(F.to_json(F.struct(*shared))).alias("__h"),
+            )
+
+        mismatched = (
+            _digest(batch_df, id_column)
+            .join(
+                _digest(index.docs, "doc_id").withColumnRenamed(
+                    "__h", "__h_stored"
+                ),
+                "doc_id",
+            )
+            .filter(F.col("__h") != F.col("__h_stored"))
+            .count()
+        )
+        if mismatched:
+            raise ValidationError(
+                "streaming batch re-uses ALL existing doc_ids but "
+                f"{mismatched}/{total} rows carry DIFFERENT content — "
+                "a conflicting re-ingest, not a crash replay; refusing "
+                "to drop it silently",
+                {"mismatched": mismatched, "total": total},
+            )
         return False  # fully applied replay — skip (idempotent)
     if present:
         raise ValidationError(

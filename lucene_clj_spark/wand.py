@@ -178,7 +178,8 @@ def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
 
 
 def _segment_scan(index, pairs: list[tuple[str, str]],
-                  weights: dict | None = None):
+                  weights: dict | None = None,
+                  unbounded_keys: set | None = None):
     """Shared driver preamble for the segment kernels: validate the
     segments dir + format, resolve per-(field, term) idfs (one tiny
     terms-table action), resolve bucket literals (one tiny JVM eval of
@@ -191,9 +192,13 @@ def _segment_scan(index, pairs: list[tuple[str, str]],
     ``weights`` maps (field, term) -> boost; folded into the idfs (and
     therefore the bounds) so pruning stays exact under boosts.
 
-    Returns (key_idfs, blocks); keys are ``field + '\\x1f' + term``.
-    Absent terms are missing from key_idfs; blocks is None if no term
-    is present."""
+    Returns (key_idfs, key_ws, blocks); keys are
+    ``field + '\\x1f' + term``, key_idfs the unweighted idfs, key_ws
+    the boost weights (1.0 default). Absent terms are missing from
+    key_idfs; blocks is None if no term is present. ``unbounded_keys``
+    marks fkeys whose block bound is never consulted (MUST_NOT
+    exclusion keys): their bound column is a constant instead of the
+    per-block impacts fold."""
     import os
 
     from lucene_clj_spark.errors import ValidationError
@@ -287,6 +292,9 @@ def _segment_scan(index, pairs: list[tuple[str, str]],
         ]
     )
     fkey = F.concat(F.col("field"), F.lit("\x1f"), F.col("term"))
+    bound_gate = None
+    if unbounded_keys:
+        bound_gate = ~F.col("fkey").isin(sorted(unbounded_keys))
     blocks = (
         index.spark.read.parquet(os.path.join(root, "segments"))
         .filter(F.col("bucket").isin(query_buckets))
@@ -297,33 +305,45 @@ def _segment_scan(index, pairs: list[tuple[str, str]],
         .withColumn("__avgdl", avg_map[F.col("field")])
         .withColumn(
             "block_max_score",
-            F.array_max(
-                F.transform(
-                    "impacts",
-                    # w * ((idf * tf) / (tf + K1*((1-B) + (B*qdl)/avgdl)))
-                    # — EXACTLY the association of both the kernel's
-                    # numpy scoring and the DataFrame path's
-                    # ``boost * score_col`` (weight applied LAST), so
-                    # the bound equals the true max block score
-                    # bit-for-bit and all three agree under boosts
-                    lambda im: F.col("__w")
-                    * (
-                        (F.col("__idf") * im["tf"])
-                        / (
-                            im["tf"]
-                            + F.lit(bm25.K1)
-                            * (
-                                F.lit(1.0 - bm25.B)
-                                + F.lit(bm25.B) * im["qdl"]
-                                / F.col("__avgdl")
+            _gated(
+                bound_gate,
+                F.array_max(
+                    F.transform(
+                        "impacts",
+                        # w * ((idf*tf) / (tf + K1*((1-B) + (B*qdl)/avgdl)))
+                        # — EXACTLY the association of both the kernel's
+                        # numpy scoring and the DataFrame path's
+                        # ``boost * score_col`` (weight applied LAST), so
+                        # the bound equals the true max block score
+                        # bit-for-bit and all three agree under boosts
+                        lambda im: F.col("__w")
+                        * (
+                            (F.col("__idf") * im["tf"])
+                            / (
+                                im["tf"]
+                                + F.lit(bm25.K1)
+                                * (
+                                    F.lit(1.0 - bm25.B)
+                                    + F.lit(bm25.B) * im["qdl"]
+                                    / F.col("__avgdl")
+                                )
                             )
-                        )
-                    ),
-                )
+                        ),
+                    )
+                ),
             ),
         )
     )
     return key_idfs, key_ws, blocks
+
+
+def _gated(gate, expr):
+    """Gate an expensive per-row expression behind a predicate (0.0
+    when the predicate is false) — used to skip the impacts fold for
+    exclusion-only keys whose bound is never consulted."""
+    if gate is None:
+        return expr
+    return F.when(gate, expr).otherwise(F.lit(0.0))
 
 
 def _key_denoms(index, key_idfs: dict) -> dict:
@@ -705,14 +725,22 @@ def wand_group_topk(
     guarantees no duplicate (field, term) pair across the tree and
     positive boosts on all scored members."""
     pairs, weights = [], {}
+    not_fkeys: set[str] = set()
     for occ, members in groups:
         for f_, t_, b_ in members:
             pairs.append((f_, t_))
             # NOT members are exclusion-only: never scored, never in
             # bounds — weight is irrelevant but must be positive for
-            # the shared scan preamble
-            weights[(f_, t_)] = 1.0 if occ == "MUST_NOT" else b_
-    key_idfs, key_ws, blocks = _segment_scan(index, pairs, weights)
+            # the shared scan preamble; their per-block impacts fold
+            # is skipped entirely (unbounded_keys)
+            if occ == "MUST_NOT":
+                weights[(f_, t_)] = 1.0
+                not_fkeys.add(f"{f_}\x1f{t_}")
+            else:
+                weights[(f_, t_)] = b_
+    key_idfs, key_ws, blocks = _segment_scan(
+        index, pairs, weights, unbounded_keys=not_fkeys
+    )
     if blocks is None:
         return index.spark.createDataFrame([], "doc_id long, score double")
     key_gid, must_gids, not_keys = {}, set(), set()
@@ -737,15 +765,13 @@ def wand_group_topk(
             key_gid[fk] = gid
             if occ == "MUST_NOT":
                 not_keys.add(fk)
-    # a pure-negative surviving tree matches nothing
+    # a pure-negative surviving tree matches nothing. (key_gid always
+    # equals set(key_idfs) — every present key belongs to exactly one
+    # group, duplicates were rejected at route time — so no re-filter
+    # of key_idfs or the blocks scan is needed.)
     if not (set(key_gid) - not_keys):
         return index.spark.createDataFrame([], "doc_id long, score double")
-    # drop keys that fell out entirely (absent groups)
-    key_idfs = {fk: v for fk, v in key_idfs.items() if fk in key_gid}
     npart = n_partitions or index.spark.sparkContext.defaultParallelism
-    blocks = blocks.filter(
-        F.col("fkey").isin(list(key_gid))
-    )
     co = _co_located(
         blocks,
         ["chunk", "fkey", "block_max_score", "doc_deltas", "tfs", "norms"],

@@ -107,3 +107,30 @@ def test_stream_index_rejects_batch_df(spark):
         stream_index(
             spark.createDataFrame([], SCHEMA), idx, checkpoint="/tmp/x"
         )
+
+
+def test_ingest_replay_with_different_content_refuses(spark):
+    """Same doc_ids, different content is a conflicting re-ingest, not
+    a crash replay — it must raise, never be silently dropped
+    (code-review r03)."""
+    import pytest
+
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.errors import ValidationError
+    from lucene_clj_spark.streaming import ingest_batch
+
+    schema = "doc_id long, body string"
+    idx = create_index(
+        spark, spark.createDataFrame([(0, "alpha"), (1, "beta")], schema),
+        {"body": "text"}, id_column="doc_id",
+    )
+    # true replay: identical rows -> skipped, no error
+    assert ingest_batch(
+        idx, spark.createDataFrame([(0, "alpha"), (1, "beta")], schema)
+    ) is False
+    # conflicting re-ingest: same ids, new content -> refused
+    with pytest.raises(ValidationError, match="DIFFERENT content"):
+        ingest_batch(
+            idx,
+            spark.createDataFrame([(0, "alpha"), (1, "CHANGED")], schema),
+        )

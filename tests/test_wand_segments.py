@@ -722,3 +722,61 @@ def test_group_tree_kernel_not_excludes(disk_index):
         ("MUST_NOT", TermQ(1.0, "text", "merge")),
     ))
     assert disk_index.search(dup, with_hit=False).collect() == []
+
+
+def test_merge_recovers_from_stale_old_dir(spark, tmp_path_factory):
+    """A crash between merge's rename-in and residue cleanup leaves
+    segments__old behind; the next merge must clear it and succeed
+    (code-review r03)."""
+    import shutil
+
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.segments import merge_segments
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    path = str(tmp_path_factory.mktemp("staleold") / "idx")
+    idx = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
+                       path=path, index_type="disk", re_create=True,
+                       ignore_extra_columns=True)
+    build_segments(idx, n_buckets=2, chunk_span=32, block_size=8)
+    # simulate the crash residue
+    shutil.copytree(os.path.join(path, "segments"),
+                    os.path.join(path, "segments__old"))
+    before = [(r["doc_id"], r["score"])
+              for r in wand_topk(idx, "text", ["the"], k=5).collect()]
+    merge_segments(idx)
+    assert not os.path.isdir(os.path.join(path, "segments__old"))
+    after = [(r["doc_id"], r["score"])
+             for r in wand_topk(idx, "text", ["the"], k=5).collect()]
+    assert after == before
+
+
+def test_old_format_segments_fall_back_not_raise(spark, tmp_path_factory):
+    """Segments written by an older engine format: strategy='auto'
+    must fall back to the DataFrame path (correct answers), not raise;
+    strategy='wand' still refuses (code-review r03)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.errors import ValidationError
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    path = str(tmp_path_factory.mktemp("oldfmt") / "idx")
+    idx = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
+                       path=path, index_type="disk", re_create=True,
+                       ignore_extra_columns=True)
+    build_segments(idx, n_buckets=2, chunk_span=32, block_size=8)
+    meta_path = os.path.join(path, "manifests", "_segments_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta.pop("format", None)  # pre-format-2 build
+    with open(meta_path, "w") as fh:
+        _json.dump(meta, fh)
+    out = idx.search("the", field_name="text", with_hit=False)
+    s = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in s  # DataFrame fallback, no kernel
+    assert out.count() > 0
+    with _pytest.raises(ValidationError):
+        idx.search("the", field_name="text", strategy="wand")
