@@ -685,15 +685,16 @@ def _wand_route(
         return None
     if not os.path.isdir(os.path.join(index.path, "segments")):
         return None
-    from lucene_clj_spark.segments import segments_format_ok
+    from lucene_clj_spark.segments import segments_ready
 
-    if not segments_format_ok(index.path):
-        # segments written by an older engine format: auto falls back
-        # to the (correct, slower) DataFrame path instead of turning
-        # every previously-working query into an error after an
-        # upgrade; rebuild with build_segments(resume=False) to get the
-        # kernels back. strategy='wand' still raises, via the
-        # eligibility error in search().
+    if not segments_ready(index.path):
+        # segments written by an older engine format OR left incomplete
+        # by a killed build: auto falls back to the (correct, slower)
+        # DataFrame path instead of raising — or worse, serving a
+        # silently-partial top-k from the encoded subset of buckets.
+        # Resume/rebuild with build_segments to get the kernels back.
+        # strategy='wand' still raises, via the eligibility error in
+        # search().
         return None
 
     node = _flatten(node)

@@ -493,26 +493,34 @@ def segments_meta(root: str) -> dict:
         return json.load(f)
 
 
-_FORMAT_OK_CACHE: dict[str, tuple[float, bool]] = {}
+_READY_CACHE: dict[str, tuple[tuple[float, float], bool]] = {}
 
 
-def segments_format_ok(root: str) -> bool:
-    """True iff the segments at ``root`` were written by THIS engine's
-    format — the auto-routing gate (search._wand_route): older-format
-    segments silently fall back to the DataFrame path instead of
-    failing previously-working queries after an upgrade. Cached per
-    meta-file mtime, so the common case costs one os.stat per query."""
-    meta_path = os.path.join(root, "manifests", "_segments_meta.json")
+def segments_ready(root: str) -> bool:
+    """True iff the segments at ``root`` are SERVABLE: written by THIS
+    engine's format AND complete (every bucket's manifest present — a
+    build killed mid-flight leaves some buckets unencoded, and serving
+    them would silently return wrong top-k, not an error). The
+    auto-routing gate (search._wand_route): not-ready segments fall
+    back to the correct DataFrame path; resume the build to get the
+    kernels back. Cached per (meta mtime, manifests-dir mtime), so the
+    common case costs two os.stats per query."""
+    man_dir = os.path.join(root, "manifests")
+    meta_path = os.path.join(man_dir, "_segments_meta.json")
     try:
-        mtime = os.path.getmtime(meta_path)
+        stamp = (os.path.getmtime(meta_path), os.path.getmtime(man_dir))
     except OSError:
         return False
-    hit = _FORMAT_OK_CACHE.get(root)
-    if hit is not None and hit[0] == mtime:
+    hit = _READY_CACHE.get(root)
+    if hit is not None and hit[0] == stamp:
         return hit[1]
     try:
-        ok = segments_meta(root).get("format") == SEGMENT_FORMAT
-    except (OSError, ValueError):
+        meta = segments_meta(root)
+        ok = meta.get("format") == SEGMENT_FORMAT and all(
+            os.path.exists(os.path.join(man_dir, f"bucket_{b}.json"))
+            for b in range(int(meta["n_buckets"]))
+        )
+    except (OSError, ValueError, KeyError):
         ok = False
-    _FORMAT_OK_CACHE[root] = (mtime, ok)
+    _READY_CACHE[root] = (stamp, ok)
     return ok

@@ -219,6 +219,20 @@ def _segment_scan(index, pairs: list[tuple[str, str]],
             {"path": root},
         )
     nb = meta["n_buckets"]
+    missing = [
+        b for b in range(int(nb))
+        if not os.path.exists(
+            os.path.join(root, "manifests", f"bucket_{b}.json")
+        )
+    ]
+    if missing:
+        raise ValidationError(
+            f"segments at {root} are INCOMPLETE (buckets {missing} have "
+            "no manifest — the build was interrupted); serving them "
+            "would silently drop those buckets' postings. Re-run "
+            "build_segments(resume=True) to finish the build",
+            {"path": root, "missing_buckets": missing},
+        )
     weights = weights or {}
     uniq = sorted(set(pairs))
     by_field: dict[str, list[str]] = {}

@@ -780,3 +780,47 @@ def test_old_format_segments_fall_back_not_raise(spark, tmp_path_factory):
     assert out.count() > 0
     with _pytest.raises(ValidationError):
         idx.search("the", field_name="text", strategy="wand")
+
+
+def test_incomplete_segments_fall_back_not_serve_partial(
+    spark, tmp_path_factory
+):
+    """A build killed mid-flight leaves some buckets unencoded. Serving
+    those segments would silently DROP the missing buckets' postings
+    from top-k — auto must fall back to the DataFrame path, and a
+    direct kernel call must raise naming the missing buckets
+    (discovered by this round's real kill -9 drill)."""
+    import shutil
+
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.errors import ValidationError
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    path = str(tmp_path_factory.mktemp("partial") / "idx")
+    idx = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
+                       path=path, index_type="disk", re_create=True,
+                       ignore_extra_columns=True)
+    build_segments(idx, n_buckets=4, chunk_span=32, block_size=8)
+    complete = idx.search("the", field_name="text", with_hit=False).collect()
+    # simulate the mid-build kill: one bucket not yet committed
+    os.remove(os.path.join(path, "manifests", "bucket_2.json"))
+    shutil.rmtree(os.path.join(path, "segments", "bucket=2"))
+    out = idx.search("the", field_name="text", with_hit=False)
+    s = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in s  # fell back — not serving partial
+    assert [(r["doc_id"], r["score"]) for r in out.collect()] == [
+        (r["doc_id"], r["score"]) for r in complete
+    ]
+    with pytest.raises(ValidationError, match="INCOMPLETE"):
+        wand_topk(idx, "text", ["the"], k=5).collect()
+    with pytest.raises(ValidationError):
+        idx.search("the", field_name="text", strategy="wand")
+    # resume completes the build and the kernel comes back
+    build_segments(idx, n_buckets=4, chunk_span=32, block_size=8)
+    back = idx.search("the", field_name="text", with_hit=False)
+    assert "MapInPandas" in (
+        back._jdf.queryExecution().executedPlan().toString()
+    )
+    assert [(r["doc_id"], r["score"]) for r in back.collect()] == [
+        (r["doc_id"], r["score"]) for r in complete
+    ]
