@@ -307,6 +307,20 @@ def q_search_after(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_wand_search_after(spark, sf_dir):
+    """Keyset continuation ON THE SEGMENT KERNEL (S4 on the scale
+    path): page 0 of a term query via strategy='wand', then the next
+    10 strictly after its last (score, doc_id) key — same oracle as
+    search_after (term scores are bit-identical across strategies)."""
+    idx = _wand_index(spark, sf_dir)
+    page0 = idx.search("scan", field_name="text", results_per_page=10,
+                       with_hit=False, strategy="wand").collect()
+    out = idx.search("scan", field_name="text", results_per_page=10,
+                     search_after=page0[-1], with_hit=False,
+                     strategy="wand")
+    return _round6(out, "score")
+
+
 def q_lsh_pairs(spark, sf_dir):
     sigs = dedup.minhash_signatures(_docs(spark, sf_dir), n=5, k=8)
     return dedup.lsh_pairs(sigs, k=8, bands=4)
@@ -669,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "fingerprint": q_fingerprint,
         "search_after": q_search_after,
+        "wand_search_after": q_wand_search_after,
         "lsh_pairs": q_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "events_type_exact": q_events_type_exact,
@@ -1353,6 +1368,7 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "token_stats": _token_stats_sql(),
         "fingerprint": _fingerprint_sql(),
         "search_after": _term_topk_sql("scan", 10, offset=10),
+        "wand_search_after": _term_topk_sql("scan", 10, offset=10),
         "lsh_pairs": _lsh_pairs_sql(8, 4),
         "simhash_near_pairs": _simhash_near_sql(2, 8),
         "events_type_exact": _events_type_sql("error", 20),

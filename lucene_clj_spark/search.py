@@ -822,8 +822,9 @@ def search(
     ``strategy``: 'auto' (default) routes eligible queries — term /
     phrase / flat AND/OR booleans over ANY mix of fields, including
     map queries {title: ..., body: ...} (boosts ride as kernel
-    weights) / fuzzy on a segment-backed disk index, any page, no
-    keyset — through the segment kernels
+    weights) / fuzzy on a segment-backed disk index, any page, keyset
+    pagination included for term/bool/group shapes — through the
+    segment kernels
     (block-max WAND for term sets, the positions-decoding phrase
     kernel for phrases; result-identical, pinned by test — the
     compressed-segment scan + bounded heaps are the 100 TB path);
@@ -856,15 +857,30 @@ def search(
     scores = None
     route = None
     # kernels serve any page by fetching k*(page+1) into the bounded
-    # heaps; search_after stays on the DataFrame path (its keyset
-    # filter applies BEFORE top-k, which a k-bounded kernel can't see)
+    # heaps; search_after rides into the term/bool/group kernels as a
+    # pre-heap keyset mask (phrase/fuzzy keep the DataFrame fallback)
     kernel_k = results_per_page * ((page or 0) + 1)
-    if strategy in ("auto", "wand") and search_after is None:
+    sa_key = None
+    if search_after is not None:
+        sa = (
+            search_after
+            if isinstance(search_after, dict)
+            else search_after.asDict()
+        )
+        sa_key = (float(sa["score"]), int(sa["doc_id"]))
+    if strategy in ("auto", "wand"):
         route = _wand_route(index, ast)
+        if (
+            route is not None
+            and sa_key is not None
+            and route[2] in ("phrase", "fuzzy")
+        ):
+            route = None  # keyset not kernel-implemented for these
     if strategy == "wand" and route is None:
         raise ValidationError(
             "strategy='wand' requires a segment-backed disk index and a "
-            "term/AND/OR/map/phrase/fuzzy query (no search_after)",
+            "term/AND/OR/map/group query (or phrase/fuzzy without "
+            "search_after)",
             {},
         )
     if route is not None:
@@ -917,23 +933,23 @@ def search(
             elif mode_ == "group":
                 # absent MUST members / pure-negative trees are handled
                 # inside wand_group_topk (empty result)
-                scores = wand_group_topk(index, terms_, k=kernel_k)
+                scores = wand_group_topk(
+                    index, terms_, k=kernel_k, search_after=sa_key
+                )
             else:
                 scores = wand_pairs_topk(
                     index, terms_, k=kernel_k, mode=mode_,
-                    weights=weights_,
+                    weights=weights_, search_after=sa_key,
                 )
     if scores is None:
         scores = compile_node(index, ast)
 
     k = results_per_page
-    if search_after is not None:
-        sa = (
-            search_after
-            if isinstance(search_after, dict)
-            else search_after.asDict()
-        )
-        s, d = float(sa["score"]), int(sa["doc_id"])
+    if sa_key is not None:
+        # on the kernel path this is a no-op re-check over <= k rows
+        # (the kernel already masked before its heaps); on the
+        # DataFrame path it is THE keyset filter, applied before top-k
+        s, d = sa_key
         scores = scores.filter(
             (F.col("score") < F.lit(s))
             | ((F.col("score") == F.lit(s)) & (F.col("doc_id") > F.lit(d)))

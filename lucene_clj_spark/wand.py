@@ -101,7 +101,8 @@ def _stream_chunks(batches: Iterator[pd.DataFrame], process) -> None:
 
 
 def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
-                    k: int, mode: str):
+                    k: int, mode: str,
+                    search_after: tuple[float, int] | None = None):
     """Per-partition streaming WAND kernel for mapInPandas.
 
     ``key_idfs`` maps fkey -> idf and ``key_ws`` -> its boost weight,
@@ -111,7 +112,13 @@ def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
     already folds it into ``block_max_score`` with the same
     association), so the skip logic stays exact. ``key_denoms`` maps
     fkey -> the field's norm-denominator cache (multi-field queries
-    carry per-field avgdl)."""
+    carry per-field avgdl).
+
+    ``search_after`` = (score, doc_id) applies the keyset predicate
+    ``score < s OR (score == s AND doc_id > d)`` BEFORE heap insert —
+    the kernel-side equivalent of filtering before top-k. Block-max
+    skipping stays exact: the keyset only removes HIGH scorers, and a
+    skipped block still can't contain any doc able to beat θ."""
     n_keys = len(key_idfs)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -163,6 +170,10 @@ def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
             np.add.at(agg, inv, scores)
             if mode == "and":
                 keep = counts >= n_keys
+                uniq, agg = uniq[keep], agg[keep]
+            if search_after is not None:
+                sa_s, sa_d = search_after
+                keep = (agg < sa_s) | ((agg == sa_s) & (uniq > sa_d))
                 uniq, agg = uniq[keep], agg[keep]
             for d, s in zip(uniq.tolist(), agg.tolist()):
                 item = (s, -d)
@@ -563,6 +574,7 @@ def wand_pairs_topk(
     mode: str = "or",
     n_partitions: int | None = None,
     weights: dict | None = None,
+    search_after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a (field, term) set — possibly
     spanning SEVERAL fields — over the compressed segments, via the
@@ -580,7 +592,8 @@ def wand_pairs_topk(
         npart,
     )
     kernel = _kernel_factory(
-        key_idfs, key_ws, _key_denoms(index, key_idfs), k, mode
+        key_idfs, key_ws, _key_denoms(index, key_idfs), k, mode,
+        search_after=search_after,
     )
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -619,6 +632,7 @@ def _group_kernel_factory(
     must_gids: frozenset,
     not_keys: frozenset,
     k: int,
+    search_after: tuple[float, int] | None = None,
 ):
     """Per-partition streaming kernel for one-level boolean GROUP
     trees — the segment analogue of search._scored_group_tree. Lucene
@@ -707,6 +721,10 @@ def _group_kernel_factory(
                 ]
                 keep &= ~np.isin(uniq, np.concatenate(ex_parts))
             uniq, agg = uniq[keep], agg[keep]
+            if search_after is not None:
+                sa_s, sa_d = search_after
+                ks = (agg < sa_s) | ((agg == sa_s) & (uniq > sa_d))
+                uniq, agg = uniq[ks], agg[ks]
             for d, s in zip(uniq.tolist(), agg.tolist()):
                 item = (s, -d)
                 if len(heap) < k:
@@ -725,6 +743,7 @@ def wand_group_topk(
     groups: list[tuple[str, list[tuple[str, str, float]]]],
     k: int = 10,
     n_partitions: int | None = None,
+    search_after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a one-level boolean GROUP tree over
     the compressed segments — ``groups`` is a list of
@@ -799,6 +818,7 @@ def wand_group_topk(
         frozenset(must_gids),
         frozenset(not_keys),
         k,
+        search_after=search_after,
     )
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

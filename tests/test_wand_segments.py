@@ -270,8 +270,8 @@ def test_wand_strategy_ineligible_raises(spark, disk_index):
                        ignore_extra_columns=True)
     with pytest.raises(ValidationError):  # no segments on memory index
         mem.search("merge", field_name="text", strategy="wand")
-    with pytest.raises(ValidationError):  # keyset filter pre-top-k
-        disk_index.search("merge", field_name="text", strategy="wand",
+    with pytest.raises(ValidationError):  # keyset + phrase not kerneled
+        disk_index.search("the merge", field_name="text", strategy="wand",
                           search_after={"score": 1.0, "doc_id": 0})
 
 
@@ -824,3 +824,36 @@ def test_incomplete_segments_fall_back_not_serve_partial(
     assert [(r["doc_id"], r["score"]) for r in back.collect()] == [
         (r["doc_id"], r["score"]) for r in complete
     ]
+
+
+@pytest.mark.parametrize("q,kw", [
+    ("merge", {"field_name": "text"}),
+    ({"text": {"merge", "dup", "vector"}}, {}),
+    ({"text": "merge", "lang": "de"}, {}),
+])
+def test_search_after_kernel_matches_dataframe(disk_index, q, kw):
+    """Keyset pagination rides the kernels: page 1 top-5, then
+    search_after from its last hit — both pages kernel-executed and
+    identical to the DataFrame path (S4 on the scale path)."""
+    p1 = disk_index.search(q, results_per_page=5, with_hit=False, **kw)
+    assert "MapInPandas" in (
+        p1._jdf.queryExecution().executedPlan().toString()
+    )
+    p1 = p1.collect()
+    assert p1
+    last = {"score": p1[-1]["score"], "doc_id": p1[-1]["doc_id"]}
+    got = disk_index.search(q, results_per_page=5, with_hit=False,
+                            search_after=last, **kw)
+    s = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in s  # kernel serves the keyset page too
+    want = disk_index.search(q, results_per_page=5, with_hit=False,
+                             search_after=last, strategy="dataframe", **kw)
+    got, want = got.collect(), want.collect()
+    # same docs same rank; scores may differ by a few ULPs on 3+-term
+    # sums (non-associative float addition across differing physical
+    # row orders — see test_group_tree_kernel_matches_dataframe)
+    import math as m
+
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) <= 4 * m.ulp(b["score"])
