@@ -823,7 +823,7 @@ def search(
     phrase / flat AND/OR booleans over ANY mix of fields, including
     map queries {title: ..., body: ...} (boosts ride as kernel
     weights) / fuzzy on a segment-backed disk index, any page, keyset
-    pagination included for term/bool/group shapes — through the
+    pagination included for every kernel shape — through the
     segment kernels
     (block-max WAND for term sets, the positions-decoding phrase
     kernel for phrases; result-identical, pinned by test — the
@@ -870,17 +870,10 @@ def search(
         sa_key = (float(sa["score"]), int(sa["doc_id"]))
     if strategy in ("auto", "wand"):
         route = _wand_route(index, ast)
-        if (
-            route is not None
-            and sa_key is not None
-            and route[2] in ("phrase", "fuzzy")
-        ):
-            route = None  # keyset not kernel-implemented for these
     if strategy == "wand" and route is None:
         raise ValidationError(
             "strategy='wand' requires a segment-backed disk index and a "
-            "term/AND/OR/map/group query (or phrase/fuzzy without "
-            "search_after)",
+            "term/AND/OR/map/group/phrase/fuzzy query",
             {},
         )
     if route is not None:
@@ -929,7 +922,8 @@ def search(
             )
 
             if mode_ == "phrase":
-                scores = phrase_topk(index, field_, terms_, k=kernel_k)
+                scores = phrase_topk(index, field_, terms_, k=kernel_k,
+                                     search_after=sa_key)
             elif mode_ == "group":
                 # absent MUST members / pure-negative trees are handled
                 # inside wand_group_topk (empty result)

@@ -399,6 +399,7 @@ def _co_located(blocks: DataFrame, cols: list[str],
 
 def _phrase_kernel_factory(
     offsets: dict, term_idfs: dict, idf_sum: float, avgdl: float, k: int,
+    search_after: tuple[float, int] | None = None,
 ):
     """Per-partition exact-adjacency phrase kernel over compressed
     segments, streaming chunk by chunk. ``offsets`` maps term -> list
@@ -512,10 +513,15 @@ def _phrase_kernel_factory(
                 freq = 0 if inter is None else int(inter.size)
                 if freq == 0:
                     continue
-                score = (
+                score = float(
                     idf_sum * freq / (freq + denom_cache[norm])
                 )
-                item = (float(score), -d)
+                if search_after is not None and not (
+                    score < search_after[0]
+                    or (score == search_after[0] and d > search_after[1])
+                ):
+                    continue
+                item = (score, -d)
                 if len(heap) < k:
                     heapq.heappush(heap, item)
                 elif item > heap[0]:
@@ -533,6 +539,7 @@ def phrase_topk(
     terms: list[str],
     k: int = 10,
     n_partitions: int | None = None,
+    search_after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Exact-adjacency (slop 0) phrase top-k over the compressed
     segments — positions decode from the varint stream inside the
@@ -562,7 +569,8 @@ def phrase_topk(
          "norms", "positions"],
         npart,
     )
-    kernel = _phrase_kernel_factory(offsets, term_idfs, idf_sum, avgdl, k)
+    kernel = _phrase_kernel_factory(offsets, term_idfs, idf_sum, avgdl, k,
+                                    search_after=search_after)
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

@@ -270,9 +270,7 @@ def test_wand_strategy_ineligible_raises(spark, disk_index):
                        ignore_extra_columns=True)
     with pytest.raises(ValidationError):  # no segments on memory index
         mem.search("merge", field_name="text", strategy="wand")
-    with pytest.raises(ValidationError):  # keyset + phrase not kerneled
-        disk_index.search("the merge", field_name="text", strategy="wand",
-                          search_after={"score": 1.0, "doc_id": 0})
+    # keyset now rides EVERY kernel shape, including phrase/fuzzy
 
 
 def test_multi_field_map_query_kernel_routes_and_matches(disk_index):
@@ -830,6 +828,8 @@ def test_incomplete_segments_fall_back_not_serve_partial(
     ("merge", {"field_name": "text"}),
     ({"text": {"merge", "dup", "vector"}}, {}),
     ({"text": "merge", "lang": "de"}, {}),
+    ("the merge", {"field_name": "text"}),   # phrase kernel
+    ({"text": "merg"}, {"fuzzy": True}),     # fuzzy weighted-OR kernel
 ])
 def test_search_after_kernel_matches_dataframe(disk_index, q, kw):
     """Keyset pagination rides the kernels: page 1 top-5, then
