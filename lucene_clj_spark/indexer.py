@@ -223,6 +223,21 @@ class Index:
                     "analyzers": {
                         str(k): a.kind for k, a in self.analyzers.items()
                     },
+                    # table schemas travel with the index: load() reads
+                    # with explicit schemas, which (a) makes an EMPTY
+                    # index reopenable (no parquet files to infer from
+                    # — the create-empty-then-stream-into-it pattern)
+                    # and (b) skips schema inference on every open
+                    "schemas": {
+                        "docs": self.docs.schema.json(),
+                        "postings": self.postings.schema.json(),
+                        "terms": self.terms.schema.json(),
+                        **(
+                            {"suggest": self.suggest.schema.json()}
+                            if self.suggest is not None
+                            else {}
+                        ),
+                    },
                 },
                 f,
                 indent=1,
@@ -258,17 +273,28 @@ class Index:
             for k, kind in meta["analyzers"].items()
         }
         sug_path = f"{path}/suggest"
+        schemas = meta.get("schemas", {})
+
+        def _read(sub: str):
+            reader = spark.read
+            sch = schemas.get(sub)
+            if sch is not None:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(
+                    StructType.fromJson(json.loads(sch))
+                )
+            return reader.parquet(f"{path}/{sub}")
+
         return Index(
             spark=spark,
             specs=specs,
             analyzers=analyzers,
-            docs=spark.read.parquet(f"{path}/docs"),
-            postings=spark.read.parquet(f"{path}/postings"),
-            terms=spark.read.parquet(f"{path}/terms"),
+            docs=_read("docs"),
+            postings=_read("postings"),
+            terms=_read("terms"),
             stats=meta["stats"],
-            suggest=spark.read.parquet(sug_path)
-            if os.path.isdir(sug_path)
-            else None,
+            suggest=_read("suggest") if os.path.isdir(sug_path) else None,
             path=path,
             buckets=meta.get("n_buckets"),
         )

@@ -524,3 +524,28 @@ def segments_ready(root: str) -> bool:
         ok = False
     _READY_CACHE[root] = (stamp, ok)
     return ok
+
+
+def n_deltas(root: str) -> int:
+    """Number of un-compacted delta appends recorded at ``root``."""
+    man = os.path.join(root, "manifests")
+    try:
+        return sum(1 for f in os.listdir(man) if f.startswith("delta_"))
+    except OSError:
+        return 0
+
+
+def maybe_merge(index, root: str | None = None, *,
+                max_deltas: int = 8) -> bool:
+    """Merge policy (Lucene's TieredMergePolicy analogue, simplified):
+    compact base + deltas when ``max_deltas`` appends have accumulated
+    — keeps the per-bucket file count and block fragmentation bounded
+    under continuous ingest without paying a merge on every batch.
+    Returns True if a merge ran."""
+    root = root or index.path
+    if root is None or not segments_ready(root):
+        return False
+    if n_deltas(root) < max_deltas:
+        return False
+    merge_segments(index, root)
+    return True

@@ -126,6 +126,7 @@ def stream_index(
     ignore_extra_columns: bool = False,
     trigger: dict | None = None,
     query_name: str = "lucene_clj_spark_ingest",
+    merge_every_deltas: int | None = None,
 ):
     """Start a streaming query that appends every micro-batch of
     ``stream_df`` (a streaming DataFrame) into ``index``.
@@ -134,6 +135,12 @@ def stream_index(
     ``{"availableNow": True}`` (drain what exists, then stop), use
     e.g. ``{"processingTime": "30 seconds"}`` for continuous ingest.
     Returns the started ``StreamingQuery``.
+
+    ``merge_every_deltas``: if set and the index has built segments,
+    run ``segments.maybe_merge`` after each applied batch — compacting
+    base + delta segment files once that many appends accumulate
+    (Lucene's background-merge cadence). The merge is rename-atomic;
+    a crash mid-merge leaves the previous segments servable.
     """
     if not stream_df.isStreaming:
         raise ValidationError(
@@ -144,11 +151,15 @@ def stream_index(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        ingest_batch(
+        applied = ingest_batch(
             index, batch_df,
             id_column=id_column,
             ignore_extra_columns=ignore_extra_columns,
         )
+        if applied and merge_every_deltas:
+            from lucene_clj_spark.segments import maybe_merge
+
+            maybe_merge(index, max_deltas=merge_every_deltas)
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)

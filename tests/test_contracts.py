@@ -598,3 +598,31 @@ def test_empty_corpus_index_searches_empty(spark):
     idx = create_index(spark, df, {"body": "text"}, id_column="doc_id")
     assert idx.stats["body"] == {"N": 0, "sum_dl": 0, "avgdl": 0.0}
     assert idx.search("anything", field_name="body").count() == 0
+
+
+def test_empty_disk_index_create_then_stream_pattern(spark, tmp_path):
+    """Day-one streaming pattern: create an EMPTY disk index, append
+    into it, reopen. Requires the persisted table schemas (empty
+    parquet dirs have nothing to infer from)."""
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.indexer import Index
+
+    schema = "doc_id long, body string"
+    path = str(tmp_path / "empty_idx")
+    idx = create_index(
+        spark, spark.createDataFrame([], schema), {"body": "text"},
+        id_column="doc_id", path=path, index_type="disk", re_create=True,
+    )
+    assert idx.docs.count() == 0
+    assert idx.search("anything", field_name="body",
+                      with_hit=False).count() == 0
+    idx.add_documents(
+        spark.createDataFrame([(5, "gamma alpha"), (6, "gamma")], schema)
+    )
+    reopened = Index.load(spark, path)
+    assert reopened.docs.count() == 2
+    assert sorted(
+        r["doc_id"]
+        for r in reopened.search("gamma", field_name="body",
+                                 with_hit=False).collect()
+    ) == [5, 6]

@@ -134,3 +134,50 @@ def test_ingest_replay_with_different_content_refuses(spark):
             idx,
             spark.createDataFrame([(0, "alpha"), (1, "CHANGED")], schema),
         )
+
+
+def test_stream_merge_policy_compacts_deltas(spark, tmp_path):
+    """Continuous ingest with merge_every_deltas: delta segment files
+    accumulate per batch and are compacted by the merge policy, with
+    kernel answers staying identical to a from-scratch build."""
+    import os
+
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.segments import build_segments, n_deltas
+    from lucene_clj_spark.streaming import stream_index
+    from lucene_clj_spark.wand import wand_topk
+
+    src_dir = str(tmp_path / "src")
+    path = str(tmp_path / "sidx")
+    schema = "doc_id long, body string"
+    spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], schema
+    ).write.mode("overwrite").parquet(src_dir)
+    idx = create_index(
+        spark, spark.read.parquet(src_dir).limit(0), {"body": "text"},
+        id_column="doc_id", path=path, index_type="disk", re_create=True,
+    )
+    build_segments(idx, n_buckets=2, chunk_span=32, block_size=8)
+    # stream with maxFilesPerTrigger=1 -> one batch per file; policy
+    # merges once 2 deltas accumulate
+    spark.createDataFrame([(2, "gamma delta"), (3, "delta alpha")], schema
+                          ).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = stream_index(
+        stream, idx, checkpoint=str(tmp_path / "ckpt"),
+        merge_every_deltas=2,
+    )
+    q.awaitTermination(120)
+    assert n_deltas(path) < 2  # policy compacted
+    got = [(r["doc_id"], r["score"])
+           for r in wand_topk(idx, "body", ["alpha", "gamma"],
+                              k=10).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in idx.search({"body": {"alpha", "gamma"}},
+                                with_hit=False,
+                                strategy="dataframe").collect()]
+    assert got == want and len(got) == 4
