@@ -50,6 +50,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import types as T
 
 from lucene_clj_spark import bm25
@@ -622,7 +623,8 @@ def _suggest_rows(
     )
 
 
-def _build_tables(docs, specs, analyzers, default_an, cache):
+def _build_tables(docs, specs, analyzers, default_an, cache,
+                  persist_raw=False):
     """Analysis + per-doc LOCAL inversion -> FLAT postings + term
     dictionary + corpus stats for one batch of documents.
 
@@ -658,8 +660,12 @@ def _build_tables(docs, specs, analyzers, default_an, cache):
     raw = docs.select("doc_id", *text_fields, *kw_fields).mapInPandas(
         emit, POSTINGS_SCHEMA
     )
-    if cache:
-        raw = raw.cache()
+    if cache or persist_raw:
+        # persist_raw: a DISK build reads this relation ~3x (stats
+        # action, terms write, postings write) — without a transient
+        # persist each pass re-runs the tokenizer even under
+        # cache=False (the caller unpersists after the write)
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     postings = raw.where(F.col("term").isNotNull())
 
     # One aggregation computes the term dictionary AND the corpus stats:
@@ -672,7 +678,7 @@ def _build_tables(docs, specs, analyzers, default_an, cache):
         F.sum("tf").alias("ctf"),
         F.sum("dl").alias("__sdl"),
     )
-    if cache:
+    if cache or persist_raw:
         terms_full = terms_full.cache()
     terms = terms_full.where(F.col("term").isNotNull()).select(
         "field", "term", "df", "ctf"
@@ -768,7 +774,8 @@ def create_index(
         docs = assign_dense_ids(docs_df, keys)
 
     raw, postings, terms, terms_full, stats, n_docs = _build_tables(
-        docs, specs, analyzers, default_an, cache
+        docs, specs, analyzers, default_an, cache,
+        persist_raw=(index_type == "disk"),
     )
 
     # --- suggest table ------------------------------------------------
@@ -796,10 +803,12 @@ def create_index(
     if index_type == "disk":
         idx.write(path)
         loaded = Index.load(spark, path)
+        # the build-time relations are transient for a disk index: the
+        # loaded Index serves from its own (bucket-pruned) parquet
+        raw.unpersist()
+        terms_full.unpersist()
         if cache:
-            raw.unpersist()
             docs_out.unpersist()
-            terms_full.unpersist()
             if suggest_df is not None:
                 suggest_df.unpersist()
         return loaded
