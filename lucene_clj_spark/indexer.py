@@ -320,7 +320,11 @@ class Index:
             import shutil
 
             # segment blocks/manifests are derived data — drop them
-            for sub in ("segments", "manifests", "_segments_meta.json"):
+            from lucene_clj_spark.segments import _all_gen_dirs
+
+            for d in _all_gen_dirs(self.path).values():
+                shutil.rmtree(d, ignore_errors=True)
+            for sub in ("manifests", "_segments_meta.json"):
                 p = os.path.join(self.path, sub)
                 if os.path.isdir(p):
                     shutil.rmtree(p)
@@ -540,10 +544,13 @@ class Index:
                         lineage={"append_n_docs": n_new},
                     )
                 else:
-                    for sub in ("segments", "manifests"):
-                        p = os.path.join(self.path, sub)
-                        if os.path.isdir(p):
-                            shutil.rmtree(p)
+                    from lucene_clj_spark.segments import _all_gen_dirs
+
+                    for d in _all_gen_dirs(self.path).values():
+                        shutil.rmtree(d, ignore_errors=True)
+                    p = os.path.join(self.path, "manifests")
+                    if os.path.isdir(p):
+                        shutil.rmtree(p)
             os.remove(pending)  # commit point: append fully applied
             raw.unpersist()
             terms_full_new.unpersist()

@@ -683,8 +683,6 @@ def _wand_route(
 
     if not index.path:
         return None
-    if not os.path.isdir(os.path.join(index.path, "segments")):
-        return None
     from lucene_clj_spark.segments import segments_ready
 
     if not segments_ready(index.path):
@@ -857,8 +855,8 @@ def search(
     scores = None
     route = None
     # kernels serve any page by fetching k*(page+1) into the bounded
-    # heaps; search_after rides into the term/bool/group kernels as a
-    # pre-heap keyset mask (phrase/fuzzy keep the DataFrame fallback)
+    # heaps; search_after rides into EVERY kernel shape (term/bool/
+    # group/phrase/fuzzy) as a pre-heap keyset mask
     kernel_k = results_per_page * ((page or 0) + 1)
     sa_key = None
     if search_after is not None:

@@ -156,6 +156,65 @@ def _encode_blocks(postings: DataFrame, chunk_span: int,
     )
 
 
+def _gen_dir(root: str, gen: int) -> str:
+    """Directory of segment generation ``gen``. Generation 1 is the
+    plain ``segments`` dir (back-compatible); merges write ``gen+1``
+    SIBLING dirs and atomically repoint _segments_meta.json, so the
+    live generation is never renamed or deleted under a running query
+    (the parquet snapshot-swap pattern an Iceberg catalog would give)."""
+    return os.path.join(
+        root, "segments" if gen <= 1 else f"segments_g{gen}"
+    )
+
+
+def seg_dir(root: str, meta: dict | None = None) -> str:
+    """The CURRENT generation's segment directory."""
+    meta = meta if meta is not None else segments_meta(root)
+    return _gen_dir(root, int(meta.get("generation", 1)))
+
+
+def _all_gen_dirs(root: str) -> dict[int, str]:
+    """gen -> dir for every generation dir present under root."""
+    out = {}
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return out
+    for n in names:
+        p = os.path.join(root, n)
+        if not os.path.isdir(p):
+            continue
+        if n == "segments":
+            out[1] = p
+        elif n.startswith("segments_g"):
+            try:
+                out[int(n[len("segments_g"):])] = p
+            except ValueError:
+                pass
+    return out
+
+
+def _write_meta(man_root: str, meta: dict) -> None:
+    """Atomic meta (re)write: tmp + os.replace — the generation
+    pointer swap must never be observable half-written."""
+    path = os.path.join(man_root, "_segments_meta.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, path)
+
+
+def missing_buckets(root: str, meta: dict) -> list[int]:
+    """Buckets of the current layout with no committed manifest — the
+    single source of truth for completeness, shared by the routing
+    gate (segments_ready) and the kernel preamble (_segment_scan)."""
+    man = os.path.join(root, "manifests")
+    return [
+        b for b in range(int(meta["n_buckets"]))
+        if not os.path.exists(os.path.join(man, f"bucket_{b}.json"))
+    ]
+
+
 def build_segments(
     index,
     path: str | None = None,
@@ -188,8 +247,16 @@ def build_segments(
     root = path or index.path
     if not root:
         raise ValueError("segments need a disk path (index.path or path=)")
-    seg_root = os.path.join(root, "segments")
     man_root = os.path.join(root, "manifests")
+    meta_path = os.path.join(man_root, "_segments_meta.json")
+    generation = 1
+    if resume and os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                generation = int(json.load(f).get("generation", 1))
+        except (OSError, ValueError):
+            generation = 1
+    seg_root = _gen_dir(root, generation)
     os.makedirs(seg_root, exist_ok=True)
     os.makedirs(man_root, exist_ok=True)
 
@@ -206,7 +273,6 @@ def build_segments(
         "chunk_span": chunk_span,
         "block_size": block_size,
     }
-    meta_path = os.path.join(man_root, "_segments_meta.json")
     if resume and os.path.exists(meta_path):
         with open(meta_path) as f:
             old = json.load(f)
@@ -237,17 +303,19 @@ def build_segments(
                     "original parameters"
                 )
     if not resume:
-        # fresh build: clear any previous layout so stale bucket dirs
-        # (e.g. from a larger n_buckets) can't survive alongside
+        # fresh build: clear any previous layout — every generation
+        # dir and stale bucket dirs (e.g. from a larger n_buckets)
         import shutil
 
+        for g, d in _all_gen_dirs(root).items():
+            if d != seg_root:
+                shutil.rmtree(d, ignore_errors=True)
         for d in os.listdir(seg_root):
             shutil.rmtree(os.path.join(seg_root, d), ignore_errors=True)
         for fjson in os.listdir(man_root):
             if fjson.startswith("bucket_") or fjson.startswith("delta_"):
                 os.remove(os.path.join(man_root, fjson))
-    with open(meta_path, "w") as f:
-        json.dump(meta, f, indent=1)
+    _write_meta(man_root, {**meta, "generation": generation})
 
     def run_bucket(b: int) -> None:
         man_path = os.path.join(man_root, f"bucket_{b}.json")
@@ -351,7 +419,7 @@ def append_segments(index, postings: DataFrame, root: str | None = None,
             f"({meta.get('format')}); rebuild with "
             "build_segments(resume=False) before appending"
         )
-    seg_root = os.path.join(root, "segments")
+    seg_root = seg_dir(root, meta)
     man_root = os.path.join(root, "manifests")
     blocks = _encode_blocks(
         postings, meta["chunk_span"], meta["block_size"]
@@ -391,11 +459,16 @@ def merge_segments(index, root: str | None = None,
     appends. Decodes FROM the segments themselves — the postings table
     is not re-read.
 
-    The swap is rename-based (segments -> segments__old, new ->
-    segments). A crash mid-swap leaves no segments dir: queries fall
-    back to the exhaustive DataFrame path (correct, slower) and
-    build_segments(resume=False) rebuilds — derived data is never the
-    source of truth."""
+    The swap is a GENERATION-POINTER update, never a rename of the
+    live directory: the merge writes generation N+1 as a sibling dir,
+    atomically repoints _segments_meta.json (tmp + os.replace), keeps
+    generation N on disk as a grace window for in-flight queries that
+    already resolved its files, and deletes generations older than N.
+    Crash anywhere: before the pointer swap, generation N stays fully
+    servable (the partial N+1 dir is overwritten by the next merge);
+    after it, N+1 is live and N is residue cleaned by the next merge.
+    Readers never see a missing or half-renamed segments dir — the
+    parquet equivalent of an Iceberg snapshot commit."""
     root = root or index.path
     meta = segments_meta(root)
     if meta.get("format") != SEGMENT_FORMAT:
@@ -403,7 +476,8 @@ def merge_segments(index, root: str | None = None,
             "segments were built by an older format; rebuild with "
             "build_segments(resume=False)"
         )
-    seg_root = os.path.join(root, "segments")
+    cur_gen = int(meta.get("generation", 1))
+    seg_root = _gen_dir(root, cur_gen)
     man_root = os.path.join(root, "manifests")
     block_size = meta["block_size"]
     spark = index.spark
@@ -451,7 +525,8 @@ def merge_segments(index, root: str | None = None,
             F.pmod(F.xxhash64("term"), F.lit(meta["n_buckets"])),
         )
     )
-    tmp = seg_root + "__new"
+    new_gen = cur_gen + 1
+    new_root = _gen_dir(root, new_gen)
     # persist before repartitionByRange: its sampling job would
     # otherwise run the whole decode+re-encode twice (same hazard as
     # the build writer)
@@ -464,28 +539,26 @@ def merge_segments(index, root: str | None = None,
             .sortWithinPartitions(
                 "bucket", "field", "term", "chunk", "block_id"
             )
-            .write.mode("overwrite")
+            .write.mode("overwrite")  # clears a crashed merge's partial dir
             .partitionBy("bucket")
-            .parquet(tmp)
+            .parquet(new_root)
         )
     finally:
         merged.unpersist()
     import shutil
 
-    old = seg_root + "__old"
-    # a crash after the rename-in but before this rmtree leaves a
-    # stale __old behind — clear it up-front so the next merge's own
-    # rename never collides (the live segments dir is the source of
-    # truth; __old is always discardable residue)
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(seg_root, old)
-    os.rename(tmp, seg_root)
-    shutil.rmtree(old)
-    # delta manifests are absorbed into the merged base
+    # COMMIT POINT: atomic generation-pointer swap
+    _write_meta(man_root, {**meta, "generation": new_gen})
+    # delta manifests are absorbed into the merged base (stale ones
+    # after a crash here merely trigger one early re-merge — harmless)
     for fjson in os.listdir(man_root):
         if fjson.startswith("delta_"):
             os.remove(os.path.join(man_root, fjson))
-    return seg_root
+    # keep cur_gen as the in-flight-reader grace window; drop older
+    for g, d in _all_gen_dirs(root).items():
+        if g < cur_gen:
+            shutil.rmtree(d, ignore_errors=True)
+    return new_root
 
 
 def segments_meta(root: str) -> dict:
@@ -516,9 +589,10 @@ def segments_ready(root: str) -> bool:
         return hit[1]
     try:
         meta = segments_meta(root)
-        ok = meta.get("format") == SEGMENT_FORMAT and all(
-            os.path.exists(os.path.join(man_dir, f"bucket_{b}.json"))
-            for b in range(int(meta["n_buckets"]))
+        ok = (
+            meta.get("format") == SEGMENT_FORMAT
+            and os.path.isdir(seg_dir(root, meta))
+            and not missing_buckets(root, meta)
         )
     except (OSError, ValueError, KeyError):
         ok = False

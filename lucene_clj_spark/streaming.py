@@ -139,8 +139,11 @@ def stream_index(
     ``merge_every_deltas``: if set and the index has built segments,
     run ``segments.maybe_merge`` after each applied batch — compacting
     base + delta segment files once that many appends accumulate
-    (Lucene's background-merge cadence). The merge is rename-atomic;
-    a crash mid-merge leaves the previous segments servable.
+    (Lucene's background-merge cadence). The merge commits by an
+    atomic generation-pointer swap and never renames or deletes the
+    live generation (one grace generation is kept for in-flight
+    readers), so a crash at ANY point leaves a fully servable segment
+    set — see segments.merge_segments.
     """
     if not stream_df.isStreaming:
         raise ValidationError(

@@ -213,10 +213,17 @@ def _segment_scan(index, pairs: list[tuple[str, str]],
     import os
 
     from lucene_clj_spark.errors import ValidationError
-    from lucene_clj_spark.segments import SEGMENT_FORMAT, segments_meta
+    from lucene_clj_spark.segments import (
+        SEGMENT_FORMAT,
+        missing_buckets,
+        seg_dir,
+        segments_meta,
+    )
 
     root = index.path
-    if not root or not os.path.isdir(os.path.join(root, "segments")):
+    if not root or not os.path.isfile(
+        os.path.join(root, "manifests", "_segments_meta.json")
+    ):
         raise ValueError(
             "segment kernels need a disk index with built segments "
             "(run segments.build_segments first)"
@@ -229,13 +236,13 @@ def _segment_scan(index, pairs: list[tuple[str, str]],
             "build_segments(resume=False)",
             {"path": root},
         )
-    nb = meta["n_buckets"]
-    missing = [
-        b for b in range(int(nb))
-        if not os.path.exists(
-            os.path.join(root, "manifests", f"bucket_{b}.json")
+    if not os.path.isdir(seg_dir(root, meta)):
+        raise ValueError(
+            "segment kernels need a disk index with built segments "
+            "(run segments.build_segments first)"
         )
-    ]
+    nb = meta["n_buckets"]
+    missing = missing_buckets(root, meta)
     if missing:
         raise ValidationError(
             f"segments at {root} are INCOMPLETE (buckets {missing} have "
@@ -321,7 +328,7 @@ def _segment_scan(index, pairs: list[tuple[str, str]],
     if unbounded_keys:
         bound_gate = ~F.col("fkey").isin(sorted(unbounded_keys))
     blocks = (
-        index.spark.read.parquet(os.path.join(root, "segments"))
+        index.spark.read.parquet(seg_dir(root, meta))
         .filter(F.col("bucket").isin(query_buckets))
         .filter(cond2)
         .withColumn("fkey", fkey)

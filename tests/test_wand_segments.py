@@ -527,12 +527,18 @@ def test_append_merge_matches_from_scratch(spark, tmp_path_factory):
     man = os.path.join(inc_path, "manifests")
     assert sum(f.startswith("delta_") for f in os.listdir(man)) == 2
     before = topk(inc, "or")
+    from lucene_clj_spark.segments import seg_dir
+
     merge_segments(inc)
     assert not any(f.startswith("delta_") for f in os.listdir(man))
     assert topk(inc, "or") == before
+    # the merge wrote a NEW generation and repointed the meta; the
+    # previous generation stays as the in-flight-reader grace window
+    assert seg_dir(inc_path).endswith("segments_g2")
+    assert os.path.isdir(os.path.join(inc_path, "segments"))
     # merged layout is block-optimal: same block count as from-scratch
-    n_inc = spark.read.parquet(os.path.join(inc_path, "segments")).count()
-    n_full = spark.read.parquet(os.path.join(full_path, "segments")).count()
+    n_inc = spark.read.parquet(seg_dir(inc_path)).count()
+    n_full = spark.read.parquet(seg_dir(full_path)).count()
     assert n_inc == n_full
 
 
@@ -722,31 +728,47 @@ def test_group_tree_kernel_not_excludes(disk_index):
     assert disk_index.search(dup, with_hit=False).collect() == []
 
 
-def test_merge_recovers_from_stale_old_dir(spark, tmp_path_factory):
-    """A crash between merge's rename-in and residue cleanup leaves
-    segments__old behind; the next merge must clear it and succeed
-    (code-review r03)."""
+def test_merge_generation_swap_crash_safe(spark, tmp_path_factory):
+    """Merges never rename or delete the LIVE generation: a crashed
+    merge (partial next-gen dir, pointer not swapped) leaves queries
+    untouched; the next merge overwrites the partial dir and commits
+    by atomically repointing the meta. Repeated merges keep exactly
+    one grace generation behind the live one."""
     import shutil
 
     from lucene_clj_spark import create_index
-    from lucene_clj_spark.segments import merge_segments
+    from lucene_clj_spark.segments import merge_segments, seg_dir
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
-    path = str(tmp_path_factory.mktemp("staleold") / "idx")
+    path = str(tmp_path_factory.mktemp("genswap") / "idx")
     idx = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
                        path=path, index_type="disk", re_create=True,
                        ignore_extra_columns=True)
     build_segments(idx, n_buckets=2, chunk_span=32, block_size=8)
-    # simulate the crash residue
-    shutil.copytree(os.path.join(path, "segments"),
-                    os.path.join(path, "segments__old"))
     before = [(r["doc_id"], r["score"])
               for r in wand_topk(idx, "text", ["the"], k=5).collect()]
+    # simulate a crashed merge: partial next-gen dir, pointer NOT moved
+    os.makedirs(os.path.join(path, "segments_g2", "bucket=0"))
+    with open(os.path.join(path, "segments_g2", "bucket=0",
+                           "part-junk.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+    assert seg_dir(path).endswith("/segments")  # pointer unmoved
+    assert [(r["doc_id"], r["score"])
+            for r in wand_topk(idx, "text", ["the"], k=5).collect()
+            ] == before
+    merge_segments(idx)  # overwrites the partial dir, commits g2
+    assert seg_dir(path).endswith("segments_g2")
+    assert [(r["doc_id"], r["score"])
+            for r in wand_topk(idx, "text", ["the"], k=5).collect()
+            ] == before
+    # second merge: g3 live, g2 grace, g1 deleted
     merge_segments(idx)
-    assert not os.path.isdir(os.path.join(path, "segments__old"))
-    after = [(r["doc_id"], r["score"])
-             for r in wand_topk(idx, "text", ["the"], k=5).collect()]
-    assert after == before
+    assert seg_dir(path).endswith("segments_g3")
+    assert os.path.isdir(os.path.join(path, "segments_g2"))
+    assert not os.path.isdir(os.path.join(path, "segments"))
+    assert [(r["doc_id"], r["score"])
+            for r in wand_topk(idx, "text", ["the"], k=5).collect()
+            ] == before
 
 
 def test_old_format_segments_fall_back_not_raise(spark, tmp_path_factory):
