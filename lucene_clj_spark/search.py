@@ -706,12 +706,15 @@ def _wand_route(
         return (None, [pair], "or", w)
     if isinstance(node, PhraseQ):
         if (
-            node.boost != 1.0
+            node.boost <= 0  # non-positive boost inverts skip bounds
             or not node.terms
             or node.field not in index.stats
         ):
             return None
-        return (node.field, list(node.terms), "phrase", None)
+        # a positive boost rides into the kernel folded into idf_sum
+        # (score and chunk bound scale linearly, pruning stays exact)
+        w = node.boost if node.boost != 1.0 else None
+        return (node.field, list(node.terms), "phrase", w)
     if isinstance(node, FuzzyQ):
         if node.field not in index.stats or node.boost <= 0:
             return None
@@ -720,7 +723,10 @@ def _wand_route(
         return None
     occs = {occ for occ, _ in node.clauses}
     if len(occs) == 1 and next(iter(occs)) in (MUST, SHOULD):
-        # flat single-occurrence boolean -> the lean or/and kernel
+        # flat single-occurrence boolean -> the lean or/and kernel.
+        # Duplicate (field, term) pairs merge by SUMMING boosts — the
+        # same merge (and the same float addition order) as
+        # _scored_term_group, so the paths stay bit-identical.
         pairs, weights = [], {}
         ok = True
         for _, n in node.clauses:
@@ -728,17 +734,16 @@ def _wand_route(
             if t is None:
                 ok = False
                 break
-            pairs.append((t.field, t.term))
-            weights[(t.field, t.term)] = t.boost
+            pair = (t.field, t.term)
+            if pair not in weights:
+                pairs.append(pair)
+                weights[pair] = 0.0
+            weights[pair] += t.boost
         if (
             ok
-            and len(set(pairs)) == len(pairs)
             and all(w > 0 for w in weights.values())
             and all(f in index.stats for f, _ in pairs)
         ):
-            # duplicate (field, term) pairs would need per-(doc, pair)
-            # boost merging — those fall through to the group attempt /
-            # DataFrame path
             occ = next(iter(occs))
             if all(w == 1.0 for w in weights.values()):
                 weights = None
@@ -921,7 +926,8 @@ def search(
 
             if mode_ == "phrase":
                 scores = phrase_topk(index, field_, terms_, k=kernel_k,
-                                     search_after=sa_key)
+                                     search_after=sa_key,
+                                     weight=weights_ or 1.0)
             elif mode_ == "group":
                 # absent MUST members / pure-negative trees are handled
                 # inside wand_group_topk (empty result)

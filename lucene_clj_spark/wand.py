@@ -547,13 +547,20 @@ def phrase_topk(
     k: int = 10,
     n_partitions: int | None = None,
     search_after: tuple[float, int] | None = None,
+    weight: float = 1.0,
 ) -> DataFrame:
     """Exact-adjacency (slop 0) phrase top-k over the compressed
     segments — positions decode from the varint stream inside the
     kernel, so a phrase never shuffles raw postings. Result-identical
     to the DataFrame ``_scored_phrase`` path (PhraseQuery weight:
     idf_sum with per-occurrence counts, shared phrase freq, quantized
-    norms)."""
+    norms). A positive ``weight`` (query boost) folds into idf_sum —
+    ``(boost * idf_sum) * freq / denom`` is exactly the DataFrame
+    path's association, and the chunk bound scales linearly, so
+    pruning stays exact."""
+    if weight <= 0:
+        raise ValueError("phrase kernel weight must be positive "
+                         "(non-positive weights invert the skip bounds)")
     offsets: dict[str, list[int]] = {}
     for i, t in enumerate(terms):
         offsets.setdefault(t, []).append(i)
@@ -567,6 +574,8 @@ def phrase_topk(
         key.split("\x1f", 1)[1]: idf for key, idf in key_idfs.items()
     }
     idf_sum = sum(term_idfs[t] * len(offs) for t, offs in offsets.items())
+    if weight != 1.0:
+        idf_sum = weight * idf_sum
     avgdl = float(index.field_stats(field)["avgdl"])
 
     npart = n_partitions or index.spark.sparkContext.defaultParallelism

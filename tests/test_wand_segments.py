@@ -395,6 +395,66 @@ def test_phrase_kernel_matches_dataframe_path(disk_index, phrase):
     ]
 
 
+def test_boosted_phrase_routes_through_kernel(disk_index):
+    """A boosted phrase ('the merge'^2.5) routes to the phrase kernel
+    (boost folded into idf_sum — the DataFrame path's exact float
+    association), bit-identical to strategy='dataframe'."""
+    from lucene_clj_spark.query import PhraseQ
+
+    node = PhraseQ(2.5, "text", ("the", "merge"))
+    want = disk_index.search(node, results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = disk_index.search(node, results_per_page=10, with_hit=False,
+                            strategy="wand")
+    s = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in s
+    got = got.collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    # non-positive boost falls back (bound inversion hazard), and
+    # strategy='wand' refuses rather than serving a wrong answer
+    import pytest as _pt
+
+    from lucene_clj_spark.errors import ValidationError
+    from lucene_clj_spark.search import _wand_route
+
+    neg = PhraseQ(-1.0, "text", ("the", "merge"))
+    assert _wand_route(disk_index, neg) is None
+    with _pt.raises(ValidationError):
+        disk_index.search(neg, with_hit=False, strategy="wand")
+
+
+def test_duplicate_pair_flat_bool_routes_and_merges(disk_index):
+    """A flat boolean repeating the same (field, term) merges boosts
+    (summed, same order as _scored_term_group) and still runs on the
+    kernel — bit-identical to the DataFrame path."""
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, TermQ
+    from lucene_clj_spark.search import _wand_route
+
+    for occ in (MUST, SHOULD):
+        node = BoolQ(1.0, (
+            (occ, TermQ(1.0, "text", "merge")),
+            (occ, TermQ(2.0, "text", "merge")),
+            (occ, TermQ(1.0, "text", "window")),
+        ))
+        route = _wand_route(disk_index, node)
+        assert route is not None and route[2] == (
+            "and" if occ == MUST else "or"
+        )
+        _, pairs, _, weights = route
+        assert pairs == [("text", "merge"), ("text", "window")]
+        assert weights[("text", "merge")] == 3.0
+        want = disk_index.search(node, results_per_page=10,
+                                 with_hit=False,
+                                 strategy="dataframe").collect()
+        got = disk_index.search(node, results_per_page=10,
+                                with_hit=False, strategy="wand").collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in want
+        ]
+
+
 def test_phrase_kernel_missing_term_empty(disk_index):
     from lucene_clj_spark.wand import phrase_topk
 
