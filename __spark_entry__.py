@@ -562,6 +562,38 @@ def q_wand_group_not_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_fuzzy_bool_topk(spark, sf_dir):
+    """Boolean with a fuzzy clause (merg~ AND window): the fuzzy
+    expands driver-side into a weighted OR group, so the whole boolean
+    takes the one-scan group plan (search._expand_fuzzy_clauses)."""
+    from lucene_clj_spark.query import MUST, BoolQ, FuzzyQ, TermQ
+
+    idx = _index(spark, sf_dir)
+    node = BoolQ(1.0, (
+        (MUST, FuzzyQ(1.0, "text", "merg")),
+        (MUST, TermQ(1.0, "text", "window")),
+    ))
+    out = idx.search(node, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_wand_fuzzy_bool_topk(spark, sf_dir):
+    """Same boolean-with-fuzzy query forced through strategy='wand':
+    the expansion members run as a group on the segment kernel — same
+    oracle as fuzzy_bool_topk, proving the kernel's weighted-group
+    combine."""
+    from lucene_clj_spark.query import MUST, BoolQ, FuzzyQ, TermQ
+
+    idx = _wand_index(spark, sf_dir)
+    node = BoolQ(1.0, (
+        (MUST, FuzzyQ(1.0, "text", "merg")),
+        (MUST, TermQ(1.0, "text", "window")),
+    ))
+    out = idx.search(node, results_per_page=10, with_hit=False,
+                     strategy="wand")
+    return _round6(out, "score")
+
+
 def q_wand_multi_field_topk(spark, sf_dir):
     """Multi-field map query on the one-pass segment kernel:
     {text: merge, lang: de} forced through strategy='wand' — same
@@ -704,6 +736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_group_topk": q_wand_group_topk,
         "wand_group_not_topk": q_wand_group_not_topk,
         "wand_multi_field_topk": q_wand_multi_field_topk,
+        "fuzzy_bool_topk": q_fuzzy_bool_topk,
+        "wand_fuzzy_bool_topk": q_wand_fuzzy_bool_topk,
         "webpages_pipeline_topk": q_webpages_pipeline_topk,
         "embed_near_dup": q_embed_near_dup,
         "blob_features": q_blob_features,
@@ -938,6 +972,52 @@ scores AS (
 )
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
+    )
+
+
+def _fuzzy_bool_sql(q: str, term: str, k: int = 10) -> str:
+    """merg~ AND term: per-doc score = sum over matched fuzzy
+    expansions of (closeness * BM25) + the term's BM25; doc must match
+    both clauses (MUST fuzzy = at least one expansion)."""
+    qlen = len(q)
+    fscore = bm25.score_sql("p.tf", "d.dl", "c.df", "s.n", "s.avgdl")
+    tscore = bm25.score_sql("p.tf", "d.dl", "t.df", "s.n", "s.avgdl")
+    return (
+        _BASE
+        + f"""
+, cand AS (
+  SELECT term, df,
+         CASE WHEN damerau_levenshtein(term, '{q}') = 0 THEN 1.0
+              ELSE 1.0 - CAST(damerau_levenshtein(term, '{q}') AS DOUBLE) /
+                   CAST(least(length(term), {qlen}) AS DOUBLE)
+         END AS fboost
+  FROM tstat
+  WHERE abs(length(term) - {qlen}) <= 2
+    AND damerau_levenshtein(term, '{q}') <= 2
+  ORDER BY fboost DESC, df DESC, term ASC
+  LIMIT 50
+),
+fs AS (
+  SELECT p.doc_id, sum(c.fboost * {fscore}) AS fscore
+  FROM post p
+  JOIN cand c USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY p.doc_id
+),
+ts AS (
+  SELECT p.doc_id, {tscore} AS tscore
+  FROM post p
+  JOIN dl d USING (doc_id)
+  JOIN tstat t USING (term)
+  CROSS JOIN stats s
+  WHERE p.term = '{term}'
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT f.doc_id, f.fscore + t.tscore AS score
+  FROM fs f JOIN ts t USING (doc_id)
   ORDER BY score DESC, doc_id ASC LIMIT {k}
 )"""
     )
@@ -1399,6 +1479,8 @@ FROM (
         "wand_group_topk": _dsl_grouped_sql(),
         "wand_group_not_topk": _dsl_grouped_not_sql(),
         "wand_multi_field_topk": _multi_field_and_sql(),
+        "fuzzy_bool_topk": _fuzzy_bool_sql("merg", "window"),
+        "wand_fuzzy_bool_topk": _fuzzy_bool_sql("merg", "window"),
         "webpages_pipeline_topk": _term_topk_sql("merge", 10),
         "embed_near_dup": _embed_near_dup_sql(0.35, 4, 64),
         # byte-accurate over the UTF-8 encoding (hex-pair extraction),

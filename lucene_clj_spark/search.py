@@ -575,7 +575,74 @@ def _empty_scores(index) -> DataFrame:
     return index.spark.createDataFrame([], "doc_id long, score double")
 
 
+def _expand_fuzzy_clauses(index, node: BoolQ) -> BoolQ | None:
+    """Rewrite FuzzyQ children of a boolean — and fuzzy members of
+    one-level all-SHOULD groups — into OR groups of expansion TermQs
+    weighted ``fuzzy.boost * closeness`` (the memoized driver-side
+    FuzzyTermsEnum, _fuzzy_expansions). Score-preserving: FuzzyQuery
+    IS an OR over its expansions with per-term closeness boosts
+    (reference query.clj:126-147), and the member boost ``b * fb`` is
+    the same float product _scored_fuzzy computes, so after this
+    rewrite booleans containing fuzzy clauses take the same one-scan
+    group plans — and the same segment kernels — as term-only
+    booleans, instead of a join per fuzzy clause.
+
+    Returns the rewritten node (``node`` itself if no fuzzy children),
+    or None if a MUST fuzzy has no expansions (the result is empty).
+    """
+    def members_of(fz: FuzzyQ) -> list[tuple[str, TermQ]]:
+        return [
+            (SHOULD, TermQ(fz.boost * fb, fz.field, t))
+            for t, _, fb in _fuzzy_expansions(index, fz)
+        ]
+
+    changed = False
+    out: list[tuple[str, Node]] = []
+    for occ, child in node.clauses:
+        if isinstance(child, FuzzyQ):
+            ms = members_of(child)
+            changed = True
+            if not ms:
+                if occ == MUST:
+                    return None
+                continue  # unmatched SHOULD / MUST_NOT drops out
+            out.append((occ, BoolQ(1.0, tuple(ms))))
+            continue
+        if (
+            isinstance(child, BoolQ)
+            and child.clauses
+            and all(o == SHOULD for o, _ in child.clauses)
+            and any(isinstance(c, FuzzyQ) for _, c in child.clauses)
+        ):
+            # fuzzy inside an OR group: splice expansions inline
+            # (OR-of-OR flattens; the group boost is folded into every
+            # member later by the group compilers)
+            ms = []
+            for _, c in child.clauses:
+                if isinstance(c, FuzzyQ):
+                    ms.extend(members_of(c))
+                else:
+                    ms.append((SHOULD, c))
+            changed = True
+            if not ms:
+                if occ == MUST:
+                    return None
+                continue
+            out.append((occ, BoolQ(child.boost, tuple(ms))))
+            continue
+        out.append((occ, child))
+    if not changed:
+        return node
+    return BoolQ(node.boost, tuple(out))
+
+
 def _scored_bool(index, node: BoolQ) -> DataFrame:
+    rewritten = _expand_fuzzy_clauses(index, node)
+    if rewritten is None:
+        return _empty_scores(index)  # a MUST fuzzy matched nothing
+    node = _flatten(rewritten) if rewritten is not node else node
+    if not isinstance(node, BoolQ):
+        return compile_node(index, node)
     musts = [n for occ, n in node.clauses if occ == MUST]
     shoulds = [n for occ, n in node.clauses if occ == SHOULD]
     must_nots = [n for occ, n in node.clauses if occ == "MUST_NOT"]
@@ -721,6 +788,18 @@ def _wand_route(
         return (node.field, node, "fuzzy", None)
     if not (isinstance(node, BoolQ) and node.boost == 1.0 and node.clauses):
         return None
+    # fuzzy clauses expand driver-side (memoized) into weighted OR
+    # groups of terms, making booleans-with-fuzzy kernel-eligible;
+    # a MUST fuzzy with no expansions short-circuits to an empty result
+    rewritten = _expand_fuzzy_clauses(index, node)
+    if rewritten is None:
+        return (None, None, "empty", None)
+    if rewritten is not node:
+        node = _flatten(rewritten)
+        if not isinstance(node, BoolQ):
+            return _wand_route(index, node)  # collapsed to one leaf
+        if node.boost != 1.0 or not node.clauses:
+            return None
     occs = {occ for occ, _ in node.clauses}
     if len(occs) == 1 and next(iter(occs)) in (MUST, SHOULD):
         # flat single-occurrence boolean -> the lean or/and kernel.
@@ -881,7 +960,11 @@ def search(
         )
     if route is not None:
         field_, terms_, mode_, weights_ = route
-        if mode_ == "and":
+        if mode_ == "empty":
+            # route-time short-circuit (e.g. a MUST fuzzy clause with
+            # zero dictionary expansions): the result is empty
+            scores = _empty_scores(index)
+        elif mode_ == "and":
             # a MUST term absent from the dictionary empties the result
             # (the kernel would silently drop it instead)
             st = _lookup_term_stats(index, terms_)

@@ -788,6 +788,105 @@ def test_group_tree_kernel_not_excludes(disk_index):
     assert disk_index.search(dup, with_hit=False).collect() == []
 
 
+def test_fuzzy_in_boolean_one_scan_and_kernel(disk_index):
+    """A boolean with a fuzzy clause ('merg'~ AND window) expands the
+    fuzzy into a weighted OR group of its dictionary expansions, so it
+    takes the ONE-postings-scan group plan on the DataFrame path and
+    the group kernel on strategy='wand' — anchored against the
+    unrewritten join of the untouched leaf plans
+    (_scored_fuzzy ⋈ _scored_term)."""
+    import math as m
+
+    from lucene_clj_spark.query import MUST, BoolQ, FuzzyQ, TermQ
+    from lucene_clj_spark.search import _scored_fuzzy, _scored_term
+
+    node = BoolQ(1.0, (
+        (MUST, FuzzyQ(1.0, "text", "merg")),
+        (MUST, TermQ(1.0, "text", "window")),
+    ))
+    f = _scored_fuzzy(disk_index, FuzzyQ(1.0, "text", "merg"))
+    t = _scored_term(disk_index, TermQ(1.0, "text", "window"))
+    exp = (
+        f.withColumnRenamed("score", "s1")
+        .join(t.withColumnRenamed("score", "s2"), "doc_id")
+        .select("doc_id", (F.col("s1") + F.col("s2")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    ).collect()
+    assert exp  # the conjunction is non-trivial at sf0.01
+    got_df = disk_index.search(node, results_per_page=10, with_hit=False,
+                               strategy="dataframe")
+    s = got_df._jdf.queryExecution().executedPlan().toString()
+    n_scans = s.count("Scan parquet")
+    assert n_scans == 1, f"expected one postings scan, saw {n_scans}"
+    got_df = got_df.collect()
+    got_k = disk_index.search(node, results_per_page=10, with_hit=False,
+                              strategy="wand")
+    sk = got_k._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in sk
+    got_k = got_k.collect()
+    for got in (got_df, got_k):
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
+        for a, b in zip(got, exp):
+            assert abs(a["score"] - b["score"]) <= 4 * m.ulp(b["score"])
+
+
+def test_fuzzy_must_not_excludes_expansions(disk_index):
+    """A MUST_NOT fuzzy clause excludes every doc matching ANY of its
+    expansions — on both paths; anchored against an explicit
+    anti-join of the leaf plans."""
+    from lucene_clj_spark.query import MUST, BoolQ, FuzzyQ, TermQ
+    from lucene_clj_spark.search import _scored_fuzzy, _scored_term
+
+    node = BoolQ(1.0, (
+        (MUST, TermQ(1.0, "text", "window")),
+        ("MUST_NOT", FuzzyQ(1.0, "text", "merg")),
+    ))
+    t = _scored_term(disk_index, TermQ(1.0, "text", "window"))
+    f = _scored_fuzzy(disk_index, FuzzyQ(1.0, "text", "merg"))
+    exp = (
+        t.join(f.select("doc_id"), "doc_id", "left_anti")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    ).collect()
+    assert exp
+    for strategy in ("dataframe", "wand"):
+        got = disk_index.search(node, results_per_page=20, with_hit=False,
+                                strategy=strategy).collect()
+        assert [(r["doc_id"], r["score"]) for r in got] == [
+            (r["doc_id"], r["score"]) for r in exp
+        ]
+    # and the exclusion bites: some window-docs match the fuzzy
+    full = {r["doc_id"] for r in t.collect()}
+    assert full - {r["doc_id"] for r in exp}
+
+
+def test_multi_field_fuzzy_map_matches_union_anchor(disk_index):
+    """search(..., fuzzy=True) with a multi-field map is a SHOULD of
+    per-field FuzzyQs (combine_fuzzy); after the expansion rewrite it
+    must still equal the union-sum of the untouched per-field fuzzy
+    plans (route choice is correctness-neutral)."""
+    import math as m
+
+    from lucene_clj_spark.query import FuzzyQ
+    from lucene_clj_spark.search import _scored_fuzzy
+
+    f1 = _scored_fuzzy(disk_index, FuzzyQ(1.0, "text", "merg"))
+    f2 = _scored_fuzzy(disk_index, FuzzyQ(1.0, "lang", "de"))
+    exp = (
+        f1.unionByName(f2)
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    ).collect()
+    got = disk_index.search({"text": "merg", "lang": "de"}, fuzzy=True,
+                            results_per_page=10, with_hit=False).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
+    for a, b in zip(got, exp):
+        assert abs(a["score"] - b["score"]) <= 4 * m.ulp(b["score"])
+
+
 def test_merge_generation_swap_crash_safe(spark, tmp_path_factory):
     """Merges never rename or delete the LIVE generation: a crashed
     merge (partial next-gen dir, pointer not swapped) leaves queries
