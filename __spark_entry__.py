@@ -562,6 +562,22 @@ def q_wand_group_not_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_wand_phrase_bool_topk(spark, sf_dir):
+    """Mixed phrase+term boolean '"the merge" AND window' forced
+    through strategy='wand' (raises if it fell off the kernel path):
+    the phrase member is scored IN-SCAN from the segments' positions
+    streams by the group kernel (wand.PhraseMember) instead of a
+    position join — one pruned pass, no join per clause."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _wand_index(spark, sf_dir)
+    ast = parse_dsl('"the merge" AND window', "text", idx.specs,
+                    idx.analyzers)
+    out = idx.search(ast, results_per_page=10, with_hit=False,
+                     strategy="wand")
+    return _round6(out, "score")
+
+
 def q_fuzzy_bool_topk(spark, sf_dir):
     """Boolean with a fuzzy clause (merg~ AND window): the fuzzy
     expands driver-side into a weighted OR group, so the whole boolean
@@ -735,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_or_topk": q_wand_or_topk,
         "wand_group_topk": q_wand_group_topk,
         "wand_group_not_topk": q_wand_group_not_topk,
+        "wand_phrase_bool_topk": q_wand_phrase_bool_topk,
         "wand_multi_field_topk": q_wand_multi_field_topk,
         "fuzzy_bool_topk": q_fuzzy_bool_topk,
         "wand_fuzzy_bool_topk": q_wand_fuzzy_bool_topk,
@@ -797,6 +814,51 @@ scores AS (
 )
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
+    )
+
+
+def _phrase_bool_sql(t1: str, t2: str, term: str, k: int = 10) -> str:
+    # '"t1 t2" AND term': doc must contain the exact-adjacency phrase
+    # AND the term; score = phrase BM25 (summed idfs, phrase freq) +
+    # the term's BM25 score — same association as the engine's group
+    # kernel (phrase scored in-scan, term scored per posting)
+    idf1 = bm25.idf_sql("t1.df", "s.n")
+    idf2 = bm25.idf_sql("t2.df", "s.n")
+    qdl = bm25.quantized_dl_sql("d.dl")
+    return (
+        _BASE
+        + f"""
+, freqs AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(ts)),
+             i -> ts[i] = '{t1}' AND ts[i+1] = '{t2}')) AS freq
+  FROM doc
+),
+pscores AS (
+  SELECT f.doc_id,
+         ({idf1} + {idf2}) * CAST(f.freq AS DOUBLE) /
+         (CAST(f.freq AS DOUBLE) + {K1!r} * ({1.0 - B!r} + {B!r} *
+          CAST({qdl} AS DOUBLE) / CAST(s.avgdl AS DOUBLE))) AS score
+  FROM freqs f
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{t1}') t1
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{t2}') t2
+  WHERE f.freq > 0
+),
+tscores AS (
+  SELECT p.doc_id, {_SCORE} AS score
+  FROM post p
+  JOIN dl d USING (doc_id)
+  JOIN tstat t USING (term)
+  CROSS JOIN stats s
+  WHERE p.term = '{term}'
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT ps.doc_id, ps.score + ts.score AS score
+  FROM pscores ps JOIN tscores ts USING (doc_id)
   ORDER BY score DESC, doc_id ASC LIMIT {k}
 )"""
     )
@@ -1478,6 +1540,7 @@ FROM (
         "wand_or_topk": _bool_or_sql(),
         "wand_group_topk": _dsl_grouped_sql(),
         "wand_group_not_topk": _dsl_grouped_not_sql(),
+        "wand_phrase_bool_topk": _phrase_bool_sql("the", "merge", "window"),
         "wand_multi_field_topk": _multi_field_and_sql(),
         "fuzzy_bool_topk": _fuzzy_bool_sql("merg", "window"),
         "wand_fuzzy_bool_topk": _fuzzy_bool_sql("merg", "window"),

@@ -296,27 +296,35 @@ def _scored_group_tree(
     ).select("doc_id", "score")
 
 
-def _group_tree_clauses(node: BoolQ) -> list | None:
+def _group_tree_clauses(node: BoolQ, allow_phrase: bool = False) -> list | None:
     """Return the (occ, child) clause list if ``node`` is a one-level
     term-only group tree executable by ``_scored_group_tree``, else
     None. Also requires at least one positive clause (a pure-negative
-    boolean matches nothing, handled by the generic path)."""
+    boolean matches nothing, handled by the generic path).
+
+    ``allow_phrase=True`` additionally admits PhraseQ leaves (direct
+    clauses or members of all-SHOULD groups) — used by the kernel
+    route, whose group kernel scores phrase members in-scan; the
+    DataFrame group compiler stays term-only (phrases there are
+    position joins)."""
+    def leaf_ok(c: Node) -> bool:
+        if _as_term(c) is not None:
+            return True
+        return allow_phrase and isinstance(c, PhraseQ) and bool(c.terms)
+
     if node.boost != 1.0:
         return None
     positive = False
     for occ, child in node.clauses:
         if occ not in (MUST, SHOULD, "MUST_NOT"):
             return None
-        if _as_term(child) is not None:
+        if leaf_ok(child):
             positive = positive or occ != "MUST_NOT"
             continue
         if not (
             isinstance(child, BoolQ)
             and child.clauses
-            and all(
-                o == SHOULD and _as_term(c) is not None
-                for o, c in child.clauses
-            )
+            and all(o == SHOULD and leaf_ok(c) for o, c in child.clauses)
         ):
             return None
         positive = positive or occ != "MUST_NOT"
@@ -830,29 +838,46 @@ def _wand_route(
     # one-level group trees ((a OR b) AND c NOT d) and mixed MUST/
     # SHOULD flat booleans -> the group kernel, same eligibility rules
     # as _scored_group_tree plus kernel-specific guards (no duplicate
-    # pairs, positive scored boosts)
-    gclauses = _group_tree_clauses(node)
+    # pairs, positive scored boosts). PhraseQ leaves are admitted too:
+    # the group kernel scores them in-scan from positions (mixed
+    # '"exact phrase" AND term' booleans stay on the scale path).
+    from lucene_clj_spark.wand import PhraseMember
+
+    gclauses = _group_tree_clauses(node, allow_phrase=True)
     if gclauses is None:
         return None
-    groups: list[tuple[str, list[tuple[str, str, float]]]] = []
+    groups: list[tuple[str, list]] = []
     seen_pairs: set[tuple[str, str]] = set()
-    for occ, child in gclauses:
-        t = _as_term(child)
+
+    def as_member(c: Node, gboost: float):
+        t = _as_term(c)
         if t is not None:
-            members = [(t.field, t.term, t.boost)]
+            return (t.field, t.term, t.boost * gboost)
+        assert isinstance(c, PhraseQ)
+        return PhraseMember(c.field, tuple(c.terms), c.boost * gboost)
+
+    for occ, child in gclauses:
+        if _as_term(child) is not None or isinstance(child, PhraseQ):
+            members = [as_member(child, 1.0)]
         else:
-            members = [
-                (c.field, c.term, c.boost * child.boost)
-                for c in (_as_term(cc) for _, cc in child.clauses)
-            ]
-        for f_, t_, b_ in members:
-            if (f_, t_) in seen_pairs:
-                return None  # per-(doc, pair) boost merge — fall back
-            seen_pairs.add((f_, t_))
-            if f_ not in index.stats:
-                return None
-            if occ != "MUST_NOT" and b_ <= 0:
-                return None  # non-positive weight inverts skip bounds
+            members = [as_member(cc, child.boost) for _, cc in child.clauses]
+        for m in members:
+            if isinstance(m, PhraseMember):
+                if m.field not in index.stats:
+                    return None
+                if occ != "MUST_NOT" and m.boost <= 0:
+                    return None  # non-positive weight inverts bounds
+                ok_pairs = {(m.field, t_) for t_ in m.terms}
+            else:
+                f_, t_, b_ = m
+                if f_ not in index.stats:
+                    return None
+                if occ != "MUST_NOT" and b_ <= 0:
+                    return None  # non-positive weight inverts bounds
+                ok_pairs = {(f_, t_)}
+            if ok_pairs & seen_pairs:
+                return None  # per-(doc, pair) merge — fall back
+            seen_pairs |= ok_pairs
         groups.append((occ, members))
     return (None, groups, "group", None)
 

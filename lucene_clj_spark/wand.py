@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import heapq
 import math
-from typing import Iterator
+from typing import Iterator, NamedTuple
 
 import numpy as np
 import pandas as pd
@@ -55,6 +55,17 @@ from pyspark.sql import functions as F
 from lucene_clj_spark import bm25, codec
 
 _EMPTY = {"doc_id": "int64", "score": "float64"}
+
+
+class PhraseMember(NamedTuple):
+    """A phrase leaf inside a boolean group tree, carried into the
+    group kernel: scored in-scan from the positions streams with
+    weight ``boost`` folded into its idf_sum (same association as the
+    standalone phrase kernel / DataFrame path)."""
+
+    field: str
+    terms: tuple
+    boost: float
 
 
 def _empty_frame() -> pd.DataFrame:
@@ -404,6 +415,109 @@ def _co_located(blocks: DataFrame, cols: list[str],
     )
 
 
+def _eval_phrase_chunk(
+    rows: pd.DataFrame,
+    key_term: dict,
+    offsets: dict,
+    idf_sum: float,
+    denom_cache: np.ndarray,
+    key_col: str = "fkey",
+    score: bool = True,
+):
+    """Evaluate ONE exact-adjacency phrase over one chunk's block rows
+    (caller guarantees every constituent key is present in ``rows``).
+
+    Phase 1 decodes ONLY doc ids (cheap) per term; positions stay as
+    raw varint buffers until a block is known to hold a candidate —
+    positions are the bulk of segment bytes, so the lazy decode skips
+    most of the frequent term's blocks. Delta-appended blocks may
+    INTERLEAVE doc ranges with base blocks, so lookups go through a
+    global argsort of the chunk's ids, not block-first_doc bisection.
+
+    Returns ``(doc_ids, scores)`` numpy arrays for docs with phrase
+    freq > 0; ``scores`` is None when ``score=False`` (exclusion-only
+    phrases need the match set, not BM25). ``key_term`` maps the
+    ``key_col`` value to the phrase term it carries."""
+    per_term: dict = {}
+    for keyv, grp in rows.groupby(key_col):
+        t = key_term[keyv]
+        blocks = []
+        for row in grp.itertuples(index=False):
+            ids = codec.delta_decode(codec.decode_varints(row.doc_deltas))
+            blocks.append(
+                {
+                    "ids": ids,
+                    "tfs_buf": row.tfs,
+                    "norms": row.norms,
+                    "pos_buf": row.positions,
+                    "flat": None,  # decoded lazily
+                }
+            )
+        counts = [len(b["ids"]) for b in blocks]
+        all_ids = np.concatenate([b["ids"] for b in blocks])
+        order = np.argsort(all_ids, kind="mergesort")
+        per_term[t] = (
+            all_ids[order],
+            blocks,
+            np.repeat(np.arange(len(blocks)), counts)[order],
+            np.concatenate(
+                [np.arange(c, dtype=np.int64) for c in counts]
+            )[order],
+        )
+    cands = None
+    for t in sorted(per_term, key=lambda t: per_term[t][0].size):
+        cands = (
+            per_term[t][0]
+            if cands is None
+            else np.intersect1d(cands, per_term[t][0], assume_unique=True)
+        )
+
+    def doc_positions(t, d):
+        """Positions (and norm byte) of doc d for term t — decodes the
+        containing block's streams (via the codec) on first touch;
+        untouched blocks never decode."""
+        sorted_ids, blocks, blk_of, pos_in = per_term[t]
+        i = int(np.searchsorted(sorted_ids, d))
+        b = blocks[int(blk_of[i])]
+        if b["flat"] is None:
+            tfs = codec.decode_varints(b["tfs_buf"]).astype(np.int64)
+            b["flat"] = codec.decode_positions(b["pos_buf"], tfs)
+            b["norms_a"] = np.frombuffer(b["norms"], dtype=np.uint8)
+        j = int(pos_in[i])
+        return b["flat"][j], int(b["norms_a"][j])
+
+    out_ids: list[int] = []
+    out_scores: list[float] = []
+    for d in cands.tolist():
+        inter = None
+        norm = None
+        for t, offs in offsets.items():
+            p, norm = doc_positions(t, d)
+            for off in offs:
+                shifted = p - off
+                inter = (
+                    shifted
+                    if inter is None
+                    else np.intersect1d(inter, shifted, assume_unique=True)
+                )
+                if inter.size == 0:
+                    break
+            if inter is not None and inter.size == 0:
+                break
+        freq = 0 if inter is None else int(inter.size)
+        if freq == 0:
+            continue
+        out_ids.append(d)
+        if score:
+            out_scores.append(
+                float(idf_sum * freq / (freq + denom_cache[norm]))
+            )
+    ids_a = np.asarray(out_ids, dtype=np.int64)
+    return ids_a, (
+        np.asarray(out_scores, dtype=np.float64) if score else None
+    )
+
+
 def _phrase_kernel_factory(
     offsets: dict, term_idfs: dict, idf_sum: float, avgdl: float, k: int,
     search_after: tuple[float, int] | None = None,
@@ -416,6 +530,7 @@ def _phrase_kernel_factory(
     (valid because phrase freq <= every member tf and x/(x+d) is
     increasing in x)."""
     uniq_terms = list(offsets)
+    ident = {t: t for t in uniq_terms}
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         denom_cache = _denom_cache(avgdl)
@@ -434,95 +549,10 @@ def _phrase_kernel_factory(
             )
             if len(heap) >= k and upper < theta():
                 return
-            # Phase 1: decode ONLY doc ids (cheap) per term; positions
-            # stay as raw varint buffers until a block is known to hold
-            # a candidate — positions are the bulk of segment bytes, so
-            # lazy decode skips most of the frequent term's blocks.
-            # Delta-appended blocks may INTERLEAVE doc ranges with base
-            # blocks, so the lookup goes through a global argsort of
-            # the chunk's ids, not block-first_doc bisection.
-            per_term: dict = {}
-            for t in uniq_terms:
-                rows = cpdf[cpdf["term"] == t]
-                blocks = []
-                for row in rows.itertuples(index=False):
-                    ids = codec.delta_decode(
-                        codec.decode_varints(row.doc_deltas)
-                    )
-                    blocks.append(
-                        {
-                            "ids": ids,
-                            "tfs_buf": row.tfs,
-                            "norms": row.norms,
-                            "pos_buf": row.positions,
-                            "flat": None,  # decoded lazily
-                        }
-                    )
-                counts = [len(b["ids"]) for b in blocks]
-                all_ids = np.concatenate([b["ids"] for b in blocks])
-                order = np.argsort(all_ids, kind="mergesort")
-                per_term[t] = (
-                    all_ids[order],
-                    blocks,
-                    np.repeat(np.arange(len(blocks)), counts)[order],
-                    np.concatenate(
-                        [np.arange(c, dtype=np.int64) for c in counts]
-                    )[order],
-                )
-            cands = None
-            for t in sorted(
-                uniq_terms, key=lambda t: per_term[t][0].size
-            ):
-                cands = (
-                    per_term[t][0]
-                    if cands is None
-                    else np.intersect1d(
-                        cands, per_term[t][0], assume_unique=True
-                    )
-                )
-
-            def doc_positions(t, d):
-                """Positions (and norm byte) of doc d for term t —
-                decodes the containing block's streams (via the codec)
-                on first touch; untouched blocks never decode."""
-                sorted_ids, blocks, blk_of, pos_in = per_term[t]
-                i = int(np.searchsorted(sorted_ids, d))
-                b = blocks[int(blk_of[i])]
-                if b["flat"] is None:
-                    tfs = codec.decode_varints(b["tfs_buf"]).astype(
-                        np.int64
-                    )
-                    b["flat"] = codec.decode_positions(b["pos_buf"], tfs)
-                    b["norms_a"] = np.frombuffer(
-                        b["norms"], dtype=np.uint8
-                    )
-                j = int(pos_in[i])
-                return b["flat"][j], int(b["norms_a"][j])
-
-            for d in cands.tolist():
-                inter = None
-                norm = None
-                for t, offs in offsets.items():
-                    p, norm = doc_positions(t, d)
-                    for off in offs:
-                        shifted = p - off
-                        inter = (
-                            shifted
-                            if inter is None
-                            else np.intersect1d(
-                                inter, shifted, assume_unique=True
-                            )
-                        )
-                        if inter.size == 0:
-                            break
-                    if inter is not None and inter.size == 0:
-                        break
-                freq = 0 if inter is None else int(inter.size)
-                if freq == 0:
-                    continue
-                score = float(
-                    idf_sum * freq / (freq + denom_cache[norm])
-                )
+            ids_a, sc_a = _eval_phrase_chunk(
+                cpdf, ident, offsets, idf_sum, denom_cache, key_col="term"
+            )
+            for d, score in zip(ids_a.tolist(), sc_a.tolist()):
                 if search_after is not None and not (
                     score < search_after[0]
                     or (score == search_after[0] and d > search_after[1])
@@ -657,6 +687,8 @@ def _group_kernel_factory(
     not_keys: frozenset,
     k: int,
     search_after: tuple[float, int] | None = None,
+    phrases: list | None = None,
+    phrase_fkeys: frozenset = frozenset(),
 ):
     """Per-partition streaming kernel for one-level boolean GROUP
     trees — the segment analogue of search._scored_group_tree. Lucene
@@ -664,15 +696,30 @@ def _group_kernel_factory(
     keys, every MUST group must be matched by at least one member, any
     MUST_NOT match excludes the doc.
 
+    ``phrases`` adds PHRASE members: each spec dict carries
+    {gid, is_not, offsets, term_idfs, fkey_term, fkeys, idf_sum,
+    denom} and is scored in-chunk by the shared positions evaluator
+    (_eval_phrase_chunk — lazy per-block positions decode). A phrase
+    is live in a chunk only if ALL its constituent keys appear there
+    (chunk == doc-id range). Scored phrases contribute their derived
+    bound idf_sum * min_t(chunk_max_t / idf_t) to the chunk upper
+    bound; exclusion phrases contribute nothing and are never
+    bound-skipped.
+
     Bound soundness: NOT keys never contribute to the chunk/block
     upper bounds (exclusion only removes docs, so positive-only sums
     stay valid upper bounds), and only their doc ids are decoded —
     never skipped on bounds, since missing an exclusion would be a
     wrong answer, not a missed optimization. A chunk that lacks every
     member of some MUST group is skipped wholesale: chunk == doc-id
-    range, so no doc of this chunk can satisfy that group elsewhere."""
+    range, so no doc of this chunk can satisfy that group elsewhere.
+    Skipping a term block (own max + others < θ) may also drop that
+    block's MUST marks — sound, because any such doc's total score is
+    below θ and it could not enter the heap anyway."""
+    phrases = phrases or []
     n_must = len(must_gids)
-    max_gid = max(key_gid.values()) + 1
+    all_gids = list(key_gid.values()) + [p["gid"] for p in phrases]
+    max_gid = max(all_gids) + 1
     is_must_gid = np.zeros(max_gid, dtype=bool)
     for g in must_gids:
         is_must_gid[g] = True
@@ -684,20 +731,55 @@ def _group_kernel_factory(
             return heap[0][0] if len(heap) >= k else -math.inf
 
         def process(cpdf: pd.DataFrame) -> None:
+            if phrase_fkeys:
+                ph = cpdf[cpdf["fkey"].isin(phrase_fkeys)]
+                rest = cpdf[~cpdf["fkey"].isin(phrase_fkeys)]
+            else:
+                ph = None
+                rest = cpdf
             if not_keys:
-                neg = cpdf[cpdf["fkey"].isin(not_keys)]
-                pos = cpdf[~cpdf["fkey"].isin(not_keys)]
+                neg = rest[rest["fkey"].isin(not_keys)]
+                pos = rest[~rest["fkey"].isin(not_keys)]
             else:
                 neg = None
-                pos = cpdf
-            if len(pos) == 0:
+                pos = rest
+            # phrase liveness in this chunk: every constituent key
+            # present (chunk == doc range, so a partially-present
+            # phrase cannot match here)
+            live: list = []
+            if phrases and ph is not None and len(ph):
+                have = set(ph["fkey"].unique())
+                for p in phrases:
+                    if p["fkeys"] <= have:
+                        live.append((p, ph[ph["fkey"].isin(p["fkeys"])]))
+            any_scored = len(pos) > 0 or any(
+                not p["is_not"] for p, _ in live
+            )
+            if not any_scored:
                 return
             if n_must:
-                present = {key_gid[f] for f in pos["fkey"].unique()}
+                present = (
+                    {key_gid[f] for f in pos["fkey"].unique()}
+                    if len(pos)
+                    else set()
+                )
+                present |= {p["gid"] for p, _ in live}
                 if not all(g in present for g in must_gids):
                     return
-            key_maxes = pos.groupby("fkey")["block_max_score"].max()
-            tm_sum = float(key_maxes.sum())
+            key_maxes = (
+                pos.groupby("fkey")["block_max_score"].max()
+                if len(pos)
+                else None
+            )
+            tm_sum = float(key_maxes.sum()) if key_maxes is not None else 0.0
+            for p, rows in live:
+                if p["is_not"]:
+                    continue
+                tmax = rows.groupby("fkey")["block_max_score"].max()
+                tm_sum += p["idf_sum"] * min(
+                    float(tmax[fk]) / p["term_idfs"][p["fkey_term"][fk]]
+                    for fk in p["fkeys"]
+                )
             # STRICT bound (ties must be decoded) — see _kernel_factory
             if len(heap) >= k and tm_sum < theta():
                 return
@@ -723,6 +805,22 @@ def _group_kernel_factory(
                 gid_parts.append(
                     np.full(ids.size, key_gid[row.fkey], dtype=np.int64)
                 )
+            ex_parts = []
+            for p, rows in live:
+                ids_p, sc_p = _eval_phrase_chunk(
+                    rows, p["fkey_term"], p["offsets"], p["idf_sum"],
+                    p["denom"], score=not p["is_not"],
+                )
+                if not ids_p.size:
+                    continue
+                if p["is_not"]:
+                    ex_parts.append(ids_p)
+                else:
+                    doc_parts.append(ids_p)
+                    score_parts.append(sc_p)
+                    gid_parts.append(
+                        np.full(ids_p.size, p["gid"], dtype=np.int64)
+                    )
             if not doc_parts:
                 return
             docs = np.concatenate(doc_parts)
@@ -739,10 +837,11 @@ def _group_kernel_factory(
                 cnt = np.bincount(pair // max_gid, minlength=uniq.size)
                 keep &= cnt == n_must
             if neg is not None and len(neg):
-                ex_parts = [
+                ex_parts.extend(
                     codec.delta_decode(codec.decode_varints(r.doc_deltas))
                     for r in neg.itertuples(index=False)
-                ]
+                )
+            if ex_parts:
                 keep &= ~np.isin(uniq, np.concatenate(ex_parts))
             uniq, agg = uniq[keep], agg[keep]
             if search_after is not None:
@@ -764,76 +863,159 @@ def _group_kernel_factory(
 
 def wand_group_topk(
     index,
-    groups: list[tuple[str, list[tuple[str, str, float]]]],
+    groups: list[tuple[str, list]],
     k: int = 10,
     n_partitions: int | None = None,
     search_after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a one-level boolean GROUP tree over
     the compressed segments — ``groups`` is a list of
-    ``(occ, [(field, term, effective_boost), ...])`` with occ in
-    {'MUST', 'SHOULD', 'MUST_NOT'} (group boosts pre-folded into the
-    member boosts by the caller). Executes the same semantics as
-    search._scored_group_tree on the streaming block-max kernel: one
-    pruned scan of the query keys' blocks, no join per clause.
+    ``(occ, members)`` with occ in {'MUST', 'SHOULD', 'MUST_NOT'} and
+    each member either ``(field, term, effective_boost)`` or a
+    ``PhraseMember`` (group boosts pre-folded into the member boosts
+    by the caller). Executes the same semantics as
+    search._scored_group_tree — extended with in-scan phrase scoring —
+    on the streaming block-max kernel: one pruned scan of the query
+    keys' blocks, no join per clause.
+
+    Phrase members' constituent keys go through a SEPARATE pushed-down
+    scan that keeps the ``positions`` column; term keys' scan replaces
+    it with NULL, so position bytes are only read for the blocks a
+    phrase actually needs. Both scans union before the chunk-range
+    co-location, so the kernel still streams one doc-ordered pass.
 
     A MUST group with no member present in the dictionary empties the
-    result; absent SHOULD/MUST_NOT members just drop out. The caller
-    guarantees no duplicate (field, term) pair across the tree and
-    positive boosts on all scored members."""
-    pairs, weights = [], {}
-    not_fkeys: set[str] = set()
-    for occ, members in groups:
-        for f_, t_, b_ in members:
-            pairs.append((f_, t_))
-            # NOT members are exclusion-only: never scored, never in
-            # bounds — weight is irrelevant but must be positive for
-            # the shared scan preamble; their per-block impacts fold
-            # is skipped entirely (unbounded_keys)
-            if occ == "MUST_NOT":
-                weights[(f_, t_)] = 1.0
-                not_fkeys.add(f"{f_}\x1f{t_}")
-            else:
-                weights[(f_, t_)] = b_
-    key_idfs, key_ws, blocks = _segment_scan(
-        index, pairs, weights, unbounded_keys=not_fkeys
+    result (a phrase member is present only if ALL its terms are);
+    absent SHOULD/MUST_NOT members just drop out. The caller
+    guarantees no duplicate (field, term) pair across the tree —
+    including phrase constituents — and positive boosts on all scored
+    members."""
+    empty = lambda: index.spark.createDataFrame(  # noqa: E731
+        [], "doc_id long, score double"
     )
-    if blocks is None:
-        return index.spark.createDataFrame([], "doc_id long, score double")
+    term_pairs: list[tuple[str, str]] = []
+    weights: dict = {}
+    not_fkeys: set[str] = set()
+    phrase_pairs: list[tuple[str, str]] = []
+    phrase_not_fkeys: set[str] = set()
+    for occ, members in groups:
+        for m in members:
+            if isinstance(m, PhraseMember):
+                for t_ in dict.fromkeys(m.terms):
+                    phrase_pairs.append((m.field, t_))
+                    if occ == "MUST_NOT":
+                        # exclusion-only: bounds never consulted, so
+                        # the impacts fold is skipped for these keys
+                        phrase_not_fkeys.add(f"{m.field}\x1f{t_}")
+            else:
+                f_, t_, b_ = m
+                term_pairs.append((f_, t_))
+                # NOT members are exclusion-only: never scored, never
+                # in bounds — weight is irrelevant but must be
+                # positive for the shared scan preamble; their
+                # per-block impacts fold is skipped (unbounded_keys)
+                if occ == "MUST_NOT":
+                    weights[(f_, t_)] = 1.0
+                    not_fkeys.add(f"{f_}\x1f{t_}")
+                else:
+                    weights[(f_, t_)] = b_
+    if term_pairs:
+        key_idfs, key_ws, blocks = _segment_scan(
+            index, term_pairs, weights, unbounded_keys=not_fkeys
+        )
+    else:
+        key_idfs, key_ws, blocks = {}, {}, None
+    if phrase_pairs:
+        p_idfs, _pws, p_blocks = _segment_scan(
+            index, phrase_pairs, None, unbounded_keys=phrase_not_fkeys
+        )
+    else:
+        p_idfs, p_blocks = {}, None
+
     key_gid, must_gids, not_keys = {}, set(), set()
+    phrases: list[dict] = []
     next_gid = 0
     for occ, members in groups:
-        present = [
-            (f_, t_) for f_, t_, _ in members
-            if f"{f_}\x1f{t_}" in key_idfs
-        ]
-        if not present:
+        present_terms, present_phrases = [], []
+        for m in members:
+            if isinstance(m, PhraseMember):
+                if all(
+                    f"{m.field}\x1f{t_}" in p_idfs for t_ in m.terms
+                ):
+                    present_phrases.append(m)
+            elif f"{m[0]}\x1f{m[1]}" in key_idfs:
+                present_terms.append(m)
+        if not present_terms and not present_phrases:
             if occ == "MUST":
-                return index.spark.createDataFrame(
-                    [], "doc_id long, score double"
-                )
+                return empty()
             continue
         gid = next_gid
         next_gid += 1
         if occ == "MUST":
             must_gids.add(gid)
-        for f_, t_ in present:
+        for f_, t_, _b in present_terms:
             fk = f"{f_}\x1f{t_}"
             key_gid[fk] = gid
             if occ == "MUST_NOT":
                 not_keys.add(fk)
-    # a pure-negative surviving tree matches nothing. (key_gid always
-    # equals set(key_idfs) — every present key belongs to exactly one
-    # group, duplicates were rejected at route time — so no re-filter
-    # of key_idfs or the blocks scan is needed.)
-    if not (set(key_gid) - not_keys):
-        return index.spark.createDataFrame([], "doc_id long, score double")
-    npart = n_partitions or index.spark.sparkContext.defaultParallelism
-    co = _co_located(
-        blocks,
-        ["chunk", "fkey", "block_max_score", "doc_deltas", "tfs", "norms"],
-        npart,
+        for m in present_phrases:
+            offsets: dict[str, list[int]] = {}
+            for i, t_ in enumerate(m.terms):
+                offsets.setdefault(t_, []).append(i)
+            t_idfs = {
+                t_: p_idfs[f"{m.field}\x1f{t_}"] for t_ in offsets
+            }
+            idf_sum = sum(
+                t_idfs[t_] * len(offs) for t_, offs in offsets.items()
+            )
+            if m.boost != 1.0:
+                idf_sum = m.boost * idf_sum
+            phrases.append(
+                {
+                    "gid": gid,
+                    "is_not": occ == "MUST_NOT",
+                    "offsets": offsets,
+                    "term_idfs": t_idfs,
+                    "fkey_term": {
+                        f"{m.field}\x1f{t_}": t_ for t_ in offsets
+                    },
+                    "fkeys": {f"{m.field}\x1f{t_}" for t_ in offsets},
+                    "idf_sum": idf_sum,
+                    "denom": _denom_cache(
+                        float(index.field_stats(m.field)["avgdl"])
+                    ),
+                }
+            )
+    scored_terms = set(key_gid) - not_keys
+    scored_phrases = any(not p["is_not"] for p in phrases)
+    # a pure-negative surviving tree matches nothing
+    if not scored_terms and not scored_phrases:
+        return empty()
+
+    cols = ["chunk", "fkey", "block_max_score", "doc_deltas", "tfs",
+            "norms", "positions"]
+    parts = []
+    if blocks is not None and key_gid:
+        parts.append(
+            blocks.withColumn(
+                "positions", F.lit(None).cast("binary")
+            ).select(*cols)
+        )
+    phrase_fkeys = frozenset(
+        fk for p in phrases for fk in p["fkeys"]
     )
+    if p_blocks is not None and phrases:
+        pb = p_blocks
+        if len(phrase_fkeys) < len(p_idfs):
+            # some phrase was dropped (absent constituent) — its other
+            # terms' blocks are unneeded
+            pb = pb.filter(F.col("fkey").isin(sorted(phrase_fkeys)))
+        parts.append(pb.select(*cols))
+    if not parts:
+        return empty()
+    allb = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    npart = n_partitions or index.spark.sparkContext.defaultParallelism
+    co = _co_located(allb, cols, npart)
     kernel = _group_kernel_factory(
         key_idfs,
         key_ws,
@@ -843,6 +1025,8 @@ def wand_group_topk(
         frozenset(not_keys),
         k,
         search_after=search_after,
+        phrases=phrases,
+        phrase_fkeys=phrase_fkeys,
     )
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
