@@ -235,6 +235,15 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
                     {"text": "merge", "lang": "de"}, with_hit=False,
                     strategy="wand").collect(),
                     name="q_seg_multi_field"), 4)
+            # mixed phrase+term boolean scored in one kernel pass
+            # (phrase positions decoded in-scan, no position join)
+            pbast = parse_dsl('"the merge" AND window', "text",
+                              didx.specs, didx.analyzers)
+            queries["q_seg_phrase_bool"] = round(
+                timed(lambda: didx.search(
+                    pbast, with_hit=False,
+                    strategy="wand").collect(),
+                    name="q_seg_phrase_bool"), 4)
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
 

@@ -990,6 +990,30 @@ def test_phrase_in_boolean_absent_term(disk_index):
     ]
 
 
+def test_multi_field_map_with_phrase_routes_group(disk_index):
+    """A MAP query whose value is a phrase — {text: "the merge",
+    lang: de} — routes through the group kernel (phrase scored
+    in-scan, keyword exact as a cross-field MUST term) and matches
+    the DataFrame path exactly."""
+    import math as m
+
+    from lucene_clj_spark.query import parse
+    from lucene_clj_spark.search import _wand_route
+
+    node = parse({"text": "the merge", "lang": "de"},
+                 disk_index.specs, disk_index.analyzers)
+    route = _wand_route(disk_index, node)
+    assert route is not None and route[2] == "group"
+    want = disk_index.search(node, results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = disk_index.search(node, results_per_page=10, with_hit=False,
+                            strategy="wand").collect()
+    assert want
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) <= 4 * m.ulp(b["score"])
+
+
 def test_phrase_term_collision_falls_back(disk_index):
     """A phrase constituent colliding with a term clause's (field,
     term) pair is NOT kernel-eligible (per-(doc, pair) merge) — falls
