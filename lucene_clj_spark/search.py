@@ -837,17 +837,22 @@ def _wand_route(
             return (None, pairs, "and" if occ == MUST else "or", weights)
     # one-level group trees ((a OR b) AND c NOT d) and mixed MUST/
     # SHOULD flat booleans -> the group kernel, same eligibility rules
-    # as _scored_group_tree plus kernel-specific guards (no duplicate
-    # pairs, positive scored boosts). PhraseQ leaves are admitted too:
-    # the group kernel scores them in-scan from positions (mixed
+    # as _scored_group_tree plus kernel-specific guards (positive
+    # scored boosts; phrase constituents may not share pairs with
+    # anything else). PhraseQ leaves are admitted too: the group
+    # kernel scores them in-scan from positions (mixed
     # '"exact phrase" AND term' booleans stay on the scale path).
+    # Duplicate TERM pairs across clauses are kernel-eligible: each
+    # occurrence fans out from one block decode.
     from lucene_clj_spark.wand import PhraseMember
 
     gclauses = _group_tree_clauses(node, allow_phrase=True)
     if gclauses is None:
         return None
     groups: list[tuple[str, list]] = []
-    seen_pairs: set[tuple[str, str]] = set()
+    term_pairs: set[tuple[str, str]] = set()
+    phrase_pairs: set[tuple[str, str]] = set()
+    not_pairs: set[tuple[str, str]] = set()
 
     def as_member(c: Node, gboost: float):
         t = _as_term(c)
@@ -867,18 +872,50 @@ def _wand_route(
                     return None
                 if occ != "MUST_NOT" and m.boost <= 0:
                     return None  # non-positive weight inverts bounds
-                ok_pairs = {(m.field, t_) for t_ in m.terms}
+                pp = {(m.field, t_) for t_ in m.terms}
+                # a phrase constituent may not share a pair with any
+                # term clause or other phrase: the positions scan and
+                # the impacts scan would double-carry the same blocks
+                if pp & (term_pairs | phrase_pairs):
+                    return None
+                phrase_pairs |= pp
             else:
                 f_, t_, b_ = m
                 if f_ not in index.stats:
                     return None
                 if occ != "MUST_NOT" and b_ <= 0:
                     return None  # non-positive weight inverts bounds
-                ok_pairs = {(f_, t_)}
-            if ok_pairs & seen_pairs:
-                return None  # per-(doc, pair) merge — fall back
-            seen_pairs |= ok_pairs
+                if (f_, t_) in phrase_pairs:
+                    return None  # collides with a phrase constituent
+                # duplicate TERM pairs across clauses are fine: the
+                # kernel fans each decoded block out per occurrence
+                term_pairs.add((f_, t_))
+                if occ == "MUST_NOT":
+                    not_pairs.add((f_, t_))
         groups.append((occ, members))
+    if not_pairs:
+        # a pair with a MUST_NOT occurrence excludes every doc that
+        # matches it, so its SCORED occurrences can never contribute:
+        # drop them (Lucene-equivalent). A MUST group emptied by the
+        # drop can only be satisfied by excluded docs -> no results.
+        pruned: list[tuple[str, list]] = []
+        for occ, members in groups:
+            if occ == "MUST_NOT":
+                pruned.append((occ, members))
+                continue
+            kept = [
+                m for m in members
+                if isinstance(m, PhraseMember)
+                or (m[0], m[1]) not in not_pairs
+            ]
+            if not kept:
+                if occ == MUST:
+                    return (None, None, "empty", None)
+                continue  # fully-excluded SHOULD group drops out
+            pruned.append((occ, kept))
+        groups = pruned
+        if all(o == "MUST_NOT" for o, _ in groups):
+            return (None, None, "empty", None)
     return (None, groups, "group", None)
 
 

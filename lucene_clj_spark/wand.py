@@ -680,9 +680,8 @@ def wand_topk(
 
 def _group_kernel_factory(
     key_idfs: dict,
-    key_ws: dict,
     key_denoms: dict,
-    key_gid: dict,
+    key_occs: dict,
     must_gids: frozenset,
     not_keys: frozenset,
     k: int,
@@ -695,6 +694,14 @@ def _group_kernel_factory(
     semantics: a doc's score is the sum of its matching non-prohibited
     keys, every MUST group must be matched by at least one member, any
     MUST_NOT match excludes the doc.
+
+    ``key_occs`` maps each scored fkey to its OCCURRENCE list
+    ``[(gid, weight), ...]`` — a term clause repeated across groups
+    (``a AND (a OR b)``) decodes its blocks once and fans the base
+    score out per occurrence, exactly the DataFrame path's broadcast
+    join fan-out. Each block's ``block_max_score`` is pre-folded with
+    the SUM of its key's occurrence weights, so the chunk/block bounds
+    stay exact upper bounds of the fanned-out sum.
 
     ``phrases`` adds PHRASE members: each spec dict carries
     {gid, is_not, offsets, term_idfs, fkey_term, fkeys, idf_sum,
@@ -718,7 +725,9 @@ def _group_kernel_factory(
     below θ and it could not enter the heap anyway."""
     phrases = phrases or []
     n_must = len(must_gids)
-    all_gids = list(key_gid.values()) + [p["gid"] for p in phrases]
+    all_gids = [g for occs in key_occs.values() for g, _ in occs] + [
+        p["gid"] for p in phrases
+    ]
     max_gid = max(all_gids) + 1
     is_must_gid = np.zeros(max_gid, dtype=bool)
     for g in must_gids:
@@ -759,7 +768,11 @@ def _group_kernel_factory(
                 return
             if n_must:
                 present = (
-                    {key_gid[f] for f in pos["fkey"].unique()}
+                    {
+                        g
+                        for f in pos["fkey"].unique()
+                        for g, _ in key_occs[f]
+                    }
                     if len(pos)
                     else set()
                 )
@@ -798,13 +811,13 @@ def _group_kernel_factory(
                 norms = np.frombuffer(row.norms, dtype=np.uint8)
                 idf = key_idfs[row.fkey]
                 denom = key_denoms[row.fkey]
-                doc_parts.append(ids)
-                score_parts.append(
-                    key_ws[row.fkey] * (idf * tfs / (tfs + denom[norms]))
-                )
-                gid_parts.append(
-                    np.full(ids.size, key_gid[row.fkey], dtype=np.int64)
-                )
+                base = idf * tfs / (tfs + denom[norms])
+                for g, w in key_occs[row.fkey]:
+                    doc_parts.append(ids)
+                    score_parts.append(w * base)
+                    gid_parts.append(
+                        np.full(ids.size, g, dtype=np.int64)
+                    )
             ex_parts = []
             for p, rows in live:
                 ids_p, sc_p = _eval_phrase_chunk(
@@ -886,10 +899,14 @@ def wand_group_topk(
 
     A MUST group with no member present in the dictionary empties the
     result (a phrase member is present only if ALL its terms are);
-    absent SHOULD/MUST_NOT members just drop out. The caller
-    guarantees no duplicate (field, term) pair across the tree —
-    including phrase constituents — and positive boosts on all scored
-    members."""
+    absent SHOULD/MUST_NOT members just drop out. Duplicate TERM pairs
+    across scored clauses are supported — each block decodes once and
+    fans out per occurrence, with the block bound folded by the summed
+    weights. The caller guarantees: positive boosts on all scored
+    members, no pair shared between a phrase constituent and anything
+    else, and no pair with both a scored and a MUST_NOT occurrence
+    (a MUST_NOT pair excludes every matching doc, so its scored
+    occurrences are dead weight — search._wand_route drops them)."""
     empty = lambda: index.spark.createDataFrame(  # noqa: E731
         [], "doc_id long, score double"
     )
@@ -909,16 +926,21 @@ def wand_group_topk(
                         phrase_not_fkeys.add(f"{m.field}\x1f{t_}")
             else:
                 f_, t_, b_ = m
-                term_pairs.append((f_, t_))
+                pair = (f_, t_)
+                if pair not in weights:
+                    term_pairs.append(pair)
+                    weights[pair] = 0.0
                 # NOT members are exclusion-only: never scored, never
                 # in bounds — weight is irrelevant but must be
                 # positive for the shared scan preamble; their
                 # per-block impacts fold is skipped (unbounded_keys)
                 if occ == "MUST_NOT":
-                    weights[(f_, t_)] = 1.0
+                    weights[pair] = 1.0
                     not_fkeys.add(f"{f_}\x1f{t_}")
                 else:
-                    weights[(f_, t_)] = b_
+                    # summed across occurrences: the folded block
+                    # bound must cap the per-occurrence fan-out sum
+                    weights[pair] += b_
     if term_pairs:
         key_idfs, key_ws, blocks = _segment_scan(
             index, term_pairs, weights, unbounded_keys=not_fkeys
@@ -932,7 +954,7 @@ def wand_group_topk(
     else:
         p_idfs, p_blocks = {}, None
 
-    key_gid, must_gids, not_keys = {}, set(), set()
+    key_occs, must_gids, not_keys = {}, set(), set()
     phrases: list[dict] = []
     next_gid = 0
     for occ, members in groups:
@@ -953,11 +975,12 @@ def wand_group_topk(
         next_gid += 1
         if occ == "MUST":
             must_gids.add(gid)
-        for f_, t_, _b in present_terms:
+        for f_, t_, b_ in present_terms:
             fk = f"{f_}\x1f{t_}"
-            key_gid[fk] = gid
             if occ == "MUST_NOT":
                 not_keys.add(fk)
+            else:
+                key_occs.setdefault(fk, []).append((gid, b_))
         for m in present_phrases:
             offsets: dict[str, list[int]] = {}
             for i, t_ in enumerate(m.terms):
@@ -986,16 +1009,15 @@ def wand_group_topk(
                     ),
                 }
             )
-    scored_terms = set(key_gid) - not_keys
     scored_phrases = any(not p["is_not"] for p in phrases)
     # a pure-negative surviving tree matches nothing
-    if not scored_terms and not scored_phrases:
+    if not key_occs and not scored_phrases:
         return empty()
 
     cols = ["chunk", "fkey", "block_max_score", "doc_deltas", "tfs",
             "norms", "positions"]
     parts = []
-    if blocks is not None and key_gid:
+    if blocks is not None and (key_occs or not_keys):
         parts.append(
             blocks.withColumn(
                 "positions", F.lit(None).cast("binary")
@@ -1018,9 +1040,8 @@ def wand_group_topk(
     co = _co_located(allb, cols, npart)
     kernel = _group_kernel_factory(
         key_idfs,
-        key_ws,
         _key_denoms(index, key_idfs),
-        key_gid,
+        key_occs,
         frozenset(must_gids),
         frozenset(not_keys),
         k,

@@ -1014,6 +1014,82 @@ def test_multi_field_map_with_phrase_routes_group(disk_index):
         assert abs(a["score"] - b["score"]) <= 4 * m.ulp(b["score"])
 
 
+@pytest.mark.parametrize(
+    "node_fn",
+    [
+        # a AND (a OR b): 'merge' scored twice for docs matching it
+        lambda B, T, M, S: B(1.0, (
+            (M, T(1.0, "text", "merge")),
+            (M, B(1.0, ((S, T(1.0, "text", "merge")),
+                        (S, T(1.0, "text", "window"))))),
+        )),
+        # boosted duplicates across groups
+        lambda B, T, M, S: B(1.0, (
+            (M, T(2.0, "text", "merge")),
+            (S, B(1.5, ((S, T(0.5, "text", "merge")),
+                        (S, T(1.0, "text", "dup"))))),
+        )),
+        # duplicate inside ONE group: (a OR a OR b)
+        lambda B, T, M, S: B(1.0, (
+            (M, B(1.0, ((S, T(1.0, "text", "merge")),
+                        (S, T(1.0, "text", "merge")),
+                        (S, T(1.0, "text", "window"))))),
+            (S, T(1.0, "text", "dup")),
+        )),
+        # NOT-drop: b AND (a OR c) NOT a == b AND c NOT a
+        lambda B, T, M, S: B(1.0, (
+            (M, T(1.0, "text", "window")),
+            (M, B(1.0, ((S, T(1.0, "text", "merge")),
+                        (S, T(1.0, "text", "dup"))))),
+            ("MUST_NOT", T(1.0, "text", "merge")),
+        )),
+    ],
+)
+def test_duplicate_pair_group_tree_routes_kernel(disk_index, node_fn):
+    """Group trees with duplicate (field, term) pairs across clauses
+    now execute on the group kernel — each occurrence fans out from
+    one block decode — and match the DataFrame join-fan-out path
+    doc-for-doc, scores within a few ULPs."""
+    import math as m
+
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, TermQ
+    from lucene_clj_spark.search import _wand_route
+
+    node = node_fn(BoolQ, TermQ, MUST, SHOULD)
+    route = _wand_route(disk_index, node)
+    assert route is not None and route[2] == "group"
+    want = disk_index.search(node, results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = disk_index.search(node, results_per_page=10, with_hit=False,
+                            strategy="wand").collect()
+    assert want
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) <= 8 * m.ulp(b["score"]), (
+            a["doc_id"], a["score"], b["score"]
+        )
+
+
+def test_duplicate_pair_must_fully_excluded_is_empty(disk_index):
+    """A MUST group whose every member also has a MUST_NOT occurrence
+    can only be satisfied by excluded docs: route short-circuits to an
+    empty result, matching the DataFrame path."""
+    from lucene_clj_spark.query import MUST, BoolQ, TermQ
+    from lucene_clj_spark.search import _wand_route
+
+    node = BoolQ(1.0, (
+        (MUST, TermQ(1.0, "text", "merge")),
+        (MUST, TermQ(1.0, "text", "window")),
+        ("MUST_NOT", TermQ(1.0, "text", "merge")),
+    ))
+    route = _wand_route(disk_index, node)
+    assert route is not None and route[2] == "empty"
+    assert disk_index.search(node, with_hit=False,
+                             strategy="wand").collect() == []
+    assert disk_index.search(node, with_hit=False,
+                             strategy="dataframe").collect() == []
+
+
 def test_phrase_term_collision_falls_back(disk_index):
     """A phrase constituent colliding with a term clause's (field,
     term) pair is NOT kernel-eligible (per-(doc, pair) merge) — falls
@@ -1038,9 +1114,9 @@ def test_random_mixed_trees_kernel_matches_dataframe(disk_index):
     AND PHRASE leaves (direct or inside OR groups, boosted, MUST /
     SHOULD / MUST_NOT) agree between auto-routed execution (kernel
     when eligible) and the DataFrame path — doc-for-doc, scores to a
-    few ULPs. Ineligible shapes (duplicate pairs) must fall back
-    cleanly, and enough trials must actually route to prove kernel
-    coverage."""
+    few ULPs. Ineligible shapes (phrase-constituent collisions) must
+    fall back cleanly — duplicate TERM pairs stay kernel-eligible —
+    and enough trials must actually route to prove kernel coverage."""
     import math as m
     import random
 
@@ -1059,7 +1135,7 @@ def test_random_mixed_trees_kernel_matches_dataframe(disk_index):
         def leaf():
             # prefer collision-free leaves so most trials stay
             # kernel-eligible; an occasional duplicate pair exercises
-            # the fallback path
+            # the term fan-out (and, with phrases, the fallback path)
             for _ in range(6):
                 if rng.random() < 0.35:
                     p = rng.choice(phrases)
