@@ -562,6 +562,42 @@ def q_wand_group_not_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_dsl_nested_topk(spark, sf_dir):
+    """ARBITRARY-DEPTH boolean tree (Q8 nesting):
+    '((merge AND window) OR (dup AND scan)) NOT compact' — inner MUST
+    groups two levels down. Executes on the one-scan tree plan
+    (_scored_tree on the DataFrame path, wand_tree_topk on segments):
+    a doc matches if it holds both terms of either inner AND group and
+    not 'compact'; score = sum of the matched groups' term scores."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _index(spark, sf_dir)
+    ast = parse_dsl(
+        "((merge AND window) OR (dup AND scan)) NOT compact",
+        "text", idx.specs, idx.analyzers,
+    )
+    out = idx.search(ast, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_wand_tree_topk(spark, sf_dir):
+    """The same depth-2 tree forced through strategy='wand' (raises if
+    it fell off the kernel path), proving the arbitrary-depth tree
+    kernel: one streaming pruned segment scan evaluates the whole
+    tree — chunk possibility, linear countable-leaf bounds, MUST_NOT
+    exclusion inside subtrees — same oracle as dsl_nested_topk."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _wand_index(spark, sf_dir)
+    ast = parse_dsl(
+        "((merge AND window) OR (dup AND scan)) NOT compact",
+        "text", idx.specs, idx.analyzers,
+    )
+    out = idx.search(ast, results_per_page=10, with_hit=False,
+                     strategy="wand")
+    return _round6(out, "score")
+
+
 def q_wand_phrase_bool_topk(spark, sf_dir):
     """Mixed phrase+term boolean '"the merge" AND window' forced
     through strategy='wand' (raises if it fell off the kernel path):
@@ -741,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "dsl_boost_topk": q_dsl_boost_topk,
         "dsl_grouped_topk": q_dsl_grouped_topk,
+        "dsl_nested_topk": q_dsl_nested_topk,
+        "wand_tree_topk": q_wand_tree_topk,
         "incremental_add_topk": q_incremental_add_topk,
         "hit_fn_topk": q_hit_fn_topk,
         "multi_field_and_topk": q_multi_field_and_topk,
@@ -909,6 +947,41 @@ SELECT doc_id, round(score, 6) AS score FROM (
   HAVING sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) > 0
      AND sum(CASE WHEN term IN ('merge', 'window') THEN 1 ELSE 0 END) > 0
      AND sum(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) = 0
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _dsl_nested_sql() -> str:
+    # '((merge AND window) OR (dup AND scan)) NOT compact': a doc
+    # matches iff it holds BOTH terms of either inner AND group and
+    # not 'compact'; score = sum over the MATCHED inner groups of
+    # their term scores (an unmatched group contributes nothing even
+    # when one of its terms is present)
+    return (
+        _multi_term_scores_sql(
+            ["merge", "window", "dup", "scan", "compact"]
+        )
+        + """
+, per_doc AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'merge' THEN score END)  AS s_merge,
+         max(CASE WHEN term = 'window' THEN score END) AS s_window,
+         max(CASE WHEN term = 'dup' THEN score END)    AS s_dup,
+         max(CASE WHEN term = 'scan' THEN score END)   AS s_scan,
+         max(CASE WHEN term = 'compact' THEN 1 ELSE 0 END) AS m_compact
+  FROM scores GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id,
+         (CASE WHEN s_merge IS NOT NULL AND s_window IS NOT NULL
+               THEN s_merge + s_window ELSE 0 END)
+         + (CASE WHEN s_dup IS NOT NULL AND s_scan IS NOT NULL
+                 THEN s_dup + s_scan ELSE 0 END) AS score
+  FROM per_doc
+  WHERE ((s_merge IS NOT NULL AND s_window IS NOT NULL)
+         OR (s_dup IS NOT NULL AND s_scan IS NOT NULL))
+    AND m_compact = 0
   ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
     )
@@ -1522,6 +1595,8 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "knn_join": _knn_join_sql(3, 6, 64),
         "dsl_boost_topk": _dsl_boost_sql(),
         "dsl_grouped_topk": _dsl_grouped_sql(),
+        "dsl_nested_topk": _dsl_nested_sql(),
+        "wand_tree_topk": _dsl_nested_sql(),
         # incremental add must equal the one-shot build -> same oracle
         "incremental_add_topk": _term_topk_sql("merge", 10),
         "hit_fn_topk": _TERM_SCORES.replace("{term}", "merge") + """

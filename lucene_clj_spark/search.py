@@ -296,6 +296,146 @@ def _scored_group_tree(
     ).select("doc_id", "score")
 
 
+def _bool_tree_spec(node: BoolQ):
+    """Normalize an ARBITRARY-DEPTH boolean tree of term leaves into
+    ``(leaves, root)`` — a list of ``wand.TreeLeaf`` and a nested
+    ``wand.TreeNode`` over their lids — or None if any descendant is
+    not a term-like leaf (phrase/fuzzy/typed-exact subtrees keep the
+    recursive join compiler) or carries an unknown occurrence.
+
+    Every node's boost is folded down into its leaves' weights (score
+    trees are linear in the leaf scores); leaves under a MUST_NOT edge
+    are marked unscored — they gate matching only. The result feeds
+    BOTH one-scan executors: ``_scored_tree`` (DataFrame) and
+    ``wand.wand_tree_topk`` (segment kernel)."""
+    from lucene_clj_spark.wand import TreeLeaf, TreeNode
+
+    leaves: list = []
+
+    def build(b: BoolQ, wmul: float, scored: bool):
+        musts, shoulds, nots = [], [], []
+        for occ, child in b.clauses:
+            if occ not in (MUST, SHOULD, "MUST_NOT"):
+                return None
+            child_scored = scored and occ != "MUST_NOT"
+            t = _as_term(child)
+            if t is not None:
+                ref = len(leaves)
+                leaves.append(
+                    TreeLeaf(ref, t.field, t.term, t.boost * wmul,
+                             child_scored)
+                )
+            elif isinstance(child, BoolQ):
+                ref = build(child, wmul * child.boost, child_scored)
+                if ref is None:
+                    return None
+            else:
+                return None
+            (musts if occ == MUST
+             else shoulds if occ == SHOULD else nots).append(ref)
+        return TreeNode(tuple(musts), tuple(shoulds), tuple(nots))
+
+    root = build(node, node.boost, True)
+    if root is None or not leaves:
+        return None
+    return leaves, root
+
+
+def _scored_tree(index, leaves: list, root) -> DataFrame:
+    """ONE postings scan for an ARBITRARY-DEPTH boolean tree of term
+    leaves — the depth-unlimited generalization of
+    ``_scored_group_tree``. The leaf occurrences become a broadcast
+    relation joined against a single IN-filtered bucket-pruned scan;
+    per-doc leaf scores land in one conditional aggregation (one
+    column per leaf occurrence), and the tree's match/score semantics
+    evaluate as a pure Column expression over those columns — so
+    ``((a AND b) OR (c AND d)) NOT e`` is one scan + one doc-keyed
+    shuffle at any nesting depth, instead of a join per clause
+    (what survives a 100x scale-up).
+
+    Semantics match the recursive join compiler (_scored_bool_joins):
+    a node matches iff all MUST children match, no MUST_NOT child
+    matches, and (absent musts) at least one SHOULD child matches;
+    score = sum of must scores + sum of MATCHING should scores, with
+    boosts pre-folded into the leaf weights by _bool_tree_spec."""
+    from lucene_clj_spark.wand import tree_possible
+
+    spark = index.spark
+    pairs = [(le.field, le.term) for le in leaves]
+    stats = _lookup_term_stats(index, pairs)
+    present = {le.lid for le in leaves if (le.field, le.term) in stats}
+    if not tree_possible(root, present):
+        # an absent leaf starves a MUST chain somewhere up the tree
+        return _empty_scores(index)
+    rows = []
+    for le in leaves:
+        if le.lid not in present:
+            continue
+        st = index.field_stats(le.field)
+        rows.append(
+            (le.field, le.term, le.lid, float(le.weight),
+             stats[(le.field, le.term)], int(st["N"]), float(st["avgdl"]))
+        )
+    local = spark.createDataFrame(
+        rows,
+        "field string, term string, lid int, weight double, df long, "
+        "n_docs long, avgdl double",
+    )
+    fields = sorted({r[0] for r in rows})
+    terms_ = sorted({r[1] for r in rows})
+    scan = index.postings.filter(
+        F.col("field").isin(fields) & F.col("term").isin(terms_)
+    )
+    scan = _bucket_pruned(index, scan, terms_)
+    scored = scan.join(F.broadcast(local), ["field", "term"]).select(
+        "doc_id", "lid",
+        (
+            F.col("weight")
+            * bm25.score_col(
+                F.col("tf"), F.col("dl"), F.col("df"),
+                F.col("n_docs"), F.col("avgdl"),
+            )
+        ).alias("score"),
+    )
+    lids = sorted(present)
+    agg = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("lid") == i, F.col("score"))).alias(f"__l{i}")
+            for i in lids
+        ]
+    )
+
+    def ev(node):
+        """(matched Column, score Column) — child order and left-assoc
+        adds are mirrored exactly by the kernel's numpy evaluator."""
+        if isinstance(node, int):
+            if node not in present:
+                return F.lit(False), F.lit(0.0)
+            c = F.col(f"__l{node}")
+            return c.isNotNull(), F.coalesce(c, F.lit(0.0))
+        m_acc = None
+        s_acc = None
+        for mch in node.musts:
+            cm, cs = ev(mch)
+            m_acc = cm if m_acc is None else (m_acc & cm)
+            s_acc = cs if s_acc is None else (s_acc + cs)
+        any_s = None
+        for sch in node.shoulds:
+            cm, cs = ev(sch)
+            any_s = cm if any_s is None else (any_s | cm)
+            contrib = F.when(cm, cs).otherwise(F.lit(0.0))
+            s_acc = contrib if s_acc is None else (s_acc + contrib)
+        if not node.musts:
+            m_acc = any_s if any_s is not None else F.lit(False)
+        for nch in node.nots:
+            cm, _ = ev(nch)
+            m_acc = m_acc & ~cm
+        return m_acc, (s_acc if s_acc is not None else F.lit(0.0))
+
+    m_root, s_root = ev(root)
+    return agg.filter(m_root).select("doc_id", s_root.alias("score"))
+
+
 def _group_tree_clauses(node: BoolQ, allow_phrase: bool = False) -> list | None:
     """Return the (occ, child) clause list if ``node`` is a one-level
     term-only group tree executable by ``_scored_group_tree``, else
@@ -676,6 +816,28 @@ def _scored_bool(index, node: BoolQ) -> DataFrame:
         if gclauses is not None:
             return _scored_group_tree(index, gclauses)
 
+    # DEEPER term-only trees — ((a AND b) OR (c AND d)) NOT e at any
+    # nesting depth, boosted roots included — get the one-scan
+    # tree-expression plan instead of a join per clause
+    spec = _bool_tree_spec(node)
+    if spec is not None:
+        return _scored_tree(index, *spec)
+
+    return _scored_bool_joins(index, node)
+
+
+def _scored_bool_joins(index, node: BoolQ) -> DataFrame:
+    """The fully-general recursive boolean compiler: one scored
+    DataFrame per clause, combined with joins/unions. Correct for ANY
+    clause type (phrase/fuzzy/typed-exact subtrees land here), but
+    join-per-clause — term-only shapes are intercepted upstream by the
+    one-scan plans (_scored_term_group / _scored_group_tree /
+    _scored_tree), and tests pin those against this compiler as the
+    semantic reference."""
+    musts = [n for occ, n in node.clauses if occ == MUST]
+    shoulds = [n for occ, n in node.clauses if occ == SHOULD]
+    must_nots = [n for occ, n in node.clauses if occ == "MUST_NOT"]
+
     def c(n: Node) -> DataFrame:
         return compile_node(index, n)
 
@@ -794,7 +956,8 @@ def _wand_route(
         if node.field not in index.stats or node.boost <= 0:
             return None
         return (node.field, node, "fuzzy", None)
-    if not (isinstance(node, BoolQ) and node.boost == 1.0 and node.clauses):
+    if not (isinstance(node, BoolQ) and node.boost > 0 and node.clauses):
+        # non-positive root boosts invert the kernels' skip bounds
         return None
     # fuzzy clauses expand driver-side (memoized) into weighted OR
     # groups of terms, making booleans-with-fuzzy kernel-eligible;
@@ -806,8 +969,12 @@ def _wand_route(
         node = _flatten(rewritten)
         if not isinstance(node, BoolQ):
             return _wand_route(index, node)  # collapsed to one leaf
-        if node.boost != 1.0 or not node.clauses:
+        if not node.clauses:
             return None
+    if node.boost != 1.0:
+        # the flat/group kernels assume an unboosted root; the tree
+        # kernel folds root boosts into its leaf weights
+        return _tree_route(index, node)
     occs = {occ for occ, _ in node.clauses}
     if len(occs) == 1 and next(iter(occs)) in (MUST, SHOULD):
         # flat single-occurrence boolean -> the lean or/and kernel.
@@ -848,7 +1015,9 @@ def _wand_route(
 
     gclauses = _group_tree_clauses(node, allow_phrase=True)
     if gclauses is None:
-        return None
+        # deeper nesting than one level -> the arbitrary-depth tree
+        # kernel (term leaves only; phrase/fuzzy-at-depth fall back)
+        return _tree_route(index, node)
     groups: list[tuple[str, list]] = []
     term_pairs: set[tuple[str, str]] = set()
     phrase_pairs: set[tuple[str, str]] = set()
@@ -917,6 +1086,24 @@ def _wand_route(
         if all(o == "MUST_NOT" for o, _ in groups):
             return (None, None, "empty", None)
     return (None, groups, "group", None)
+
+
+def _tree_route(index, node: BoolQ):
+    """Kernel eligibility for ARBITRARY-DEPTH term-only boolean trees:
+    every leaf a term on an indexed field, positive weights on all
+    scored leaves (non-positive weights would invert the kernel's skip
+    bounds — same guard as every other kernel shape). Returns the
+    ('tree', (leaves, root)) route or None to fall back."""
+    spec = _bool_tree_spec(node)
+    if spec is None:
+        return None
+    leaves, root = spec
+    for le in leaves:
+        if le.field not in index.stats:
+            return None
+        if le.scored and le.weight <= 0:
+            return None
+    return (None, spec, "tree", None)
 
 
 def _validate_opts(results_per_page, page, search_after):
@@ -1067,6 +1254,7 @@ def search(
                 phrase_topk,
                 wand_group_topk,
                 wand_pairs_topk,
+                wand_tree_topk,
             )
 
             if mode_ == "phrase":
@@ -1078,6 +1266,13 @@ def search(
                 # inside wand_group_topk (empty result)
                 scores = wand_group_topk(
                     index, terms_, k=kernel_k, search_after=sa_key
+                )
+            elif mode_ == "tree":
+                # arbitrary-depth trees; absent leaves prune inside
+                leaves_, root_ = terms_
+                scores = wand_tree_topk(
+                    index, leaves_, root_, k=kernel_k,
+                    search_after=sa_key,
                 )
             else:
                 scores = wand_pairs_topk(

@@ -68,6 +68,51 @@ class PhraseMember(NamedTuple):
     boost: float
 
 
+class TreeLeaf(NamedTuple):
+    """A term leaf of an ARBITRARY-DEPTH boolean tree. ``weight`` is
+    the leaf's own boost times the product of every ancestor node's
+    boost (score trees are linear in the leaf scores, so folding the
+    boosts down to the leaves is score-preserving up to float
+    association). ``scored`` is False when any edge on the root path
+    is MUST_NOT — such leaves only ever gate matching (their match
+    EXCLUDES docs somewhere up the tree), so they are decoded ids-only
+    and never enter score bounds."""
+
+    lid: int
+    field: str
+    term: str
+    weight: float
+    scored: bool
+
+
+class TreeNode(NamedTuple):
+    """An inner node of an arbitrary-depth boolean tree. Children are
+    either an ``int`` (a TreeLeaf lid) or a nested TreeNode. Lucene
+    BooleanQuery semantics: the node matches iff every ``musts`` child
+    matches, no ``nots`` child matches, and — when there are no musts
+    — at least one ``shoulds`` child matches; its score is the sum of
+    the musts' scores plus the matching shoulds' scores (boosts are
+    pre-folded into the leaves). A node with neither musts nor shoulds
+    (empty or pure-negative) matches nothing."""
+
+    musts: tuple
+    shoulds: tuple
+    nots: tuple
+
+
+def tree_possible(node, present) -> bool:
+    """Can ``node`` match ANY doc given the set of present leaf lids?
+    MUST_NOT children are ignored: an absent exclusion just never
+    fires, it cannot make a node unmatchable."""
+    if isinstance(node, int):
+        return node in present
+    if not all(tree_possible(m, present) for m in node.musts):
+        return False
+    return bool(node.musts) or any(
+        tree_possible(s, present) for s in node.shoulds
+    )
+
+
 def _empty_frame() -> pd.DataFrame:
     return pd.DataFrame({"doc_id": [], "score": []}).astype(_EMPTY)
 
@@ -676,6 +721,274 @@ def wand_topk(
         n_partitions=n_partitions,
         weights=weights,
     )
+
+
+def _tree_kernel_factory(
+    key_idfs: dict,
+    key_denoms: dict,
+    occs: dict,
+    leaf_by_lid: dict,
+    root,
+    never_skip: frozenset,
+    k: int,
+    search_after: tuple[float, int] | None = None,
+):
+    """Per-partition streaming kernel for ARBITRARY-DEPTH boolean
+    trees — the segment analogue of search._scored_tree. ``occs`` maps
+    fkey -> [(lid, weight, scored)] occurrence list; ``leaf_by_lid``
+    maps lid -> (fkey, weight, scored); ``root`` is a TreeNode whose
+    leaves are lids (absent-from-dictionary leaves already pruned by
+    the caller — they are simply missing from occs/leaf_by_lid and
+    evaluate as constant non-matches).
+
+    Bound model: the chunk upper bound is the sum over COUNTABLE
+    leaves of weight * chunk_max_base(fkey). A leaf is countable iff
+    it is scored, its fkey appears in the chunk, and every SHOULD
+    ancestor subtree on its root path is possible in the chunk
+    (impossible subtrees contribute exactly 0 to any doc's score —
+    chunk == doc-id range, so possibility is a per-chunk constant).
+    Because the bound is LINEAR in the leaf maxima, a block b of fkey
+    F bounds docs it contains by ``ub - cw[F]*(chunk_max[F] -
+    block_max[b])`` with cw[F] the summed countable weight of F —
+    skipping on that bound below θ is exact, and dropping the skipped
+    block's match flags is sound by the same argument as the group
+    kernel (any such doc's total is below θ).
+
+    Keys in ``never_skip`` carry at least one match-only occurrence
+    (a MUST_NOT edge somewhere on a root path): missing one of their
+    matches could wrongly INCLUDE a doc, so their blocks are always
+    decoded (ids-only when no countable occurrence needs scores).
+    A key with zero countable weight in a chunk and no never_skip
+    obligation is skipped outright — every occurrence sits in a
+    subtree that cannot match in this chunk."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -math.inf
+
+        def process(cpdf: pd.DataFrame) -> None:
+            have_fkeys = set(cpdf["fkey"].unique())
+            have_lids = frozenset(
+                lid
+                for fk in have_fkeys
+                for lid, _, _ in occs.get(fk, ())
+            )
+            if not tree_possible(root, have_lids):
+                return
+            key_maxes = cpdf.groupby("fkey")["block_max_score"].max()
+
+            countable: list[tuple[int, str, float]] = []
+
+            def collect(node, included: bool) -> None:
+                if isinstance(node, int):
+                    if included and node in have_lids:
+                        fk, w, sc = leaf_by_lid[node]
+                        if sc:
+                            countable.append((node, fk, w))
+                    return
+                for m in node.musts:
+                    collect(m, included)
+                for s in node.shoulds:
+                    collect(s, included and tree_possible(s, have_lids))
+                # nots never enter the (positive-sum) bound
+
+            collect(root, True)
+            cw: dict[str, float] = {}
+            ub = 0.0
+            for _lid, fk, w in countable:
+                ub += w * float(key_maxes[fk])
+                cw[fk] = cw.get(fk, 0.0) + w
+            # STRICT bound (ties must be decoded) — see _kernel_factory
+            if len(heap) >= k and ub < theta():
+                return
+            per_fkey: dict[str, list] = {}
+            for row in cpdf.itertuples(index=False):
+                fk = row.fkey
+                if fk not in occs:
+                    continue
+                cwf = cw.get(fk, 0.0)
+                if cwf == 0.0:
+                    if fk not in never_skip:
+                        # every occurrence sits in a chunk-impossible
+                        # subtree: neither score nor flags can matter
+                        continue
+                elif (
+                    fk not in never_skip
+                    and len(heap) >= k
+                    and ub
+                    - cwf * (float(key_maxes[fk]) - float(row.block_max_score))
+                    < theta()
+                ):
+                    continue
+                ids = codec.delta_decode(
+                    codec.decode_varints(row.doc_deltas)
+                )
+                if cwf > 0.0:
+                    tfs = codec.decode_varints(row.tfs).astype(np.float64)
+                    norms = np.frombuffer(row.norms, dtype=np.uint8)
+                    base = (
+                        key_idfs[fk] * tfs / (tfs + key_denoms[fk][norms])
+                    )
+                else:
+                    base = None  # match-only this chunk: ids suffice
+                per_fkey.setdefault(fk, []).append((ids, base))
+            # candidate universe: every matching doc matches at least
+            # one countable leaf (a matched node always reaches a
+            # matched, included, possible scored leaf), so the union
+            # of the countable keys' decoded ids is complete
+            cand_parts = [
+                ids
+                for fk, rows_ in per_fkey.items()
+                if cw.get(fk, 0.0) > 0.0
+                for ids, _ in rows_
+            ]
+            if not cand_parts:
+                return
+            uids = np.unique(np.concatenate(cand_parts))
+            n = uids.size
+            matched: dict[int, np.ndarray] = {}
+            scores: dict[int, np.ndarray] = {}
+            for fk, rows_ in per_fkey.items():
+                ids = np.concatenate([r[0] for r in rows_])
+                base = (
+                    np.concatenate([r[1] for r in rows_])
+                    if rows_[0][1] is not None
+                    else None
+                )
+                idx = np.searchsorted(uids, ids)
+                idx_c = np.minimum(idx, n - 1)
+                valid = uids[idx_c] == ids
+                at = idx_c[valid]
+                for lid, w, sc in occs[fk]:
+                    m = np.zeros(n, dtype=bool)
+                    m[at] = True
+                    matched[lid] = m
+                    if sc and base is not None:
+                        s = np.zeros(n, dtype=np.float64)
+                        s[at] = w * base[valid]
+                        scores[lid] = s
+            zero_s = np.zeros(n, dtype=np.float64)
+            zero_m = np.zeros(n, dtype=bool)
+
+            def ev(node):
+                """(matched bool[n], score float64[n]) — child order
+                and left-assoc adds mirror search._scored_tree's
+                Column expression exactly."""
+                if isinstance(node, int):
+                    m = matched.get(node)
+                    if m is None:
+                        return zero_m, zero_s
+                    return m, scores.get(node, zero_s)
+                m_acc = None
+                s_acc = None
+                for mch in node.musts:
+                    cm, cs = ev(mch)
+                    m_acc = cm if m_acc is None else (m_acc & cm)
+                    s_acc = cs if s_acc is None else (s_acc + cs)
+                any_s = None
+                for sch in node.shoulds:
+                    cm, cs = ev(sch)
+                    any_s = cm if any_s is None else (any_s | cm)
+                    contrib = np.where(cm, cs, 0.0)
+                    s_acc = contrib if s_acc is None else (s_acc + contrib)
+                if not node.musts:
+                    m_acc = any_s if any_s is not None else zero_m
+                for nch in node.nots:
+                    cm, _ = ev(nch)
+                    m_acc = m_acc & ~cm
+                return m_acc, (s_acc if s_acc is not None else zero_s)
+
+            m_root, s_root = ev(root)
+            if not m_root.any():
+                return
+            cand, cscore = uids[m_root], s_root[m_root]
+            if search_after is not None:
+                sa_s, sa_d = search_after
+                ks = (cscore < sa_s) | ((cscore == sa_s) & (cand > sa_d))
+                cand, cscore = cand[ks], cscore[ks]
+            for d, s in zip(cand.tolist(), cscore.tolist()):
+                item = (s, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+
+        _stream_chunks(batches, process)
+        yield _heap_frame(heap)
+
+    return kernel
+
+
+def wand_tree_topk(
+    index,
+    leaves: list,
+    root,
+    k: int = 10,
+    n_partitions: int | None = None,
+    search_after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Top-k (doc_id, score) for an ARBITRARY-DEPTH boolean tree of
+    term leaves over the compressed segments — ``leaves`` is a list of
+    TreeLeaf (ancestor boosts pre-folded into the weights,
+    search._bool_tree_spec) and ``root`` a TreeNode over the lids.
+    Executes the same semantics as the recursive DataFrame compiler
+    (search._scored_bool_joins) in ONE streaming pruned scan of the
+    query keys' blocks — ``((a AND b) OR (c AND d)) NOT e`` at any
+    nesting depth, no join per clause.
+
+    The caller guarantees positive weights on scored leaves (a
+    non-positive weight would invert the bounds). Leaves absent from
+    the term dictionary are pruned here: an absent leaf can never
+    match, so subtrees it renders impossible drop out, and if the root
+    itself becomes impossible the result is empty."""
+    empty = lambda: index.spark.createDataFrame(  # noqa: E731
+        [], "doc_id long, score double"
+    )
+    fkey_of = lambda le: f"{le.field}\x1f{le.term}"  # noqa: E731
+    pairs = sorted({(le.field, le.term) for le in leaves})
+    scored_fkeys = {fkey_of(le) for le in leaves if le.scored}
+    # bounds are consulted only for keys with a scored occurrence;
+    # exclusion-only keys skip the per-block impacts fold entirely
+    unbounded = {fkey_of(le) for le in leaves} - scored_fkeys
+    key_idfs, _ws, blocks = _segment_scan(
+        index, pairs, None, unbounded_keys=unbounded
+    )
+    if blocks is None:
+        return empty()
+    present_lids = frozenset(
+        le.lid for le in leaves if fkey_of(le) in key_idfs
+    )
+    if not tree_possible(root, present_lids):
+        return empty()
+    occs: dict[str, list] = {}
+    leaf_by_lid: dict[int, tuple] = {}
+    for le in leaves:
+        if le.lid not in present_lids:
+            continue
+        fk = fkey_of(le)
+        occs.setdefault(fk, []).append((le.lid, float(le.weight), le.scored))
+        leaf_by_lid[le.lid] = (fk, float(le.weight), le.scored)
+    never_skip = frozenset(
+        fk for fk, lst in occs.items() if any(not sc for _, _, sc in lst)
+    )
+    cols = ["chunk", "fkey", "block_max_score", "doc_deltas", "tfs",
+            "norms"]
+    npart = n_partitions or index.spark.sparkContext.defaultParallelism
+    co = _co_located(blocks, cols, npart)
+    kernel = _tree_kernel_factory(
+        key_idfs,
+        _key_denoms(index, key_idfs),
+        occs,
+        leaf_by_lid,
+        root,
+        never_skip,
+        k,
+        search_after=search_after,
+    )
+    local = co.mapInPandas(kernel, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def _group_kernel_factory(

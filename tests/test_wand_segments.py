@@ -1359,3 +1359,216 @@ def test_search_after_kernel_matches_dataframe(disk_index, q, kw):
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
     for a, b in zip(got, want):
         assert abs(a["score"] - b["score"]) <= 4 * m.ulp(b["score"])
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-depth boolean trees: one-scan execution on BOTH paths
+# ---------------------------------------------------------------------------
+
+def _nested_shapes():
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ as B, TermQ as T
+    N = "MUST_NOT"
+    return [
+        # ((a AND b) OR (c AND d)) — inner MUST groups, depth 2
+        B(1.0, (
+            (SHOULD, B(1.0, ((MUST, T(1.0, "text", "merge")),
+                             (MUST, T(1.0, "text", "window"))))),
+            (SHOULD, B(1.0, ((MUST, T(1.0, "text", "dup")),
+                             (MUST, T(1.0, "text", "scan"))))),
+        )),
+        # NOT inside a positive subtree (local exclusion, not global)
+        B(1.0, (
+            (MUST, B(1.0, ((MUST, T(1.0, "text", "merge")),
+                           (N, T(1.0, "text", "window"))))),
+            (SHOULD, T(1.5, "text", "dup")),
+        )),
+        # depth 3 with boosted inner nodes and a compound MUST_NOT
+        B(1.0, (
+            (MUST, B(2.0, (
+                (SHOULD, B(0.5, ((MUST, T(1.0, "text", "merge")),
+                                 (SHOULD, T(2.0, "text", "dup"))))),
+                (SHOULD, T(1.0, "text", "scan")),
+            ))),
+            (N, B(1.0, ((MUST, T(1.0, "text", "window")),
+                        (MUST, T(1.0, "text", "scan"))))),
+        )),
+        # same pair scored at one depth, excluded deeper (mixed usage)
+        B(1.0, (
+            (MUST, T(1.0, "text", "merge")),
+            (SHOULD, B(1.0, ((MUST, T(1.0, "text", "dup")),
+                             (N, T(1.0, "text", "merge"))))),
+        )),
+        # an absent term starves one inner MUST; the other branch lives
+        B(1.0, (
+            (SHOULD, B(1.0, ((MUST, T(1.0, "text", "zzznotaterm")),
+                             (MUST, T(1.0, "text", "merge"))))),
+            (SHOULD, T(1.0, "text", "window")),
+        )),
+        # boosted ROOT (group paths require boost==1; the tree folds it)
+        B(2.0, (
+            (SHOULD, B(1.0, ((MUST, T(1.0, "text", "merge")),
+                             (MUST, T(1.0, "text", "dup"))))),
+            (SHOULD, T(0.5, "text", "window")),
+        )),
+        # multi-field nesting
+        B(1.0, (
+            (MUST, B(1.0, ((SHOULD, B(1.0, (
+                (MUST, T(1.0, "text", "merge")),
+                (MUST, T(1.0, "lang", "de"))))),
+                (SHOULD, T(1.0, "text", "dup"))))),
+            (SHOULD, T(1.0, "text", "window")),
+        )),
+    ]
+
+
+@pytest.mark.parametrize("i", range(len(_nested_shapes())))
+def test_nested_tree_kernel_matches_dataframe(disk_index, i):
+    """Depth>=2 boolean trees route to the arbitrary-depth tree kernel
+    (mode 'tree') and match the DataFrame path doc-for-doc, scores to
+    a few ULPs."""
+    import math as m
+
+    from lucene_clj_spark.search import _wand_route
+
+    node = _nested_shapes()[i]
+    route = _wand_route(disk_index, node)
+    assert route is not None and route[2] == "tree"
+    want = disk_index.search(node, results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = disk_index.search(node, results_per_page=10, with_hit=False,
+                            strategy="wand").collect()
+    assert want, "shape should match something"
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) <= 8 * m.ulp(b["score"]), (
+            a["doc_id"], a["score"], b["score"])
+
+
+@pytest.mark.parametrize("i", range(len(_nested_shapes())))
+def test_scored_tree_matches_joins_compiler(disk_index, i):
+    """_scored_tree (one-scan tree-expression plan) is pinned against
+    the fully-general recursive join compiler _scored_bool_joins — the
+    semantic reference for nested Lucene BooleanQuery scoring."""
+    import math as m
+
+    from pyspark.sql import functions as SF
+
+    from lucene_clj_spark.search import (
+        _bool_tree_spec,
+        _scored_bool_joins,
+        _scored_tree,
+    )
+
+    node = _nested_shapes()[i]
+    spec = _bool_tree_spec(node)
+    assert spec is not None
+    ref = (_scored_bool_joins(disk_index, node)
+           .orderBy(SF.desc("score"), SF.asc("doc_id")).limit(10).collect())
+    got = (_scored_tree(disk_index, *spec)
+           .orderBy(SF.desc("score"), SF.asc("doc_id")).limit(10).collect())
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in ref]
+    for a, b in zip(got, ref):
+        assert abs(a["score"] - b["score"]) <= 8 * m.ulp(abs(b["score"]))
+
+
+def test_nested_tree_dataframe_plan_single_scan(disk_index):
+    """The one-scan contract at depth: a nested tree's DataFrame plan
+    holds exactly ONE postings scan (broadcast leaf relation + one
+    doc-keyed aggregation + tree expression), not join-per-clause."""
+    node = _nested_shapes()[0]
+    plan = disk_index.search(node, with_hit=False, strategy="dataframe")
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    n_scans = s.count("Scan parquet")
+    assert n_scans == 1, f"expected 1 postings scan, saw {n_scans}"
+    assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
+    pf = s.split("PartitionFilters", 1)[1][:250]
+    assert "bucket" in pf  # bucket-pruned like every other term path
+
+
+def test_nested_tree_search_after_kernel_matches(disk_index):
+    """Keyset pagination rides the tree kernel: page 1 top-5, then
+    search_after from its last hit — both kernel-executed, identical
+    to the DataFrame path."""
+    import math as m
+
+    node = _nested_shapes()[0]
+    p1 = disk_index.search(node, results_per_page=5, with_hit=False)
+    assert "MapInPandas" in (
+        p1._jdf.queryExecution().executedPlan().toString())
+    p1 = p1.collect()
+    assert p1
+    last = {"score": p1[-1]["score"], "doc_id": p1[-1]["doc_id"]}
+    got = disk_index.search(node, results_per_page=5, with_hit=False,
+                            search_after=last)
+    assert "MapInPandas" in (
+        got._jdf.queryExecution().executedPlan().toString())
+    want = disk_index.search(node, results_per_page=5, with_hit=False,
+                             search_after=last, strategy="dataframe")
+    got, want = got.collect(), want.collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) <= 4 * m.ulp(b["score"])
+
+
+def test_nested_tree_starved_root_is_empty(disk_index):
+    """An absent leaf that starves EVERY positive branch empties the
+    result on both paths without running a scoring job."""
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, TermQ
+
+    node = BoolQ(1.0, (
+        (MUST, BoolQ(1.0, (
+            (SHOULD, BoolQ(1.0, ((MUST, TermQ(1.0, "text", "zzznope")),
+                                 (MUST, TermQ(1.0, "text", "merge"))))),
+        ))),
+        (SHOULD, TermQ(1.0, "text", "window")),
+    ))
+    assert disk_index.search(node, with_hit=False,
+                             strategy="wand").collect() == []
+    assert disk_index.search(node, with_hit=False,
+                             strategy="dataframe").collect() == []
+
+
+def test_random_nested_trees_kernel_matches_dataframe(disk_index):
+    """Fuzz: random depth-<=3 trees (boosts, MUST/SHOULD/MUST_NOT,
+    unknown terms, multi-field leaves) agree between the auto-routed
+    kernel and the DataFrame path; enough trials must actually route
+    as 'tree' to prove coverage."""
+    import math as m
+    import random
+
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, TermQ
+    from lucene_clj_spark.search import _wand_route
+
+    rng = random.Random(20260817)
+    vocab = [("text", t) for t in
+             ["merge", "window", "dup", "scan", "compact", "zzznope",
+              "index", "the"]] + [("lang", "de"), ("lang", "en")]
+
+    def rand_tree(depth):
+        cls = []
+        for _ in range(rng.randint(2, 4)):
+            occ = rng.choice([MUST, SHOULD, SHOULD, "MUST_NOT"])
+            if depth > 0 and rng.random() < 0.55:
+                child = rand_tree(depth - 1)
+            else:
+                f, t = rng.choice(vocab)
+                child = TermQ(rng.choice([0.5, 1.0, 2.0]), f, t)
+            cls.append((occ, child))
+        return BoolQ(rng.choice([0.5, 1.0, 1.0, 2.0]), tuple(cls))
+
+    routed = 0
+    for _ in range(25):
+        node = rand_tree(rng.randint(2, 3))
+        route = _wand_route(disk_index, node)
+        want = disk_index.search(node, results_per_page=10,
+                                 with_hit=False,
+                                 strategy="dataframe").collect()
+        got = disk_index.search(node, results_per_page=10,
+                                with_hit=False).collect()
+        if route is not None and route[2] == "tree":
+            routed += 1
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+        for a, b in zip(got, want):
+            assert abs(a["score"] - b["score"]) <= 8 * m.ulp(
+                max(abs(b["score"]), 1e-300)), (a, b)
+    assert routed >= 12, f"only {routed}/25 trials routed 'tree'"
