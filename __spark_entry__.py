@@ -598,6 +598,28 @@ def q_wand_tree_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_wand_tree_phrase_topk(spark, sf_dir):
+    """PHRASE leaf inside a depth-2 tree on the tree kernel:
+    '("the merge" AND dup) OR (scan AND window)' forced through
+    strategy='wand' — the phrase is scored in-scan from the positions
+    streams inside the arbitrary-depth tree evaluator; a doc matches
+    via either inner AND group, scores summed over matched groups."""
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, PhraseQ, TermQ
+
+    idx = _wand_index(spark, sf_dir)
+    node = BoolQ(1.0, (
+        (SHOULD, BoolQ(1.0, (
+            (MUST, PhraseQ(1.0, "text", ("the", "merge"))),
+            (MUST, TermQ(1.0, "text", "dup"))))),
+        (SHOULD, BoolQ(1.0, (
+            (MUST, TermQ(1.0, "text", "scan")),
+            (MUST, TermQ(1.0, "text", "window"))))),
+    ))
+    out = idx.search(node, results_per_page=10, with_hit=False,
+                     strategy="wand")
+    return _round6(out, "score")
+
+
 def q_wand_phrase_bool_topk(spark, sf_dir):
     """Mixed phrase+term boolean '"the merge" AND window' forced
     through strategy='wand' (raises if it fell off the kernel path):
@@ -790,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_group_topk": q_wand_group_topk,
         "wand_group_not_topk": q_wand_group_not_topk,
         "wand_phrase_bool_topk": q_wand_phrase_bool_topk,
+        "wand_tree_phrase_topk": q_wand_tree_phrase_topk,
         "wand_multi_field_topk": q_wand_multi_field_topk,
         "fuzzy_bool_topk": q_fuzzy_bool_topk,
         "wand_fuzzy_bool_topk": q_wand_fuzzy_bool_topk,
@@ -897,6 +920,69 @@ tscores AS (
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT ps.doc_id, ps.score + ts.score AS score
   FROM pscores ps JOIN tscores ts USING (doc_id)
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
+    )
+
+
+def _tree_phrase_sql(t1: str, t2: str, a: str, b: str, c: str,
+                     k: int = 10) -> str:
+    # '("t1 t2" AND a) OR (b AND c)': a doc matches via either inner
+    # AND group; score = sum over MATCHED groups of (phrase BM25 +
+    # term BM25) / (term BM25 + term BM25)
+    idf1 = bm25.idf_sql("t1.df", "s.n")
+    idf2 = bm25.idf_sql("t2.df", "s.n")
+    qdl = bm25.quantized_dl_sql("d.dl")
+    return (
+        _BASE
+        + f"""
+, freqs AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(ts)),
+             i -> ts[i] = '{t1}' AND ts[i+1] = '{t2}')) AS freq
+  FROM doc
+),
+pscores AS (
+  SELECT f.doc_id,
+         ({idf1} + {idf2}) * CAST(f.freq AS DOUBLE) /
+         (CAST(f.freq AS DOUBLE) + {K1!r} * ({1.0 - B!r} + {B!r} *
+          CAST({qdl} AS DOUBLE) / CAST(s.avgdl AS DOUBLE))) AS score
+  FROM freqs f
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{t1}') t1
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{t2}') t2
+  WHERE f.freq > 0
+),
+tscores AS (
+  SELECT p.doc_id, p.term, {_SCORE} AS score
+  FROM post p
+  JOIN dl d USING (doc_id)
+  JOIN tstat t USING (term)
+  CROSS JOIN stats s
+  WHERE p.term IN ('{a}', '{b}', '{c}')
+),
+per_doc AS (
+  SELECT doc_id,
+         max(CASE WHEN term = '{a}' THEN score END) AS s_a,
+         max(CASE WHEN term = '{b}' THEN score END) AS s_b,
+         max(CASE WHEN term = '{c}' THEN score END) AS s_c
+  FROM tscores GROUP BY doc_id
+),
+allids AS (
+  SELECT doc_id FROM per_doc UNION SELECT doc_id FROM pscores
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT i.doc_id,
+         (CASE WHEN p.score IS NOT NULL AND t.s_a IS NOT NULL
+               THEN p.score + t.s_a ELSE 0 END)
+         + (CASE WHEN t.s_b IS NOT NULL AND t.s_c IS NOT NULL
+                 THEN t.s_b + t.s_c ELSE 0 END) AS score
+  FROM allids i
+  LEFT JOIN pscores p USING (doc_id)
+  LEFT JOIN per_doc t USING (doc_id)
+  WHERE (p.score IS NOT NULL AND t.s_a IS NOT NULL)
+     OR (t.s_b IS NOT NULL AND t.s_c IS NOT NULL)
   ORDER BY score DESC, doc_id ASC LIMIT {k}
 )"""
     )
@@ -1616,6 +1702,8 @@ FROM (
         "wand_group_topk": _dsl_grouped_sql(),
         "wand_group_not_topk": _dsl_grouped_not_sql(),
         "wand_phrase_bool_topk": _phrase_bool_sql("the", "merge", "window"),
+        "wand_tree_phrase_topk": _tree_phrase_sql(
+            "the", "merge", "dup", "scan", "window"),
         "wand_multi_field_topk": _multi_field_and_sql(),
         "fuzzy_bool_topk": _fuzzy_bool_sql("merg", "window"),
         "wand_fuzzy_bool_topk": _fuzzy_bool_sql("merg", "window"),

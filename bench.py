@@ -244,6 +244,15 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
                     pbast, with_hit=False,
                     strategy="wand").collect(),
                     name="q_seg_phrase_bool"), 4)
+            # arbitrary-depth tree kernel: inner MUST groups two
+            # levels down, MUST_NOT at the root, one streaming pass
+            tast = parse_dsl(
+                "((merge AND window) OR (dup AND scan)) NOT compact",
+                "text", didx.specs, didx.analyzers)
+            queries["q_seg_tree"] = round(
+                timed(lambda: didx.search(
+                    tast, with_hit=False,
+                    strategy="wand").collect(), name="q_seg_tree"), 4)
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
 

@@ -296,19 +296,25 @@ def _scored_group_tree(
     ).select("doc_id", "score")
 
 
-def _bool_tree_spec(node: BoolQ):
+def _bool_tree_spec(node: BoolQ, allow_phrase: bool = False):
     """Normalize an ARBITRARY-DEPTH boolean tree of term leaves into
     ``(leaves, root)`` — a list of ``wand.TreeLeaf`` and a nested
     ``wand.TreeNode`` over their lids — or None if any descendant is
     not a term-like leaf (phrase/fuzzy/typed-exact subtrees keep the
     recursive join compiler) or carries an unknown occurrence.
 
+    ``allow_phrase=True`` additionally admits PhraseQ leaves as
+    ``wand.PhraseTreeLeaf`` — used by the kernel route, whose tree
+    kernel scores phrases in-scan from the positions streams; the
+    DataFrame tree plan stays term-only (phrases there are position
+    joins, handled by the recursive compiler).
+
     Every node's boost is folded down into its leaves' weights (score
     trees are linear in the leaf scores); leaves under a MUST_NOT edge
     are marked unscored — they gate matching only. The result feeds
     BOTH one-scan executors: ``_scored_tree`` (DataFrame) and
     ``wand.wand_tree_topk`` (segment kernel)."""
-    from lucene_clj_spark.wand import TreeLeaf, TreeNode
+    from lucene_clj_spark.wand import PhraseTreeLeaf, TreeLeaf, TreeNode
 
     leaves: list = []
 
@@ -324,6 +330,16 @@ def _bool_tree_spec(node: BoolQ):
                 leaves.append(
                     TreeLeaf(ref, t.field, t.term, t.boost * wmul,
                              child_scored)
+                )
+            elif (
+                allow_phrase
+                and isinstance(child, PhraseQ)
+                and child.terms
+            ):
+                ref = len(leaves)
+                leaves.append(
+                    PhraseTreeLeaf(ref, child.field, tuple(child.terms),
+                                   child.boost * wmul, child_scored)
                 )
             elif isinstance(child, BoolQ):
                 ref = build(child, wmul * child.boost, child_scored)
@@ -784,6 +800,40 @@ def _expand_fuzzy_clauses(index, node: BoolQ) -> BoolQ | None:
     return BoolQ(node.boost, tuple(out))
 
 
+def _expand_fuzzy_deep(index, node: BoolQ) -> BoolQ:
+    """Recursively rewrite FuzzyQ leaves ANYWHERE in a boolean tree
+    into OR groups of expansion TermQs weighted ``boost * closeness``
+    (the same score-preserving rewrite as _expand_fuzzy_clauses, which
+    only reaches depth 1) — so nested trees containing fuzzy leaves
+    become term-only and take the one-scan tree plans instead of the
+    join compiler. A fuzzy with ZERO dictionary expansions becomes an
+    EMPTY BoolQ — a never-matching node the tree compilers evaluate
+    exactly like Lucene: a MUST parent can then never match, while
+    SHOULD / MUST_NOT occurrences simply never fire. Returns ``node``
+    itself (identity) when the tree holds no fuzzy leaves."""
+    changed = False
+
+    def walk(b: BoolQ) -> BoolQ:
+        nonlocal changed
+        out = []
+        for occ, child in b.clauses:
+            if isinstance(child, FuzzyQ):
+                changed = True
+                ms = tuple(
+                    (SHOULD, TermQ(child.boost * fb, child.field, t))
+                    for t, _, fb in _fuzzy_expansions(index, child)
+                )
+                out.append((occ, BoolQ(1.0, ms)))
+            elif isinstance(child, BoolQ):
+                out.append((occ, walk(child)))
+            else:
+                out.append((occ, child))
+        return BoolQ(b.boost, tuple(out))
+
+    new = walk(node)
+    return new if changed else node
+
+
 def _scored_bool(index, node: BoolQ) -> DataFrame:
     rewritten = _expand_fuzzy_clauses(index, node)
     if rewritten is None:
@@ -818,8 +868,13 @@ def _scored_bool(index, node: BoolQ) -> DataFrame:
 
     # DEEPER term-only trees — ((a AND b) OR (c AND d)) NOT e at any
     # nesting depth, boosted roots included — get the one-scan
-    # tree-expression plan instead of a join per clause
+    # tree-expression plan instead of a join per clause; fuzzy leaves
+    # at depth expand into weighted term OR-groups first
     spec = _bool_tree_spec(node)
+    if spec is None:
+        deep = _expand_fuzzy_deep(index, node)
+        if deep is not node:
+            spec = _bool_tree_spec(deep)
     if spec is not None:
         return _scored_tree(index, *spec)
 
@@ -1089,20 +1144,44 @@ def _wand_route(
 
 
 def _tree_route(index, node: BoolQ):
-    """Kernel eligibility for ARBITRARY-DEPTH term-only boolean trees:
-    every leaf a term on an indexed field, positive weights on all
-    scored leaves (non-positive weights would invert the kernel's skip
-    bounds — same guard as every other kernel shape). Returns the
-    ('tree', (leaves, root)) route or None to fall back."""
-    spec = _bool_tree_spec(node)
+    """Kernel eligibility for ARBITRARY-DEPTH boolean trees: every
+    leaf a term or exact phrase on an indexed field, positive weights
+    on all scored leaves (non-positive weights would invert the
+    kernel's skip bounds — same guard as every other kernel shape),
+    and no (field, term) pair shared between a phrase constituent and
+    anything else (the positions scan and the impacts scan would
+    double-carry the same blocks — same guard as the group kernel).
+    Returns the ('tree', (leaves, root)) route or None to fall back."""
+    from lucene_clj_spark.wand import PhraseTreeLeaf
+
+    spec = _bool_tree_spec(node, allow_phrase=True)
+    if spec is None:
+        # fuzzy leaves at depth expand into weighted term OR-groups
+        # (memoized driver-side), exactly like the DataFrame tree path
+        deep = _expand_fuzzy_deep(index, node)
+        if deep is not node:
+            spec = _bool_tree_spec(deep, allow_phrase=True)
     if spec is None:
         return None
     leaves, root = spec
+    term_pairs: set[tuple[str, str]] = set()
+    phrase_pairs: set[tuple[str, str]] = set()
     for le in leaves:
         if le.field not in index.stats:
             return None
         if le.scored and le.weight <= 0:
+            # a non-positive closeness/boost weight would invert the
+            # kernel's skip bounds — fall back to the DataFrame path
             return None
+        if isinstance(le, PhraseTreeLeaf):
+            pp = {(le.field, t_) for t_ in le.terms}
+            if pp & (term_pairs | phrase_pairs):
+                return None
+            phrase_pairs |= pp
+        else:
+            if (le.field, le.term) in phrase_pairs:
+                return None
+            term_pairs.add((le.field, le.term))
     return (None, spec, "tree", None)
 
 

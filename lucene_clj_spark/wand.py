@@ -85,6 +85,21 @@ class TreeLeaf(NamedTuple):
     scored: bool
 
 
+class PhraseTreeLeaf(NamedTuple):
+    """An exact-adjacency phrase leaf of an arbitrary-depth boolean
+    tree — scored in-scan by the tree kernel from the positions
+    streams (weight folded into its idf_sum, same association as the
+    standalone phrase kernel). ``scored`` False (a MUST_NOT edge on
+    the root path) makes it match-only: evaluated for its match set,
+    never scored, never in bounds."""
+
+    lid: int
+    field: str
+    terms: tuple
+    weight: float
+    scored: bool
+
+
 class TreeNode(NamedTuple):
     """An inner node of an arbitrary-depth boolean tree. Children are
     either an ``int`` (a TreeLeaf lid) or a nested TreeNode. Lucene
@@ -732,6 +747,8 @@ def _tree_kernel_factory(
     never_skip: frozenset,
     k: int,
     search_after: tuple[float, int] | None = None,
+    phrases: list | None = None,
+    phrase_fkeys: frozenset = frozenset(),
 ):
     """Per-partition streaming kernel for ARBITRARY-DEPTH boolean
     trees — the segment analogue of search._scored_tree. ``occs`` maps
@@ -760,7 +777,18 @@ def _tree_kernel_factory(
     decoded (ids-only when no countable occurrence needs scores).
     A key with zero countable weight in a chunk and no never_skip
     obligation is skipped outright — every occurrence sits in a
-    subtree that cannot match in this chunk."""
+    subtree that cannot match in this chunk.
+
+    ``phrases`` adds PHRASE leaves (PhraseTreeLeaf specs as dicts with
+    {lid, scored, offsets, term_idfs, fkey_term, fkeys, idf_sum,
+    denom}): a phrase is live in a chunk only if ALL its constituent
+    keys appear there; a live countable phrase contributes the derived
+    bound ``idf_sum * min_t(chunk_max_t / idf_t)`` to the chunk upper
+    bound as a per-chunk CONSTANT (term-block skipping subtracts only
+    term-key deltas, so the phrase part stays an upper bound), and
+    phrase constituent blocks are never block-skipped. Match-only
+    phrases contribute nothing to bounds and evaluate ids-only."""
+    phrases = phrases or []
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
@@ -769,21 +797,37 @@ def _tree_kernel_factory(
             return heap[0][0] if len(heap) >= k else -math.inf
 
         def process(cpdf: pd.DataFrame) -> None:
-            have_fkeys = set(cpdf["fkey"].unique())
+            if phrase_fkeys:
+                ph = cpdf[cpdf["fkey"].isin(phrase_fkeys)]
+                tp = cpdf[~cpdf["fkey"].isin(phrase_fkeys)]
+            else:
+                ph = None
+                tp = cpdf
+            live: list = []
+            if phrases and ph is not None and len(ph):
+                have_ph = set(ph["fkey"].unique())
+                for p in phrases:
+                    if p["fkeys"] <= have_ph:
+                        live.append((p, ph[ph["fkey"].isin(p["fkeys"])]))
+            live_lids = {p["lid"] for p, _ in live}
             have_lids = frozenset(
                 lid
-                for fk in have_fkeys
+                for fk in tp["fkey"].unique()
                 for lid, _, _ in occs.get(fk, ())
-            )
+            ) | live_lids
             if not tree_possible(root, have_lids):
                 return
-            key_maxes = cpdf.groupby("fkey")["block_max_score"].max()
+            key_maxes = (
+                tp.groupby("fkey")["block_max_score"].max()
+                if len(tp) else None
+            )
 
-            countable: list[tuple[int, str, float]] = []
+            countable: list[tuple[int, str | None, float]] = []
 
             def collect(node, included: bool) -> None:
                 if isinstance(node, int):
                     if included and node in have_lids:
+                        # phrase leaves ride leaf_by_lid with fk=None
                         fk, w, sc = leaf_by_lid[node]
                         if sc:
                             countable.append((node, fk, w))
@@ -797,14 +841,26 @@ def _tree_kernel_factory(
             collect(root, True)
             cw: dict[str, float] = {}
             ub = 0.0
-            for _lid, fk, w in countable:
+            phrase_countable: set[int] = set()
+            for lid, fk, w in countable:
+                if fk is None:
+                    phrase_countable.add(lid)
+                    continue
                 ub += w * float(key_maxes[fk])
                 cw[fk] = cw.get(fk, 0.0) + w
+            for p, rows_ in live:
+                if not p["scored"] or p["lid"] not in phrase_countable:
+                    continue
+                tmax = rows_.groupby("fkey")["block_max_score"].max()
+                ub += p["idf_sum"] * min(
+                    float(tmax[fk2]) / p["term_idfs"][p["fkey_term"][fk2]]
+                    for fk2 in p["fkeys"]
+                )
             # STRICT bound (ties must be decoded) — see _kernel_factory
             if len(heap) >= k and ub < theta():
                 return
             per_fkey: dict[str, list] = {}
-            for row in cpdf.itertuples(index=False):
+            for row in tp.itertuples(index=False):
                 fk = row.fkey
                 if fk not in occs:
                     continue
@@ -834,6 +890,18 @@ def _tree_kernel_factory(
                 else:
                     base = None  # match-only this chunk: ids suffice
                 per_fkey.setdefault(fk, []).append((ids, base))
+            # live phrases evaluate from positions (lazy per-block
+            # decode); countable ones are scored, the rest (match-only
+            # or in chunk-impossible subtrees) ids-only
+            phrase_hits: list[tuple[dict, np.ndarray, object]] = []
+            for p, rows_ in live:
+                want_score = p["lid"] in phrase_countable
+                ids_p, sc_p = _eval_phrase_chunk(
+                    rows_, p["fkey_term"], p["offsets"], p["idf_sum"],
+                    p["denom"], score=want_score,
+                )
+                if ids_p.size:
+                    phrase_hits.append((p, ids_p, sc_p))
             # candidate universe: every matching doc matches at least
             # one countable leaf (a matched node always reaches a
             # matched, included, possible scored leaf), so the union
@@ -843,6 +911,10 @@ def _tree_kernel_factory(
                 for fk, rows_ in per_fkey.items()
                 if cw.get(fk, 0.0) > 0.0
                 for ids, _ in rows_
+            ] + [
+                ids_p
+                for p, ids_p, _ in phrase_hits
+                if p["lid"] in phrase_countable
             ]
             if not cand_parts:
                 return
@@ -869,6 +941,18 @@ def _tree_kernel_factory(
                         s = np.zeros(n, dtype=np.float64)
                         s[at] = w * base[valid]
                         scores[lid] = s
+            for p, ids_p, sc_p in phrase_hits:
+                idx = np.searchsorted(uids, ids_p)
+                idx_c = np.minimum(idx, n - 1)
+                valid = uids[idx_c] == ids_p
+                at = idx_c[valid]
+                m = np.zeros(n, dtype=bool)
+                m[at] = True
+                matched[p["lid"]] = m
+                if sc_p is not None:
+                    s = np.zeros(n, dtype=np.float64)
+                    s[at] = sc_p[valid]
+                    scores[p["lid"]] = s
             zero_s = np.zeros(n, dtype=np.float64)
             zero_m = np.zeros(n, dtype=bool)
 
@@ -939,32 +1023,71 @@ def wand_tree_topk(
     nesting depth, no join per clause.
 
     The caller guarantees positive weights on scored leaves (a
-    non-positive weight would invert the bounds). Leaves absent from
-    the term dictionary are pruned here: an absent leaf can never
-    match, so subtrees it renders impossible drop out, and if the root
-    itself becomes impossible the result is empty."""
+    non-positive weight would invert the bounds) and — when
+    PhraseTreeLeaf leaves are present — that no (field, term) pair is
+    shared between a phrase constituent and anything else (the
+    positions scan and the impacts scan would double-carry the same
+    blocks). Leaves absent from the term dictionary are pruned here:
+    an absent leaf can never match (a phrase leaf is present only if
+    ALL its terms are), so subtrees it renders impossible drop out,
+    and if the root itself becomes impossible the result is empty.
+
+    Phrase constituent keys go through a SEPARATE pushed-down scan
+    that keeps the ``positions`` column; term keys' scan replaces it
+    with NULL, so position bytes are only read for the blocks a phrase
+    actually needs. Both scans union before the chunk-range
+    co-location — still one streaming doc-ordered pass."""
     empty = lambda: index.spark.createDataFrame(  # noqa: E731
         [], "doc_id long, score double"
     )
+    term_leaves = [le for le in leaves if isinstance(le, TreeLeaf)]
+    phrase_leaves = [le for le in leaves if isinstance(le, PhraseTreeLeaf)]
     fkey_of = lambda le: f"{le.field}\x1f{le.term}"  # noqa: E731
-    pairs = sorted({(le.field, le.term) for le in leaves})
-    scored_fkeys = {fkey_of(le) for le in leaves if le.scored}
+    pairs = sorted({(le.field, le.term) for le in term_leaves})
+    scored_fkeys = {fkey_of(le) for le in term_leaves if le.scored}
     # bounds are consulted only for keys with a scored occurrence;
     # exclusion-only keys skip the per-block impacts fold entirely
-    unbounded = {fkey_of(le) for le in leaves} - scored_fkeys
-    key_idfs, _ws, blocks = _segment_scan(
-        index, pairs, None, unbounded_keys=unbounded
-    )
-    if blocks is None:
+    unbounded = {fkey_of(le) for le in term_leaves} - scored_fkeys
+    if pairs:
+        key_idfs, _ws, blocks = _segment_scan(
+            index, pairs, None, unbounded_keys=unbounded
+        )
+    else:
+        key_idfs, blocks = {}, None
+    if phrase_leaves:
+        p_pairs = sorted(
+            {(le.field, t_) for le in phrase_leaves for t_ in le.terms}
+        )
+        p_unbounded = {
+            f"{le.field}\x1f{t_}"
+            for le in phrase_leaves
+            if not le.scored
+            for t_ in le.terms
+        } - {
+            f"{le.field}\x1f{t_}"
+            for le in phrase_leaves
+            if le.scored
+            for t_ in le.terms
+        }
+        p_idfs, _pws, p_blocks = _segment_scan(
+            index, p_pairs, None, unbounded_keys=p_unbounded
+        )
+    else:
+        p_idfs, p_blocks = {}, None
+    if blocks is None and p_blocks is None:
         return empty()
     present_lids = frozenset(
-        le.lid for le in leaves if fkey_of(le) in key_idfs
+        le.lid for le in term_leaves if fkey_of(le) in key_idfs
+    ) | frozenset(
+        le.lid
+        for le in phrase_leaves
+        if all(f"{le.field}\x1f{t_}" in p_idfs for t_ in le.terms)
     )
     if not tree_possible(root, present_lids):
         return empty()
     occs: dict[str, list] = {}
     leaf_by_lid: dict[int, tuple] = {}
-    for le in leaves:
+    for le in term_leaves:
         if le.lid not in present_lids:
             continue
         fk = fkey_of(le)
@@ -973,10 +1096,62 @@ def wand_tree_topk(
     never_skip = frozenset(
         fk for fk, lst in occs.items() if any(not sc for _, _, sc in lst)
     )
+    phrases: list[dict] = []
+    for le in phrase_leaves:
+        if le.lid not in present_lids:
+            continue
+        offsets: dict[str, list[int]] = {}
+        for i, t_ in enumerate(le.terms):
+            offsets.setdefault(t_, []).append(i)
+        t_idfs = {t_: p_idfs[f"{le.field}\x1f{t_}"] for t_ in offsets}
+        idf_sum = sum(
+            t_idfs[t_] * len(offs) for t_, offs in offsets.items()
+        )
+        if le.weight != 1.0:
+            idf_sum = le.weight * idf_sum
+        phrases.append(
+            {
+                "lid": le.lid,
+                "scored": le.scored,
+                "offsets": offsets,
+                "term_idfs": t_idfs,
+                "fkey_term": {f"{le.field}\x1f{t_}": t_ for t_ in offsets},
+                "fkeys": {f"{le.field}\x1f{t_}" for t_ in offsets},
+                "idf_sum": idf_sum,
+                "denom": _denom_cache(
+                    float(index.field_stats(le.field)["avgdl"])
+                ),
+            }
+        )
+        # phrase leaves ride leaf_by_lid with fk=None so the kernel's
+        # countable-collection treats them uniformly
+        leaf_by_lid[le.lid] = (None, float(le.weight), le.scored)
     cols = ["chunk", "fkey", "block_max_score", "doc_deltas", "tfs",
-            "norms"]
+            "norms", "positions"]
+    parts = []
+    if blocks is not None and occs:
+        parts.append(
+            blocks.withColumn(
+                "positions", F.lit(None).cast("binary")
+            ).select(*cols)
+        )
+    phrase_fkeys = frozenset(fk for p in phrases for fk in p["fkeys"])
+    if p_blocks is not None and phrases:
+        pb = p_blocks
+        if len(phrase_fkeys) < len(p_idfs):
+            # some phrase was dropped (absent constituent) — its other
+            # terms' blocks are unneeded
+            pb = pb.filter(F.col("fkey").isin(sorted(phrase_fkeys)))
+        parts.append(pb.select(*cols))
+    if not parts:
+        return empty()
+    allb = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    if not phrases:
+        # positions are never consulted without phrase leaves
+        cols = cols[:-1]
+        allb = allb.select(*cols)
     npart = n_partitions or index.spark.sparkContext.defaultParallelism
-    co = _co_located(blocks, cols, npart)
+    co = _co_located(allb, cols, npart)
     kernel = _tree_kernel_factory(
         key_idfs,
         _key_denoms(index, key_idfs),
@@ -986,6 +1161,8 @@ def wand_tree_topk(
         never_skip,
         k,
         search_after=search_after,
+        phrases=phrases,
+        phrase_fkeys=phrase_fkeys,
     )
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

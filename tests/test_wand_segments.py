@@ -1572,3 +1572,154 @@ def test_random_nested_trees_kernel_matches_dataframe(disk_index):
             assert abs(a["score"] - b["score"]) <= 8 * m.ulp(
                 max(abs(b["score"]), 1e-300)), (a, b)
     assert routed >= 12, f"only {routed}/25 trials routed 'tree'"
+
+
+def test_nested_tree_with_fuzzy_leaf_routes_tree(disk_index):
+    """A FuzzyQ leaf BELOW depth 1 expands into a weighted term
+    OR-group (memoized driver-side), so the whole tree still routes to
+    the tree kernel and matches the DataFrame path."""
+    import math as m
+
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, FuzzyQ, TermQ
+    from lucene_clj_spark.search import _wand_route
+
+    node = BoolQ(1.0, (
+        (MUST, BoolQ(1.0, (
+            (SHOULD, BoolQ(1.0, ((MUST, TermQ(1.0, "text", "window")),
+                                 (MUST, FuzzyQ(1.0, "text", "merg"))))),
+            (SHOULD, TermQ(1.0, "text", "dup")),
+        ))),
+        (SHOULD, TermQ(0.5, "text", "scan")),
+    ))
+    route = _wand_route(disk_index, node)
+    assert route is not None and route[2] == "tree"
+    want = disk_index.search(node, results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = disk_index.search(node, results_per_page=10, with_hit=False,
+                            strategy="wand").collect()
+    assert want
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) <= 8 * m.ulp(b["score"])
+
+
+def test_nested_tree_fuzzy_joins_parity(disk_index):
+    """The deep-expanded tree plan is pinned against the join compiler
+    run on the ORIGINAL tree (whose recursion expands fuzzy level by
+    level) — the two rewrites must be score-equivalent."""
+    import math as m
+
+    from pyspark.sql import functions as SF
+
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, FuzzyQ, TermQ
+    from lucene_clj_spark.search import (
+        _bool_tree_spec,
+        _expand_fuzzy_deep,
+        _scored_bool_joins,
+        _scored_tree,
+    )
+
+    node = BoolQ(1.0, (
+        (MUST, BoolQ(1.0, ((MUST, TermQ(1.0, "text", "window")),
+                           (SHOULD, FuzzyQ(2.0, "text", "merg"))))),
+        ("MUST_NOT", TermQ(1.0, "text", "compact")),
+    ))
+    assert _bool_tree_spec(node) is None  # fuzzy at depth: not term-only
+    deep = _expand_fuzzy_deep(disk_index, node)
+    spec = _bool_tree_spec(deep)
+    assert spec is not None
+    ref = (_scored_bool_joins(disk_index, node)
+           .orderBy(SF.desc("score"), SF.asc("doc_id")).limit(10).collect())
+    got = (_scored_tree(disk_index, *spec)
+           .orderBy(SF.desc("score"), SF.asc("doc_id")).limit(10).collect())
+    assert ref
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in ref]
+    for a, b in zip(got, ref):
+        assert abs(a["score"] - b["score"]) <= 8 * m.ulp(abs(b["score"]))
+
+
+def test_nested_tree_fuzzy_no_expansions_starves_must(disk_index):
+    """A deep MUST fuzzy with zero dictionary expansions becomes a
+    never-matching node: the subtree can't match, and a root that
+    depends on it empties — on both paths."""
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, FuzzyQ, TermQ
+
+    node = BoolQ(1.0, (
+        (MUST, BoolQ(1.0, (
+            (MUST, FuzzyQ(1.0, "text", "zzqzzqzzq", 1)),
+            (MUST, TermQ(1.0, "text", "merge")),
+        ))),
+        (SHOULD, TermQ(1.0, "text", "window")),
+    ))
+    assert disk_index.search(node, with_hit=False,
+                             strategy="wand").collect() == []
+    assert disk_index.search(node, with_hit=False,
+                             strategy="dataframe").collect() == []
+
+
+@pytest.mark.parametrize("shape", ["deep", "not_deep", "or_of_ands"])
+def test_nested_tree_phrase_leaf_kernel_matches(disk_index, shape):
+    """PhraseQ leaves at ANY depth execute in-scan inside the tree
+    kernel (positions decoded lazily per block) and match the
+    DataFrame join compiler doc-for-doc."""
+    import math as m
+
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, PhraseQ, TermQ
+    from lucene_clj_spark.search import _wand_route
+
+    N = "MUST_NOT"
+    nodes = {
+        "deep": BoolQ(1.0, (
+            (MUST, BoolQ(1.0, (
+                (SHOULD, BoolQ(1.0, (
+                    (MUST, PhraseQ(1.0, "text", ("the", "merge"))),
+                    (SHOULD, TermQ(2.0, "text", "dup"))))),
+                (SHOULD, TermQ(1.0, "text", "scan")),
+            ))),
+            (SHOULD, TermQ(0.5, "text", "window")),
+        )),
+        "not_deep": BoolQ(1.0, (
+            (MUST, TermQ(1.0, "text", "window")),
+            (SHOULD, BoolQ(1.0, (
+                (MUST, TermQ(1.0, "text", "dup")),
+                (N, PhraseQ(1.0, "text", ("the", "merge")))))),
+        )),
+        "or_of_ands": BoolQ(1.0, (
+            (SHOULD, BoolQ(1.0, (
+                (MUST, PhraseQ(2.0, "text", ("the", "merge"))),
+                (MUST, TermQ(1.0, "text", "dup"))))),
+            (SHOULD, BoolQ(1.0, (
+                (MUST, TermQ(1.0, "text", "scan")),
+                (MUST, TermQ(1.0, "text", "window"))))),
+        )),
+    }
+    node = nodes[shape]
+    route = _wand_route(disk_index, node)
+    assert route is not None and route[2] == "tree"
+    want = disk_index.search(node, results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = disk_index.search(node, results_per_page=10, with_hit=False,
+                            strategy="wand").collect()
+    assert want
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) <= 8 * m.ulp(b["score"])
+
+
+def test_nested_tree_phrase_term_collision_falls_back(disk_index):
+    """A phrase constituent sharing a (field, term) pair with a term
+    leaf anywhere in the tree is NOT tree-kernel-eligible (the two
+    scans would double-carry the same blocks) — falls back cleanly."""
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, PhraseQ, TermQ
+    from lucene_clj_spark.search import _wand_route
+
+    node = BoolQ(1.0, (
+        (MUST, BoolQ(1.0, (
+            (MUST, PhraseQ(1.0, "text", ("the", "merge"))),
+            (SHOULD, TermQ(1.0, "text", "dup"))))),
+        (SHOULD, TermQ(1.0, "text", "merge")),
+    ))
+    assert _wand_route(disk_index, node) is None
+    # the DataFrame fallback still answers it
+    assert disk_index.search(node, with_hit=False,
+                             strategy="dataframe").collect()
