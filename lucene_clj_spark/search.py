@@ -383,19 +383,43 @@ def _scored_tree(index, leaves: list, root) -> DataFrame:
     if not tree_possible(root, present):
         # an absent leaf starves a MUST chain somewhere up the tree
         return _empty_scores(index)
+    # flat all-SHOULD groups of term leaves (e.g. a fuzzy clause's
+    # expansion OR-group, up to 50 members) COLLAPSE to a single
+    # aggregation column each — matched = any member present, score =
+    # sum of present members' scores (a pure OR's contribution) — so
+    # the aggregation width stays proportional to the query's clause
+    # structure, not the expansion fan-out (past ~100 columns Spark
+    # silently drops whole-stage codegen for the aggregate)
+    leaf_gid: dict[int, int] = {}
+    node_gid: dict[int, int] = {}
+
+    def assign_groups(node) -> None:
+        if isinstance(node, int):
+            return
+        int_shoulds = [s for s in node.shoulds if isinstance(s, int)]
+        if len(int_shoulds) >= 2:
+            gid = len(node_gid)
+            node_gid[id(node)] = gid
+            for s in int_shoulds:
+                leaf_gid[s] = gid
+        for ch in node.musts + node.shoulds + node.nots:
+            assign_groups(ch)
+
+    assign_groups(root)
     rows = []
     for le in leaves:
         if le.lid not in present:
             continue
         st = index.field_stats(le.field)
         rows.append(
-            (le.field, le.term, le.lid, float(le.weight),
-             stats[(le.field, le.term)], int(st["N"]), float(st["avgdl"]))
+            (le.field, le.term, le.lid, leaf_gid.get(le.lid, -1),
+             float(le.weight), stats[(le.field, le.term)],
+             int(st["N"]), float(st["avgdl"]))
         )
     local = spark.createDataFrame(
         rows,
-        "field string, term string, lid int, weight double, df long, "
-        "n_docs long, avgdl double",
+        "field string, term string, lid int, gid int, weight double, "
+        "df long, n_docs long, avgdl double",
     )
     fields = sorted({r[0] for r in rows})
     terms_ = sorted({r[1] for r in rows})
@@ -404,7 +428,7 @@ def _scored_tree(index, leaves: list, root) -> DataFrame:
     )
     scan = _bucket_pruned(index, scan, terms_)
     scored = scan.join(F.broadcast(local), ["field", "term"]).select(
-        "doc_id", "lid",
+        "doc_id", "lid", "gid",
         (
             F.col("weight")
             * bm25.score_col(
@@ -413,22 +437,37 @@ def _scored_tree(index, leaves: list, root) -> DataFrame:
             )
         ).alias("score"),
     )
-    lids = sorted(present)
+    solo_lids = sorted(le for le in present if le not in leaf_gid)
+    gids = sorted({g for le, g in leaf_gid.items() if le in present})
     agg = scored.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("lid") == i, F.col("score"))).alias(f"__l{i}")
-            for i in lids
-        ]
+        *(
+            [
+                F.max(F.when(F.col("lid") == i, F.col("score")))
+                .alias(f"__l{i}")
+                for i in solo_lids
+            ]
+            + [
+                F.sum(F.when(F.col("gid") == j, F.col("score")))
+                .alias(f"__g{j}")
+                for j in gids
+            ]
+        )
     )
+    present_gids = set(gids)
 
     def ev(node):
         """(matched Column, score Column) — child order and left-assoc
-        adds are mirrored exactly by the kernel's numpy evaluator."""
+        adds mirror the kernel's numpy evaluator; a node's INT should
+        children fold into one collapsed sum column (their combined
+        contribution is exactly the sum of the present members' scores
+        and their combined match is sum-not-null, like
+        _scored_group_tree's per-gid aggregation)."""
         if isinstance(node, int):
             if node not in present:
                 return F.lit(False), F.lit(0.0)
             c = F.col(f"__l{node}")
             return c.isNotNull(), F.coalesce(c, F.lit(0.0))
+        g = node_gid.get(id(node))
         m_acc = None
         s_acc = None
         for mch in node.musts:
@@ -436,7 +475,16 @@ def _scored_tree(index, leaves: list, root) -> DataFrame:
             m_acc = cm if m_acc is None else (m_acc & cm)
             s_acc = cs if s_acc is None else (s_acc + cs)
         any_s = None
+        if g is not None and g in present_gids:
+            c = F.col(f"__g{g}")
+            any_s = c.isNotNull()
+            contrib = F.coalesce(c, F.lit(0.0))
+            s_acc = contrib if s_acc is None else (s_acc + contrib)
+        elif g is not None:
+            any_s = F.lit(False)
         for sch in node.shoulds:
+            if g is not None and isinstance(sch, int):
+                continue  # folded into the collapsed group column
             cm, cs = ev(sch)
             any_s = cm if any_s is None else (any_s | cm)
             contrib = F.when(cm, cs).otherwise(F.lit(0.0))

@@ -463,6 +463,44 @@ def _key_denoms(index, key_idfs: dict) -> dict:
     return out
 
 
+def _phrase_spec(index, field: str, terms: tuple, weight: float,
+                 p_idfs: dict) -> dict:
+    """Shared phrase-member spec for the group/tree kernels: offset
+    map (repeated terms fold into one stream with several offsets),
+    constituent idfs, the boost-weighted idf_sum (weight folded with
+    the standalone phrase kernel's association), and the field's
+    norm-denominator cache. The caller adds its own identity keys
+    (gid/is_not for the group kernel, lid/scored for the tree
+    kernel)."""
+    offsets: dict[str, list[int]] = {}
+    for i, t_ in enumerate(terms):
+        offsets.setdefault(t_, []).append(i)
+    t_idfs = {t_: p_idfs[f"{field}\x1f{t_}"] for t_ in offsets}
+    idf_sum = sum(t_idfs[t_] * len(offs) for t_, offs in offsets.items())
+    if weight != 1.0:
+        idf_sum = weight * idf_sum
+    return {
+        "offsets": offsets,
+        "term_idfs": t_idfs,
+        "fkey_term": {f"{field}\x1f{t_}": t_ for t_ in offsets},
+        "fkeys": {f"{field}\x1f{t_}" for t_ in offsets},
+        "idf_sum": idf_sum,
+        "denom": _denom_cache(float(index.field_stats(field)["avgdl"])),
+    }
+
+
+def _phrase_chunk_bound(p: dict, rows: pd.DataFrame) -> float:
+    """Upper bound of one phrase's score within a chunk, derived from
+    its constituents' block maxima:
+    ``idf_sum * min_t(chunk_max_t / idf_t)`` — valid because the
+    phrase freq is <= every member tf and x/(x+d) is increasing."""
+    tmax = rows.groupby("fkey")["block_max_score"].max()
+    return p["idf_sum"] * min(
+        float(tmax[fk]) / p["term_idfs"][p["fkey_term"][fk]]
+        for fk in p["fkeys"]
+    )
+
+
 def _co_located(blocks: DataFrame, cols: list[str],
                 n_partitions: int) -> DataFrame:
     """Chunk-range co-location + in-partition chunk order (the contract
@@ -851,11 +889,7 @@ def _tree_kernel_factory(
             for p, rows_ in live:
                 if not p["scored"] or p["lid"] not in phrase_countable:
                     continue
-                tmax = rows_.groupby("fkey")["block_max_score"].max()
-                ub += p["idf_sum"] * min(
-                    float(tmax[fk2]) / p["term_idfs"][p["fkey_term"][fk2]]
-                    for fk2 in p["fkeys"]
-                )
+                ub += _phrase_chunk_bound(p, rows_)
             # STRICT bound (ties must be decoded) — see _kernel_factory
             if len(heap) >= k and ub < theta():
                 return
@@ -933,9 +967,11 @@ def _tree_kernel_factory(
                 idx_c = np.minimum(idx, n - 1)
                 valid = uids[idx_c] == ids
                 at = idx_c[valid]
+                # one (read-only) match mask shared by every
+                # occurrence of the key; scores scatter per occurrence
+                m = np.zeros(n, dtype=bool)
+                m[at] = True
                 for lid, w, sc in occs[fk]:
-                    m = np.zeros(n, dtype=bool)
-                    m[at] = True
                     matched[lid] = m
                     if sc and base is not None:
                         s = np.zeros(n, dtype=np.float64)
@@ -1100,29 +1136,9 @@ def wand_tree_topk(
     for le in phrase_leaves:
         if le.lid not in present_lids:
             continue
-        offsets: dict[str, list[int]] = {}
-        for i, t_ in enumerate(le.terms):
-            offsets.setdefault(t_, []).append(i)
-        t_idfs = {t_: p_idfs[f"{le.field}\x1f{t_}"] for t_ in offsets}
-        idf_sum = sum(
-            t_idfs[t_] * len(offs) for t_, offs in offsets.items()
-        )
-        if le.weight != 1.0:
-            idf_sum = le.weight * idf_sum
-        phrases.append(
-            {
-                "lid": le.lid,
-                "scored": le.scored,
-                "offsets": offsets,
-                "term_idfs": t_idfs,
-                "fkey_term": {f"{le.field}\x1f{t_}": t_ for t_ in offsets},
-                "fkeys": {f"{le.field}\x1f{t_}" for t_ in offsets},
-                "idf_sum": idf_sum,
-                "denom": _denom_cache(
-                    float(index.field_stats(le.field)["avgdl"])
-                ),
-            }
-        )
+        spec = _phrase_spec(index, le.field, le.terms, le.weight, p_idfs)
+        spec.update(lid=le.lid, scored=le.scored)
+        phrases.append(spec)
         # phrase leaves ride leaf_by_lid with fk=None so the kernel's
         # countable-collection treats them uniformly
         leaf_by_lid[le.lid] = (None, float(le.weight), le.scored)
@@ -1278,11 +1294,7 @@ def _group_kernel_factory(
             for p, rows in live:
                 if p["is_not"]:
                     continue
-                tmax = rows.groupby("fkey")["block_max_score"].max()
-                tm_sum += p["idf_sum"] * min(
-                    float(tmax[fk]) / p["term_idfs"][p["fkey_term"][fk]]
-                    for fk in p["fkeys"]
-                )
+                tm_sum += _phrase_chunk_bound(p, rows)
             # STRICT bound (ties must be decoded) — see _kernel_factory
             if len(heap) >= k and tm_sum < theta():
                 return
@@ -1432,11 +1444,11 @@ def wand_group_topk(
                     # bound must cap the per-occurrence fan-out sum
                     weights[pair] += b_
     if term_pairs:
-        key_idfs, key_ws, blocks = _segment_scan(
+        key_idfs, _ws, blocks = _segment_scan(
             index, term_pairs, weights, unbounded_keys=not_fkeys
         )
     else:
-        key_idfs, key_ws, blocks = {}, {}, None
+        key_idfs, blocks = {}, None
     if phrase_pairs:
         p_idfs, _pws, p_blocks = _segment_scan(
             index, phrase_pairs, None, unbounded_keys=phrase_not_fkeys
@@ -1472,33 +1484,9 @@ def wand_group_topk(
             else:
                 key_occs.setdefault(fk, []).append((gid, b_))
         for m in present_phrases:
-            offsets: dict[str, list[int]] = {}
-            for i, t_ in enumerate(m.terms):
-                offsets.setdefault(t_, []).append(i)
-            t_idfs = {
-                t_: p_idfs[f"{m.field}\x1f{t_}"] for t_ in offsets
-            }
-            idf_sum = sum(
-                t_idfs[t_] * len(offs) for t_, offs in offsets.items()
-            )
-            if m.boost != 1.0:
-                idf_sum = m.boost * idf_sum
-            phrases.append(
-                {
-                    "gid": gid,
-                    "is_not": occ == "MUST_NOT",
-                    "offsets": offsets,
-                    "term_idfs": t_idfs,
-                    "fkey_term": {
-                        f"{m.field}\x1f{t_}": t_ for t_ in offsets
-                    },
-                    "fkeys": {f"{m.field}\x1f{t_}" for t_ in offsets},
-                    "idf_sum": idf_sum,
-                    "denom": _denom_cache(
-                        float(index.field_stats(m.field)["avgdl"])
-                    ),
-                }
-            )
+            spec = _phrase_spec(index, m.field, m.terms, m.boost, p_idfs)
+            spec.update(gid=gid, is_not=occ == "MUST_NOT")
+            phrases.append(spec)
     scored_phrases = any(not p["is_not"] for p in phrases)
     # a pure-negative surviving tree matches nothing
     if not key_occs and not scored_phrases:

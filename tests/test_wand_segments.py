@@ -1723,3 +1723,41 @@ def test_nested_tree_phrase_term_collision_falls_back(disk_index):
     # the DataFrame fallback still answers it
     assert disk_index.search(node, with_hit=False,
                              strategy="dataframe").collect()
+
+
+def test_flat_or_group_collapses_in_tree_agg(disk_index):
+    """A flat all-SHOULD term group ANYWHERE in a nested tree (e.g. a
+    fuzzy clause's expansion OR-group, up to 50 members) collapses to
+    ONE aggregation column (matched = sum-not-null), so aggregation
+    width follows the query's clause structure, not the expansion
+    fan-out — past ~100 agg columns Spark silently drops whole-stage
+    codegen for the aggregate. Asserted on the analyzed plan (the
+    optimizer later folds the aliases into the final expressions)."""
+    import math as m
+    import re
+
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, TermQ
+
+    node = BoolQ(1.0, (
+        (MUST, BoolQ(1.0, (
+            (MUST, TermQ(1.0, "text", "window")),
+            (SHOULD, BoolQ(1.0, ((SHOULD, TermQ(1.0, "text", "merge")),
+                                 (SHOULD, TermQ(0.5, "text", "dup")),
+                                 (SHOULD, TermQ(1.0, "text", "compact"))
+                                 )))))),
+        (SHOULD, TermQ(1.0, "text", "scan")),
+    ))
+    df = disk_index.search(node, with_hit=False, strategy="dataframe")
+    s = df._jdf.queryExecution().analyzed().toString()
+    assert "__g0" in s, "OR-group should collapse to one agg column"
+    # solo leaf columns stay proportional to the written clause count
+    # (window + scan), not the group fan-out
+    assert len(set(re.findall(r"__l\d+", s))) == 2
+    # and the collapsed plan still matches the kernel
+    want = disk_index.search(node, results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = disk_index.search(node, results_per_page=10, with_hit=False,
+                            strategy="wand").collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert abs(a["score"] - b["score"]) <= 8 * m.ulp(b["score"])
