@@ -92,19 +92,36 @@ def encode_positions(tfs: np.ndarray, positions: list[np.ndarray]) -> bytes:
     return encode_varints(deltas)
 
 
-def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
-    """Inverse of encode_positions. Vectorized: one cumsum over the
-    flat stream, then a per-posting offset correction (the cumsum
-    carries the previous postings' totals across boundaries), then
-    zero-copy splits."""
+def decode_positions_flat(
+    buf: bytes, tfs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_positions WITHOUT splitting: returns
+    ``(flat, starts)`` where posting ``j``'s positions are
+    ``flat[starts[j] : starts[j] + tfs[j]]``. Vectorized: one cumsum
+    over the flat stream, then a per-posting offset correction (the
+    cumsum carries the previous postings' totals across boundaries).
+    The flat form feeds the phrase kernels' vectorized multi-segment
+    gather; ``decode_positions`` wraps it with zero-copy splits."""
     flat = decode_varints(buf).astype(np.int64)
     counts = np.asarray(tfs, dtype=np.int64)
+    if counts.size == 0:
+        return flat[:0], np.zeros(0, dtype=np.int64)
+    p_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     if flat.size == 0:
-        return [np.zeros(0, dtype=np.int64) for _ in range(counts.size)]
-    starts = np.cumsum(counts)[:-1]
+        return flat, p_starts
+    starts = p_starts[1:]
     c = np.cumsum(flat)
     # subtract each posting's incoming running total (c[start-1]) so
     # every split behaves like its own cumsum
     run_off = np.concatenate(([0], c[starts - 1]))
     adj = c - np.repeat(run_off, counts)
-    return np.split(adj, starts)
+    return adj, p_starts
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> list[np.ndarray]:
+    """Inverse of encode_positions -> per-posting position arrays."""
+    counts = np.asarray(tfs, dtype=np.int64)
+    adj, p_starts = decode_positions_flat(buf, tfs)
+    if adj.size == 0:
+        return [np.zeros(0, dtype=np.int64) for _ in range(counts.size)]
+    return np.split(adj, p_starts[1:])

@@ -532,6 +532,16 @@ def _eval_phrase_chunk(
     INTERLEAVE doc ranges with base blocks, so lookups go through a
     global argsort of the chunk's ids, not block-first_doc bisection.
 
+    Phase 2 is CHUNK-VECTORIZED (no per-candidate Python loop): for
+    each term, every candidate's position run is gathered from the
+    flat decoded stream with one multi-segment fancy-index per touched
+    block, tagged ``cand_index * 2^32 + position + L`` (L = max phrase
+    offset, so shifted keys never cross candidate boundaries), and the
+    phrase match is ONE ``np.intersect1d`` per (term, offset) over the
+    whole chunk; per-doc phrase freqs fall out of a bincount on the
+    surviving keys' high bits. Scores stay bit-identical to the scalar
+    form: ``idf_sum * freq / (freq + denom[norm])`` in float64.
+
     Returns ``(doc_ids, scores)`` numpy arrays for docs with phrase
     freq > 0; ``scores`` is None when ``score=False`` (exclusion-only
     phrases need the match set, not BM25). ``key_term`` maps the
@@ -569,51 +579,86 @@ def _eval_phrase_chunk(
             if cands is None
             else np.intersect1d(cands, per_term[t][0], assume_unique=True)
         )
+    if cands is None or cands.size == 0:
+        return np.zeros(0, dtype=np.int64), (
+            np.zeros(0, dtype=np.float64) if score else None
+        )
 
-    def doc_positions(t, d):
-        """Positions (and norm byte) of doc d for term t — decodes the
-        containing block's streams (via the codec) on first touch;
-        untouched blocks never decode."""
+    n_c = cands.size
+    # key bias: pos + L - off >= 0 for every phrase offset, so a
+    # shifted key can never spill into the previous candidate's range
+    # (positions are doc-token indexes, far below 2^32 - L)
+    L = max(off for offs in offsets.values() for off in offs)
+    inter = None
+    norms_c = np.empty(n_c, dtype=np.uint8)
+    first_term = True
+    for t, offs in offsets.items():
         sorted_ids, blocks, blk_of, pos_in = per_term[t]
-        i = int(np.searchsorted(sorted_ids, d))
-        b = blocks[int(blk_of[i])]
-        if b["flat"] is None:
-            tfs = codec.decode_varints(b["tfs_buf"]).astype(np.int64)
-            b["flat"] = codec.decode_positions(b["pos_buf"], tfs)
-            b["norms_a"] = np.frombuffer(b["norms"], dtype=np.uint8)
-        j = int(pos_in[i])
-        return b["flat"][j], int(b["norms_a"][j])
-
-    out_ids: list[int] = []
-    out_scores: list[float] = []
-    for d in cands.tolist():
-        inter = None
-        norm = None
-        for t, offs in offsets.items():
-            p, norm = doc_positions(t, d)
-            for off in offs:
-                shifted = p - off
-                inter = (
-                    shifted
-                    if inter is None
-                    else np.intersect1d(inter, shifted, assume_unique=True)
+        at = np.searchsorted(sorted_ids, cands)
+        blkc = blk_of[at]
+        jc = pos_in[at]
+        # decode each TOUCHED block once; untouched blocks never decode
+        order = np.argsort(blkc, kind="stable")
+        bounds = np.flatnonzero(np.diff(blkc[order])) + 1
+        pos_parts, cidx_parts = [], []
+        for grp_idx in np.split(order, bounds):
+            b = blocks[int(blkc[grp_idx[0]])]
+            if b["flat"] is None:
+                tfs_b = codec.decode_varints(b["tfs_buf"]).astype(np.int64)
+                b["tfs_a"] = tfs_b
+                b["flat"], b["p_starts"] = codec.decode_positions_flat(
+                    b["pos_buf"], tfs_b
                 )
-                if inter.size == 0:
-                    break
-            if inter is not None and inter.size == 0:
-                break
-        freq = 0 if inter is None else int(inter.size)
-        if freq == 0:
-            continue
-        out_ids.append(d)
-        if score:
-            out_scores.append(
-                float(idf_sum * freq / (freq + denom_cache[norm]))
+                b["norms_a"] = np.frombuffer(b["norms"], dtype=np.uint8)
+            js = jc[grp_idx]
+            seg_lens = b["tfs_a"][js]
+            seg_starts = b["p_starts"][js]
+            total = int(seg_lens.sum())
+            # multi-segment gather: flat[starts[j] : starts[j]+lens[j]]
+            # for all j at once
+            gather = (
+                np.repeat(
+                    seg_starts
+                    - np.concatenate(([0], np.cumsum(seg_lens)[:-1])),
+                    seg_lens,
+                )
+                + np.arange(total, dtype=np.int64)
             )
-    ids_a = np.asarray(out_ids, dtype=np.int64)
-    return ids_a, (
-        np.asarray(out_scores, dtype=np.float64) if score else None
+            pos_parts.append(b["flat"][gather])
+            cidx_parts.append(np.repeat(grp_idx, seg_lens))
+            if first_term:
+                # the norm byte is the DOC's field norm — identical
+                # across the phrase's terms, so gather it once
+                norms_c[grp_idx] = b["norms_a"][js]
+        first_term = False
+        pos_all = np.concatenate(pos_parts)
+        cidx_all = np.concatenate(cidx_parts)
+        keys = (cidx_all << np.int64(32)) + (pos_all + np.int64(L))
+        for off in offs:
+            cand_keys = keys - np.int64(off)
+            inter = (
+                cand_keys
+                if inter is None
+                else np.intersect1d(inter, cand_keys, assume_unique=True)
+            )
+            if inter.size == 0:
+                break
+        if inter is not None and inter.size == 0:
+            break
+    if inter is None or inter.size == 0:
+        return np.zeros(0, dtype=np.int64), (
+            np.zeros(0, dtype=np.float64) if score else None
+        )
+    freq = np.bincount(
+        (inter >> np.int64(32)).astype(np.int64), minlength=n_c
     )
+    matched = freq > 0
+    ids_a = cands[matched]
+    if not score:
+        return ids_a, None
+    fr = freq[matched].astype(np.float64)
+    scores = idf_sum * fr / (fr + denom_cache[norms_c[matched]])
+    return ids_a, scores
 
 
 def _phrase_kernel_factory(
