@@ -115,6 +115,43 @@ class TreeNode(NamedTuple):
     nots: tuple
 
 
+def _push_topk(
+    heap: list,
+    k: int,
+    uniq: np.ndarray,
+    agg: np.ndarray,
+    search_after: tuple[float, int] | None = None,
+) -> None:
+    """Push one chunk's candidate ``(doc_id, score)`` arrays into the
+    bounded ``(score, -doc_id)`` min-heap — vectorized preselection so
+    the Python heap loop runs over at most k items, never the chunk:
+
+    - keyset filter (search_after) as an array mask;
+    - when the heap is full, everything strictly below θ is dropped
+      wholesale (score == θ survives: it can still win the doc_id
+      tiebreak against the current minimum);
+    - of the remainder only the chunk's own top-k by
+      (score desc, doc_id asc) can possibly enter ANY global top-k —
+      an item outside it has k chunk-mates ahead of it in the total
+      order — so a lexsort selection bounds the loop at k."""
+    if search_after is not None:
+        sa_s, sa_d = search_after
+        m = (agg < sa_s) | ((agg == sa_s) & (uniq > sa_d))
+        uniq, agg = uniq[m], agg[m]
+    if len(heap) >= k:
+        m = agg >= heap[0][0]
+        uniq, agg = uniq[m], agg[m]
+    if uniq.size > k:
+        sel = np.lexsort((uniq, -agg))[:k]
+        uniq, agg = uniq[sel], agg[sel]
+    for d, s in zip(uniq.tolist(), agg.tolist()):
+        item = (s, -d)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+
 def tree_possible(node, present) -> bool:
     """Can ``node`` match ANY doc given the set of present leaf lids?
     MUST_NOT children are ignored: an absent exclusion just never
@@ -242,16 +279,7 @@ def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
             if mode == "and":
                 keep = counts >= n_keys
                 uniq, agg = uniq[keep], agg[keep]
-            if search_after is not None:
-                sa_s, sa_d = search_after
-                keep = (agg < sa_s) | ((agg == sa_s) & (uniq > sa_d))
-                uniq, agg = uniq[keep], agg[keep]
-            for d, s in zip(uniq.tolist(), agg.tolist()):
-                item = (s, -d)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
+            _push_topk(heap, k, uniq, agg, search_after)
 
         _stream_chunks(batches, process)
         yield _heap_frame(heap)
@@ -695,17 +723,7 @@ def _phrase_kernel_factory(
             ids_a, sc_a = _eval_phrase_chunk(
                 cpdf, ident, offsets, idf_sum, denom_cache, key_col="term"
             )
-            for d, score in zip(ids_a.tolist(), sc_a.tolist()):
-                if search_after is not None and not (
-                    score < search_after[0]
-                    or (score == search_after[0] and d > search_after[1])
-                ):
-                    continue
-                item = (score, -d)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
+            _push_topk(heap, k, ids_a, sc_a, search_after)
 
         _stream_chunks(batches, process)
         yield _heap_frame(heap)
@@ -1069,16 +1087,7 @@ def _tree_kernel_factory(
             if not m_root.any():
                 return
             cand, cscore = uids[m_root], s_root[m_root]
-            if search_after is not None:
-                sa_s, sa_d = search_after
-                ks = (cscore < sa_s) | ((cscore == sa_s) & (cand > sa_d))
-                cand, cscore = cand[ks], cscore[ks]
-            for d, s in zip(cand.tolist(), cscore.tolist()):
-                item = (s, -d)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
+            _push_topk(heap, k, cand, cscore, search_after)
 
         _stream_chunks(batches, process)
         yield _heap_frame(heap)
@@ -1404,16 +1413,7 @@ def _group_kernel_factory(
             if ex_parts:
                 keep &= ~np.isin(uniq, np.concatenate(ex_parts))
             uniq, agg = uniq[keep], agg[keep]
-            if search_after is not None:
-                sa_s, sa_d = search_after
-                ks = (agg < sa_s) | ((agg == sa_s) & (uniq > sa_d))
-                uniq, agg = uniq[ks], agg[ks]
-            for d, s in zip(uniq.tolist(), agg.tolist()):
-                item = (s, -d)
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
+            _push_topk(heap, k, uniq, agg, search_after)
 
         _stream_chunks(batches, process)
         yield _heap_frame(heap)
