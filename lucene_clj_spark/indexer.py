@@ -253,11 +253,20 @@ class Index:
         return self
 
     @staticmethod
-    def load(spark: SparkSession, path: str) -> "Index":
+    def load(spark: SparkSession, path: str,
+             contexts_fns: dict[str, Any] | None = None) -> "Index":
         """Reopen a persisted index; field specs come back from the
         sidecar (contract: typed queries work after reopen, reference
         contract_test.clj:90-119). Refuses an index left partial by an
-        interrupted append (see add_documents crash-safety note)."""
+        interrupted append (see add_documents crash-safety note).
+
+        ``contexts_fns``: {field: callable} re-supplying CALLABLE
+        ``contexts_from`` functions — a closure cannot round-trip
+        through the JSON sidecar (it persists as the "<fn>" marker,
+        schema.py), so an index that derives suggest contexts with a
+        fn needs it passed again before ``add_documents`` can append
+        suggest rows (queries never need it: contexts are
+        materialized in the suggest table at index time)."""
         if os.path.exists(os.path.join(path, APPEND_PENDING)):
             raise ValidationError(
                 f"index at {path} has an interrupted append "
@@ -267,6 +276,26 @@ class Index:
             )
         with open(f"{path}/_field_specs.json") as f:
             specs = specs_from_json(f.read())
+        if contexts_fns:
+            from dataclasses import replace
+
+            unknown = set(contexts_fns) - {
+                n for n, fs in specs.items()
+                if fs.suggest is not None
+                and fs.suggest.contexts_from == "<fn>"
+            }
+            if unknown:
+                raise ValidationError(
+                    "contexts_fns names fields that are not "
+                    "suggest-enabled with a persisted callable "
+                    f"contexts_from: {sorted(unknown)}",
+                    {"fields": unknown},
+                )
+            for n, fn in contexts_fns.items():
+                fs = specs[n]
+                specs[n] = replace(
+                    fs, suggest=replace(fs.suggest, contexts_from=fn)
+                )
         with open(f"{path}/_stats.json") as f:
             meta = json.load(f)
         analyzers = {
@@ -582,6 +611,19 @@ def _suggest_rows(
     base_val = F.col(name)
     vals = base_val if fs.multi_valued else F.array(base_val)
     ctx = sug.contexts_from
+    if ctx == "<fn>":
+        # the persisted marker for a callable contexts_from (schema.py:
+        # a closure cannot round-trip through the JSON sidecar, same
+        # limit as the reference's edn schema) — appending through a
+        # cold-reopened index needs the fn supplied again
+        raise ValidationError(
+            f"field {name!r} was indexed with a CALLABLE contexts_from, "
+            "which cannot be persisted in the schema sidecar; to append "
+            "documents through a reopened index, re-supply it: "
+            "Index.load(spark, path, contexts_fns={" + repr(name)
+            + ": <your fn>})",
+            {"field": name},
+        )
     if ctx is None:
         ctx_col = F.array().cast("array<string>")
     elif isinstance(ctx, str):
@@ -810,6 +852,13 @@ def create_index(
     if index_type == "disk":
         idx.write(path)
         loaded = Index.load(spark, path)
+        # keep the LIVE specs/analyzers on the in-process object: the
+        # sidecar round-trip degrades a callable contexts_from to the
+        # "<fn>" marker (schema.py), which would break a same-session
+        # add_documents; a cold Index.load in a NEW session still gets
+        # the marker and the explicit re-supply error (_suggest_rows)
+        loaded.specs = specs
+        loaded.analyzers = analyzers
         # the build-time relations are transient for a disk index: the
         # loaded Index serves from its own (bucket-pruned) parquet
         raw.unpersist()

@@ -95,3 +95,57 @@ def test_suggest_validation(sample_index):
         sugg(sample_index, "bio", "x")  # not suggest-enabled
     with pytest.raises(ValidationError):
         sugg(sample_index, "first_name", "S", max_results=0)
+
+
+def test_suggest_sees_appended_documents(spark, tmp_path):
+    """add_documents must extend the suggest table too (Lucene's
+    completion postings are written per segment, so a reopened reader
+    suggests freshly indexed docs) — on a DISK index the append goes
+    through the on-disk suggest dir, and a reload must also see it."""
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.indexer import Index
+    from tests.conftest import SAMPLE_COLUMNS, SAMPLE_FIELDS, SAMPLE_ROWS
+
+    rows = [(i, *r) for i, r in enumerate(SAMPLE_ROWS)]
+    df = spark.createDataFrame(rows, ["doc_id"] + SAMPLE_COLUMNS)
+    base = df.filter("doc_id < 5")
+    extra = df.filter("doc_id >= 5")
+    path = str(tmp_path / "sug_append_idx")
+    idx = create_index(
+        spark, base, SAMPLE_FIELDS, id_column="doc_id",
+        path=path, index_type="disk", re_create=True,
+    )
+    before = {r["first_name"] for r in
+              idx.suggest_("first_name", "S").collect()}
+    idx.add_documents(extra)
+    after = {r["first_name"] for r in
+             idx.suggest_("first_name", "S").collect()}
+    # the appended half contributes new completions
+    appended_names = {r[0] for r in SAMPLE_ROWS[5:] if r[0].startswith("S")}
+    assert appended_names, "sample split must put S-names in the append"
+    assert after == before | appended_names
+    # context filtering still derives from the appended rows' fields
+    reopened = Index.load(spark, path)
+    got = {r["first_name"] for r in
+           reopened.suggest_("first_name", "S").collect()}
+    assert got == after
+    # a COLD reopen cannot round-trip the callable contexts_from: a
+    # further append through it must fail with the re-supply hint,
+    # and Index.load(contexts_fns=...) must make it work again
+    from lucene_clj_spark.errors import ValidationError
+
+    extra2 = spark.createDataFrame(
+        [(100, "Sherlock", "Holmes", "60", "false", "m", "Detective.")],
+        ["doc_id"] + SAMPLE_COLUMNS,
+    )
+    with pytest.raises(ValidationError, match="contexts_fns"):
+        reopened.add_documents(extra2)
+    resupplied = Index.load(
+        spark, path,
+        contexts_fns={"first_name": lambda doc: [doc["real"].lower()]},
+    )
+    resupplied.add_documents(extra2)
+    rows = resupplied.suggest_(
+        "first_name", "Sherl", contexts=["false"]
+    ).collect()
+    assert [r["first_name"] for r in rows] == ["Sherlock"]

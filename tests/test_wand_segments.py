@@ -1761,3 +1761,66 @@ def test_flat_or_group_collapses_in_tree_agg(disk_index):
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
     for a, b in zip(got, want):
         assert abs(a["score"] - b["score"]) <= 8 * m.ulp(b["score"])
+
+
+def test_append_after_merge_kernels_stay_exact(spark, tmp_path_factory):
+    """The full ingest lifecycle across segment GENERATIONS: base build
+    -> delta append (gen 1) -> merge (gen 2) -> delta append ON TOP OF
+    the merged generation -> second merge (gen 3). At the mixed
+    gen2+delta stage the OR, phrase and arbitrary-depth tree kernels
+    must all answer bit-identically to a from-scratch build over the
+    same corpus; the second merge must absorb the delta, advance the
+    generation pointer, keep exactly one grace generation, and change
+    no answer."""
+    from lucene_clj_spark.query import parse_dsl
+    from lucene_clj_spark.segments import merge_segments, seg_dir
+    from lucene_clj_spark.wand import phrase_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    parts = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    root = tmp_path_factory.mktemp("lifecycle")
+    inc_path, full_path = str(root / "inc"), str(root / "full")
+    inc = create_index(
+        spark, parts[0].unionByName(parts[1]), {"text": "text"},
+        id_column="doc_id", path=inc_path, index_type="disk",
+        re_create=True, ignore_extra_columns=True,
+    )
+    build_segments(inc, n_buckets=4, chunk_span=32, block_size=8)
+    inc.add_documents(parts[2], ignore_extra_columns=True)  # delta on g1
+    merge_segments(inc)                                     # -> g2
+    inc.add_documents(parts[3], ignore_extra_columns=True)  # delta on g2
+
+    full = create_index(
+        spark, docs, {"text": "text"}, id_column="doc_id",
+        path=full_path, index_type="disk", re_create=True,
+        ignore_extra_columns=True,
+    )
+    build_segments(full, n_buckets=4, chunk_span=32, block_size=8)
+
+    def col(df):
+        return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+    assert col(wand_topk(inc, "text", ["merge", "dup", "the"], k=15,
+                         mode="or")) == \
+        col(wand_topk(full, "text", ["merge", "dup", "the"], k=15,
+                      mode="or"))
+    assert col(phrase_topk(inc, "text", ["merge", "window"], k=10)) == \
+        col(phrase_topk(full, "text", ["merge", "window"], k=10))
+    node = parse_dsl(
+        "((merge AND window) OR (dup AND scan)) NOT compact",
+        "text", inc.specs, inc.analyzers,
+    )
+    got = inc.search(node, results_per_page=10, with_hit=False,
+                     strategy="wand")
+    s = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in s  # really the kernel, not a fallback
+    want = inc.search(node, results_per_page=10, with_hit=False,
+                      strategy="dataframe")
+    assert col(got) == col(want)
+
+    before = col(wand_topk(inc, "text", ["merge"], k=10, mode="or"))
+    merge_segments(inc)  # -> g3, absorbs the g2 delta
+    assert seg_dir(inc_path).endswith("segments_g3")
+    assert os.path.isdir(os.path.join(inc_path, "segments_g2"))  # grace
+    assert not os.path.isdir(os.path.join(inc_path, "segments"))  # g1 gone
+    assert col(wand_topk(inc, "text", ["merge"], k=10, mode="or")) == before
