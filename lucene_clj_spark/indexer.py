@@ -54,7 +54,12 @@ from pyspark.storagelevel import StorageLevel
 from pyspark.sql import types as T
 
 from lucene_clj_spark import bm25
-from lucene_clj_spark.analysis import Analyzer, STANDARD, resolve_analyzer
+from lucene_clj_spark.analysis import (
+    Analyzer,
+    DEFAULT_MAX_TOKEN_LENGTH,
+    STANDARD,
+    resolve_analyzer,
+)
 from lucene_clj_spark.errors import UnknownFieldError, ValidationError
 from lucene_clj_spark.schema import (
     FieldSpec,
@@ -222,7 +227,17 @@ class Index:
                     "stats": self.stats,
                     "n_buckets": n_buckets,
                     "analyzers": {
-                        str(k): a.kind for k, a in self.analyzers.items()
+                        # full analyzer config, not just the kind: a
+                        # custom stop set / token-length cap must
+                        # round-trip or a reopened index tokenizes
+                        # queries differently than it indexed documents
+                        # (silent result loss)
+                        str(k): {
+                            "kind": a.kind,
+                            "stop_words": sorted(a.stop_words),
+                            "max_token_length": a.max_token_length,
+                        }
+                        for k, a in self.analyzers.items()
                     },
                     # table schemas travel with the index: load() reads
                     # with explicit schemas, which (a) makes an EMPTY
@@ -298,9 +313,21 @@ class Index:
                 )
         with open(f"{path}/_stats.json") as f:
             meta = json.load(f)
+        def _an(spec) -> Analyzer:
+            if isinstance(spec, str):  # pre-round-3 sidecar: kind only
+                return Analyzer(spec)
+            return Analyzer(
+                spec["kind"],
+                stop_words=frozenset(spec.get("stop_words") or ()),
+                max_token_length=int(
+                    spec.get("max_token_length")
+                    or DEFAULT_MAX_TOKEN_LENGTH
+                ),
+            )
+
         analyzers = {
-            (None if k == "None" else k): Analyzer(kind)
-            for k, kind in meta["analyzers"].items()
+            (None if k == "None" else k): _an(v)
+            for k, v in meta["analyzers"].items()
         }
         sug_path = f"{path}/suggest"
         schemas = meta.get("schemas", {})

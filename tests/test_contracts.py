@@ -626,3 +626,37 @@ def test_empty_disk_index_create_then_stream_pattern(spark, tmp_path):
         for r in reopened.search("gamma", field_name="body",
                                  with_hit=False).collect()
     ) == [5, 6]
+
+
+def test_reopen_persists_analyzer_config(spark, tmp_path):
+    """A custom stop set / token-length cap must survive reopen —
+    otherwise the reloaded index tokenizes queries differently than it
+    indexed documents (silent result loss, not an error)."""
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.analysis import Analyzer
+    from lucene_clj_spark.indexer import Index
+
+    path = str(tmp_path / "an_cfg_idx")
+    an = Analyzer("standard", stop_words=frozenset({"the"}),
+                  max_token_length=5)
+    idx = create_index(
+        spark,
+        spark.createDataFrame(
+            [(0, "the quick brownfox"), (1, "quick the the")],
+            "doc_id long, body string",
+        ),
+        {"body": "text"}, id_column="doc_id", analyzer=an,
+        path=path, index_type="disk", re_create=True,
+    )
+    reopened = Index.load(spark, path)
+    got = reopened.analyzer_for("body")
+    assert got.stop_words == frozenset({"the"})
+    assert got.max_token_length == 5
+    # stop word: indexed as nothing, and the QUERY side must agree
+    assert reopened.search("the", field_name="body",
+                           with_hit=False).count() == 0
+    # >5-char tokens were chunked at index time ("brownfox" ->
+    # "brown" + "fox"); the reopened query analyzer must chunk the
+    # same way or the term is unfindable
+    assert [r["doc_id"] for r in reopened.search(
+        "brownfox", field_name="body", with_hit=False).collect()] == [0]
