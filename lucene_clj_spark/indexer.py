@@ -201,6 +201,17 @@ class Index:
 
     # --- persistence (schema travels with the index) ------------------
     def write(self, path: str, n_buckets: int = DEFAULT_BUCKETS) -> "Index":
+        if self.path and os.path.realpath(path) == os.path.realpath(
+                self.path):
+            # self.postings/docs/terms are LAZY reads of these very
+            # parquet dirs; mode("overwrite") deletes the inputs of
+            # the job that is reading them — data loss, not a rewrite
+            raise ValidationError(
+                "Index.write cannot overwrite the directory this index "
+                "is reading from; write to a new path (or rebuild with "
+                "create_index(re_create=True))",
+                {"path": path},
+            )
         os.makedirs(path, exist_ok=True)
         self.docs.write.mode("overwrite").parquet(f"{path}/docs")
         _write_postings(self.postings, path, n_buckets, "overwrite")

@@ -660,3 +660,23 @@ def test_reopen_persists_analyzer_config(spark, tmp_path):
     # same way or the term is unfindable
     assert [r["doc_id"] for r in reopened.search(
         "brownfox", field_name="body", with_hit=False).collect()] == [0]
+
+
+def test_write_refuses_overwriting_own_source_dir(spark, tmp_path):
+    """Index.write(self.path) would have Spark overwrite the parquet
+    dirs its own lazy tables read from — refuse instead of corrupting."""
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.errors import ValidationError
+
+    path = str(tmp_path / "self_wr_idx")
+    idx = create_index(
+        spark,
+        spark.createDataFrame([(0, "alpha")], "doc_id long, body string"),
+        {"body": "text"}, id_column="doc_id",
+        path=path, index_type="disk", re_create=True,
+    )
+    with pytest.raises(ValidationError, match="reading from"):
+        idx.write(path)
+    # a distinct path still works, and the original stays servable
+    idx.write(str(tmp_path / "copy_idx"))
+    assert idx.search("alpha", field_name="body").count() == 1
