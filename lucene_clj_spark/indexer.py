@@ -496,6 +496,38 @@ class Index:
                 "documents",
                 {},
             )
+        if self.path:
+            # refuse to append under a HALF-BUILT segment layout, and
+            # do it BEFORE any table mutation: committed buckets were
+            # encoded without this batch (the delta would have to carry
+            # it) while a later resume re-encodes the missing buckets
+            # from the live postings table WITH it — either silently
+            # missing docs or double-counted postings on the kernel
+            # path depending on ordering. Finish or drop the partial
+            # build first; complete segment sets take deltas as usual.
+            seg_meta_p = os.path.join(
+                self.path, "manifests", "_segments_meta.json"
+            )
+            if os.path.isfile(seg_meta_p):
+                from lucene_clj_spark.segments import (
+                    SEGMENT_FORMAT as _FMT,
+                    missing_buckets as _missing,
+                    segments_meta as _smeta,
+                )
+
+                _m = _smeta(self.path)
+                if _m.get("format") == _FMT:
+                    mb = _missing(self.path, _m)
+                    if mb:
+                        raise ValidationError(
+                            "add_documents: the segment build at "
+                            f"{self.path} is incomplete (buckets "
+                            f"{mb} have no committed manifest) — "
+                            "finish it with build_segments(resume="
+                            "True) or drop it with build_segments("
+                            "resume=False) before appending",
+                            {"missing_buckets": mb},
+                        )
         default_an = self.analyzers.get(None, STANDARD)
         # cache=True: the batch's inversion materializes ONCE and feeds
         # the stats collect + every downstream write/union (a memory

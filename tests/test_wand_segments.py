@@ -1824,3 +1824,45 @@ def test_append_after_merge_kernels_stay_exact(spark, tmp_path_factory):
     assert os.path.isdir(os.path.join(inc_path, "segments_g2"))  # grace
     assert not os.path.isdir(os.path.join(inc_path, "segments"))  # g1 gone
     assert col(wand_topk(inc, "text", ["merge"], k=10, mode="or")) == before
+
+
+def test_append_refused_under_half_built_segments(spark, tmp_path_factory):
+    """Appending under a PARTIAL segment build is unsound in both
+    directions (committed buckets would miss the batch; resumed buckets
+    would double-count it once the delta also lands) — add_documents
+    must refuse BEFORE mutating any table, and work again once the
+    build is completed with resume."""
+    from lucene_clj_spark.errors import ValidationError
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path_factory.mktemp("halfbuilt") / "idx")
+    idx = create_index(spark, base, {"text": "text"}, id_column="doc_id",
+                       path=path, index_type="disk", re_create=True,
+                       ignore_extra_columns=True)
+    build_segments(idx, n_buckets=4, chunk_span=32, block_size=8)
+    # simulate a build killed after 3/4 buckets committed
+    os.remove(os.path.join(path, "manifests", "bucket_2.json"))
+    n_docs_before = idx.docs.count()
+    with pytest.raises(ValidationError, match="incomplete"):
+        idx.add_documents(batch, ignore_extra_columns=True)
+    # fail-fast: nothing was appended, no pending journal left behind
+    assert idx.docs.count() == n_docs_before
+    assert not os.path.exists(os.path.join(path, "_append_pending.json"))
+    # finishing the build makes the append legal again, and the kernel
+    # answers match a from-scratch build over the full corpus
+    build_segments(idx, n_buckets=4, chunk_span=32, block_size=8,
+                   resume=True)
+    idx.add_documents(batch, ignore_extra_columns=True)
+    full_path = str(tmp_path_factory.mktemp("halfbuilt_full") / "idx")
+    full = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
+                        path=full_path, index_type="disk", re_create=True,
+                        ignore_extra_columns=True)
+    build_segments(full, n_buckets=4, chunk_span=32, block_size=8)
+
+    def col(df):
+        return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+    assert col(wand_topk(idx, "text", ["merge", "the"], k=12, mode="or")) \
+        == col(wand_topk(full, "text", ["merge", "the"], k=12, mode="or"))
