@@ -70,6 +70,25 @@ DEFAULT_CHUNK_SPAN = 1 << 17  # 131072 docs per chunk group
 DEFAULT_BUCKETS = 16
 
 
+def _check_no_pending_append(root: str | None) -> None:
+    """Honor the add_documents crash journal: a surviving
+    ``_append_pending.json`` means the postings/docs tables AND any
+    delta segment files may be partial — encoding or merging from them
+    would bake the partial state into committed segment files that the
+    load-time refusal can no longer protect."""
+    from lucene_clj_spark.indexer import APPEND_PENDING
+    from lucene_clj_spark.errors import ValidationError
+
+    if root and os.path.exists(os.path.join(root, APPEND_PENDING)):
+        raise ValidationError(
+            f"index at {root} has an interrupted append "
+            f"({APPEND_PENDING} present) — its tables and delta "
+            "segments may be partial; rebuild the index or restore "
+            "from source before (re)building or merging segments",
+            {"path": root},
+        )
+
+
 def _impact_frontier(tfs: np.ndarray, qdl: np.ndarray) -> list[dict]:
     """Pareto frontier of (tf, qdl): keep pairs where no other pair has
     tf >= and qdl <=. BM25 is increasing in tf and decreasing in qdl,
@@ -247,6 +266,7 @@ def build_segments(
     root = path or index.path
     if not root:
         raise ValueError("segments need a disk path (index.path or path=)")
+    _check_no_pending_append(index.path)
     man_root = os.path.join(root, "manifests")
     meta_path = os.path.join(man_root, "_segments_meta.json")
     generation = 1
@@ -470,6 +490,7 @@ def merge_segments(index, root: str | None = None,
     Readers never see a missing or half-renamed segments dir — the
     parquet equivalent of an Iceberg snapshot commit."""
     root = root or index.path
+    _check_no_pending_append(root)
     meta = segments_meta(root)
     if meta.get("format") != SEGMENT_FORMAT:
         raise ValueError(

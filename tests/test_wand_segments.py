@@ -1866,3 +1866,30 @@ def test_append_refused_under_half_built_segments(spark, tmp_path_factory):
 
     assert col(wand_topk(idx, "text", ["merge", "the"], k=12, mode="or")) \
         == col(wand_topk(full, "text", ["merge", "the"], k=12, mode="or"))
+
+
+def test_segment_ops_honor_append_journal(spark, tmp_path_factory):
+    """A surviving _append_pending.json (crashed append) must fence
+    build_segments and merge_segments too — encoding or merging from
+    possibly-partial tables would bake the partial state into
+    committed segment files that the load-time refusal can't catch."""
+    import json as _json
+
+    from lucene_clj_spark.errors import ValidationError
+    from lucene_clj_spark.segments import merge_segments
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    path = str(tmp_path_factory.mktemp("fence") / "idx")
+    idx = create_index(spark, docs, {"text": "text"}, id_column="doc_id",
+                       path=path, index_type="disk", re_create=True,
+                       ignore_extra_columns=True)
+    build_segments(idx, n_buckets=2, chunk_span=32, block_size=8)
+    pending = os.path.join(path, "_append_pending.json")
+    with open(pending, "w") as f:
+        _json.dump({"n_new_docs": 1}, f)
+    with pytest.raises(ValidationError, match="interrupted append"):
+        build_segments(idx, n_buckets=2, chunk_span=32, block_size=8)
+    with pytest.raises(ValidationError, match="interrupted append"):
+        merge_segments(idx)
+    os.remove(pending)
+    merge_segments(idx)  # clean journal: merge proceeds
