@@ -10,6 +10,18 @@ every query in the session reads one pinned, in-memory columnar copy —
 an immutable snapshot regardless of later writes to the underlying
 parquet. ``close()`` unpersists. Works as a context manager, mirroring
 the reference's ``with-open`` usage (lucene.clj:42-45).
+
+Pinning scope: the DataFrame execution path (and everything it feeds —
+stored-field hits, suggest, stats) is fully pinned. The SEGMENT-KERNEL
+path reads the compressed segment files per query, so within a session
+it behaves like a near-real-time-refreshed Lucene reader: a concurrent
+``add_documents`` delta becomes visible to kernel-routed queries
+(scored with the session's pinned corpus stats), and a concurrent
+``merge_segments`` is safe because the merge swaps a generation
+POINTER and keeps the previous generation on disk as a grace window
+(segments.py) — in-flight kernel queries never see a half-merged or
+missing directory. Pass ``strategy="dataframe"`` per query for a
+strictly frozen view of a mutating index.
 """
 
 from __future__ import annotations
