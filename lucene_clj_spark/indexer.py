@@ -529,6 +529,11 @@ class Index:
                             {"missing_buckets": mb},
                         )
         default_an = self.analyzers.get(None, STANDARD)
+        # build the suggest-rows plan FIRST: it validates contexts_from
+        # (a cold-reopened "<fn>" marker raises here) and must do so
+        # before the batch inversion below persists anything — a failed
+        # append should leave no cached relation behind
+        sug_new = _suggest_union(docs, specs, self.analyzers, default_an)
         # cache=True: the batch's inversion materializes ONCE and feeds
         # the stats collect + every downstream write/union (a memory
         # index keeps referencing the cached relation afterwards)
@@ -544,7 +549,6 @@ class Index:
         )
         stored_cols = [c for c in self.docs.columns]
         docs_out = docs.select(*stored_cols)
-        sug_new = _suggest_union(docs, specs, self.analyzers, default_an)
 
         # merged corpus stats (index-wide, like Lucene's reopened reader)
         new_stats: dict[str, dict[str, float]] = {}
