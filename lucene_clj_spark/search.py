@@ -1119,7 +1119,8 @@ def _wand_route(
     gclauses = _group_tree_clauses(node, allow_phrase=True)
     if gclauses is None:
         # deeper nesting than one level -> the arbitrary-depth tree
-        # kernel (term leaves only; phrase/fuzzy-at-depth fall back)
+        # kernel (term + phrase leaves at any depth; fuzzy leaves
+        # expand into weighted term OR-groups — see _tree_route)
         return _tree_route(index, node)
     groups: list[tuple[str, list]] = []
     term_pairs: set[tuple[str, str]] = set()
