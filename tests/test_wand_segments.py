@@ -1893,3 +1893,34 @@ def test_segment_ops_honor_append_journal(spark, tmp_path_factory):
         merge_segments(idx)
     os.remove(pending)
     merge_segments(idx)  # clean journal: merge proceeds
+
+
+def test_search_after_group_and_tree_kernels(disk_index):
+    """Keyset pagination parity on the two kernel shapes the existing
+    search_after tests don't cover: one-level group trees and
+    arbitrary-depth trees. Page 2 via search_after must equal the
+    DataFrame path's page 2, and must continue exactly after page 1."""
+    from lucene_clj_spark.query import parse_dsl
+
+    for dsl in (
+        "(merge OR window) AND dup NOT compact",            # group kernel
+        "((merge AND window) OR (dup AND scan)) NOT echo",  # tree kernel
+    ):
+        node = parse_dsl(dsl, "text", disk_index.specs,
+                         disk_index.analyzers)
+        p1 = disk_index.search(node, results_per_page=3, with_hit=False,
+                               strategy="wand").collect()
+        assert len(p1) == 3
+        sa = {"score": p1[-1]["score"], "doc_id": p1[-1]["doc_id"]}
+        got = disk_index.search(node, results_per_page=3, with_hit=False,
+                                strategy="wand", search_after=sa)
+        s = got._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in s  # still the kernel with a keyset
+        want = disk_index.search(node, results_per_page=3, with_hit=False,
+                                 strategy="dataframe", search_after=sa)
+        gl = [(r["doc_id"], round(r["score"], 9)) for r in got.collect()]
+        wl = [(r["doc_id"], round(r["score"], 9)) for r in want.collect()]
+        assert gl == wl
+        # page 2 really continues after page 1 (no repeats, ordered)
+        assert not ({d for d, _ in gl}
+                    & {r["doc_id"] for r in p1})
