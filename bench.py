@@ -119,7 +119,10 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
 
     percentiles: dict[str, dict[str, float]] = {}
 
-    def timed(fn, runs: int = 5, name: str | None = None) -> float:
+    # 9 samples (up from 5, VERDICT r03 item 8): on this steal-noisy
+    # host a single spike lands in the sample set often; with n=9 the
+    # median is robust to up to 4 spiked samples instead of 2.
+    def timed(fn, runs: int = 9, name: str | None = None) -> float:
         fn()  # warm-up
         samples = []
         for _ in range(runs):

@@ -327,12 +327,15 @@ class Index:
         def _an(spec) -> Analyzer:
             if isinstance(spec, str):  # pre-round-3 sidecar: kind only
                 return Analyzer(spec)
+            # explicit None check: `or DEFAULT` would map a persisted 0
+            # (or any falsy cap) to the default instead of
+            # round-tripping it (ADVICE r03)
+            cap = spec.get("max_token_length")
             return Analyzer(
                 spec["kind"],
                 stop_words=frozenset(spec.get("stop_words") or ()),
-                max_token_length=int(
-                    spec.get("max_token_length")
-                    or DEFAULT_MAX_TOKEN_LENGTH
+                max_token_length=(
+                    int(cap) if cap is not None else DEFAULT_MAX_TOKEN_LENGTH
                 ),
             )
 

@@ -234,6 +234,44 @@ def missing_buckets(root: str, meta: dict) -> list[int]:
     ]
 
 
+def _bucket_postings(index, b: int, n_buckets: int) -> DataFrame:
+    """The postings scan for segment bucket ``b`` of ``n_buckets``.
+
+    A disk index's postings are ALREADY directory-partitioned on
+    bucket = pmod(xxhash64(term), P) (indexer._write_postings). When
+    the segment bucket count S divides P, pmod(h, S) ==
+    pmod(pmod(h, P), S), so segment bucket b is EXACTLY the physical
+    partitions {b, b+S, ..., b+P-S} — and a filter on the physical
+    partition column partition-PRUNES the scan to 1/S of the table.
+    The old recomputed-column filter could not prune, so each of the S
+    bucket jobs re-scanned the full postings table: S× read
+    amplification on the biggest job in the system (VERDICT r03
+    finding #1 — at 100 TB, 16 passes over the corpus postings
+    instead of one)."""
+    pb = index.buckets
+    if (pb and "bucket" in index.postings.columns
+            and pb % n_buckets == 0):
+        stride = pb // n_buckets
+        return index.postings.filter(
+            F.col("bucket").isin(
+                [b + k * n_buckets for k in range(stride)]
+            )
+        ).drop("bucket")
+    # memory index (nothing to prune) or a non-divisor bucket count:
+    # recompute the segment bucket as a column. drop() any physical
+    # bucket first so withColumn can't silently shadow it.
+    post = index.postings
+    if "bucket" in post.columns:
+        post = post.drop("bucket")
+    return (
+        post.withColumn(
+            "__seg_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+        )
+        .filter(F.col("__seg_bucket") == b)
+        .drop("__seg_bucket")
+    )
+
+
 def build_segments(
     index,
     path: str | None = None,
@@ -267,6 +305,8 @@ def build_segments(
     if not root:
         raise ValueError("segments need a disk path (index.path or path=)")
     _check_no_pending_append(index.path)
+    if root != index.path:
+        _check_no_pending_append(root)
     man_root = os.path.join(root, "manifests")
     meta_path = os.path.join(man_root, "_segments_meta.json")
     generation = 1
@@ -282,9 +322,6 @@ def build_segments(
 
     nf = files_per_bucket or max(
         2, (index.spark.sparkContext.defaultParallelism * 2) // n_buckets
-    )
-    post = index.postings.withColumn(
-        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
     )
 
     meta = {
@@ -359,7 +396,7 @@ def build_segments(
                 log(f"bucket {b}: manifest present, skipping (resume)")
             return
         t0 = time.time()
-        part = post.filter(F.col("bucket") == b).drop("bucket")
+        part = _bucket_postings(index, b, n_buckets)
         # persist the encoded blocks: repartitionByRange runs a
         # SAMPLING job to pick range bounds, which would otherwise
         # re-execute the whole encode a second time for the write
@@ -490,7 +527,13 @@ def merge_segments(index, root: str | None = None,
     Readers never see a missing or half-renamed segments dir — the
     parquet equivalent of an Iceberg snapshot commit."""
     root = root or index.path
-    _check_no_pending_append(root)
+    # the append journal is always written at index.path; check BOTH
+    # locations so merge_segments(index, root=<other dir>) can't merge
+    # from delta segments left partial by an interrupted append
+    # (ADVICE r03: fence inconsistency vs build_segments)
+    _check_no_pending_append(index.path)
+    if root != index.path:
+        _check_no_pending_append(root)
     meta = segments_meta(root)
     if meta.get("format") != SEGMENT_FORMAT:
         raise ValueError(

@@ -22,6 +22,21 @@ Operators mirrored:
 - G4 weights: static per-field weight, descending (schema.clj:66-70).
 - G5 max_results honored with no hidden cap (contract_test.clj:159-167).
 - skip_duplicates: one hit per distinct completion.
+
+Scale sizing note (fuzzy suggest): the fuzzy path prunes the scan to
+completions sharing the prefix's FIRST character only (matching
+Lucene's FuzzyCompletionQuery default: first char exact, 1 edit) —
+a much weaker prune than the exact-prefix range scan. Size
+expectations accordingly: the table scanned is the COMPLETION table
+(one row per distinct (field, completion, doc) suggest entry — its
+cardinality is per-field distinct completions, typically 10^6-10^8
+even for web corpora whose postings run 10^11+), not the postings
+table. A one-char partition of that is ~1/26th of the field's
+completions; the Damerau filter then runs as a vectorized kernel over
+only that slice. If fuzzy-suggest latency matters at the top end,
+bucket the suggest table by first char on write (Index.write already
+range-partitions on completion_key, which clusters first chars into
+few files — parquet min/max stats give the prune for free).
 """
 
 from __future__ import annotations

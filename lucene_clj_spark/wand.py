@@ -661,6 +661,16 @@ def _eval_phrase_chunk(
         first_term = False
         pos_all = np.concatenate(pos_parts)
         cidx_all = np.concatenate(cidx_parts)
+        if pos_all.size and int(pos_all.max()) + L >= (1 << 32):
+            # the packed (cidx << 32 | pos+L-off) key would spill into
+            # the next candidate's range and silently corrupt matches
+            # (ADVICE r03). Unreachable for real documents (a 4-billion-
+            # token doc), so fail loud rather than widen the shift.
+            raise ValueError(
+                "phrase kernel: token position "
+                f"{int(pos_all.max())} + {L} exceeds the 2^32 packed-key "
+                "range; document too long for packed phrase matching"
+            )
         keys = (cidx_all << np.int64(32)) + (pos_all + np.int64(L))
         for off in offs:
             cand_keys = keys - np.int64(off)

@@ -165,6 +165,46 @@ def test_disk_term_query_plan_prunes(disk_index):
     assert "Sort " not in s  # no global sort operator
 
 
+def test_build_segments_bucket_scan_partition_prunes(disk_index):
+    """VERDICT r03 finding #1: the per-bucket postings scan inside
+    build_segments must filter on the PHYSICAL bucket partition column
+    (partition pruning — each of the S bucket jobs reads 1/S of the
+    postings table), not a recomputed pmod column that forces S full
+    scans. Segment bucket b over P=32 postings buckets with S=4 maps to
+    exactly the physical partitions {b, b+4, ..., b+28}."""
+    from lucene_clj_spark.segments import _bucket_postings
+
+    scan = _bucket_postings(disk_index, 1, 4)
+    s = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in s
+    pf = s.split("PartitionFilters", 1)[1][:400]
+    assert "bucket" in pf
+    # the pruning predicate must be on the partition column, leaving
+    # NO post-scan pmod recompute in the plan
+    assert "xxhash64" not in s
+
+
+def test_build_segments_bucket_scans_partition_postings_exactly(disk_index):
+    """The pruned per-bucket scans must be a PARTITION of the postings
+    table: disjoint, and their union covers every posting (parity with
+    the recomputed pmod definition)."""
+    from pyspark.sql import functions as F
+
+    from lucene_clj_spark.segments import _bucket_postings
+
+    n_total = disk_index.postings.count()
+    seen = 0
+    for b in range(4):
+        part = _bucket_postings(disk_index, b, 4)
+        # every row in the pruned scan has pmod(xxhash64(term), 4) == b
+        bad = part.filter(
+            F.pmod(F.xxhash64("term"), F.lit(4)) != b
+        ).count()
+        assert bad == 0, f"bucket {b} contains foreign terms"
+        seen += part.count()
+    assert seen == n_total
+
+
 def test_disk_bool_query_plan_prunes_buckets(disk_index):
     """The boolean-group fast path must prune to the query terms'
     bucket directories, same as the single-term path (VERDICT r01
