@@ -200,7 +200,35 @@ class Index:
             ) from None
 
     # --- persistence (schema travels with the index) ------------------
-    def write(self, path: str, n_buckets: int = DEFAULT_BUCKETS) -> "Index":
+    def write(self, path: str | None = None,
+              n_buckets: int = DEFAULT_BUCKETS, *,
+              table_format: str = "parquet",
+              catalog_table: str | None = None) -> "Index":
+        """Persist the index. ``table_format="parquet"`` (default)
+        writes the directory layout at ``path`` with JSON sidecars.
+        ``table_format="iceberg"`` writes every table through
+        ``writeTo(...).using("iceberg")`` into ``catalog_table``-
+        prefixed catalog tables with the sidecar content as table
+        properties — the one-line swap a catalog deployment makes
+        (iceberg.py; requires a configured Iceberg catalog + runtime
+        jar, absent from this container)."""
+        if table_format == "iceberg":
+            from lucene_clj_spark.iceberg import write_iceberg
+
+            if not catalog_table:
+                raise ValidationError(
+                    "table_format='iceberg' needs catalog_table="
+                    "'catalog.db.myindex'", {},
+                )
+            write_iceberg(self, catalog_table, n_buckets)
+            return self
+        if table_format != "parquet":
+            raise ValidationError(
+                f"unknown table_format {table_format!r} "
+                "(parquet or iceberg)", {"table_format": table_format},
+            )
+        if not path:
+            raise ValidationError("parquet write needs a path", {})
         if self.path and os.path.realpath(path) == os.path.realpath(
                 self.path):
             # self.postings/docs/terms are LAZY reads of these very
