@@ -83,6 +83,21 @@ def _round6(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def _floor6(df: DataFrame, *cols: str) -> DataFrame:
+    """floor(x*1e6 + 0.5)/1e6 — the SAME IEEE ops the DuckDB twin
+    runs, so the rounded double is bit-identical on both sides.
+    F.round vs SQL round() disagree when x*1e6 lands exactly on .5
+    (ratios of small integers do: sf1 surfaced 0.0646875 rounding to
+    .064688 on Spark and .064687 on DuckDB). Use for ratio columns;
+    BM25 scores keep _round6 (log-derived doubles don't hit decimal
+    ties)."""
+    for c in cols:
+        df = df.withColumn(
+            c, F.floor(F.col(c) * 1000000.0 + 0.5) / 1000000.0
+        )
+    return df
+
+
 def _query_vec(sf_dir: str) -> list[float]:
     import duckdb
 
@@ -289,7 +304,7 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 def q_token_stats(spark, sf_dir):
     out = textfn.token_stats(_docs(spark, sf_dir))
-    return _round6(out, "ttr", "stopword_ratio", "avg_token_len", "quality")
+    return _floor6(out, "ttr", "stopword_ratio", "avg_token_len", "quality")
 
 
 def q_fingerprint(spark, sf_dir):
@@ -823,13 +838,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # --- DuckDB oracles ----------------------------------------------------
+#
+# Every per-doc score sum uses an ORDERED aggregate
+# (``sum(score ORDER BY term)``): plain sum() adds in DuckDB's
+# nondeterministic hash-agg order, so two IDENTICAL docs can differ by
+# 1 ulp and full-precision tie ordering becomes run-dependent — the sf1
+# duplication run surfaced exactly that (320 copies of a doc selected
+# as an arbitrary subset). Term-ascending addition matches the segment
+# kernels' canonical fkey-sorted accumulation.
 
 def _bool_and_sql() -> str:
     return (
         _multi_term_scores_sql(["merge", "window"])
         + """
 SELECT doc_id, round(score, 6) AS score FROM (
-  SELECT doc_id, sum(score) AS score FROM scores
+  SELECT doc_id, sum(score ORDER BY term) AS score FROM scores
   GROUP BY doc_id HAVING count(DISTINCT term) = 2
   ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
@@ -841,7 +864,7 @@ def _bool_or_sql() -> str:
         _multi_term_scores_sql(["merge", "dup", "vector"])
         + """
 SELECT doc_id, round(score, 6) AS score FROM (
-  SELECT doc_id, sum(score) AS score FROM scores
+  SELECT doc_id, sum(score ORDER BY term) AS score FROM scores
   GROUP BY doc_id
   ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
@@ -995,8 +1018,8 @@ def _dsl_boost_sql() -> str:
         + """
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT doc_id,
-         sum(CASE WHEN term = 'merge' THEN 2.0 * score ELSE score END)
-           AS score
+         sum(CASE WHEN term = 'merge' THEN 2.0 * score ELSE score END
+             ORDER BY term) AS score
   FROM scores GROUP BY doc_id
   ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
@@ -1011,7 +1034,7 @@ def _dsl_grouped_sql() -> str:
         _multi_term_scores_sql(["merge", "window", "dup"])
         + """
 SELECT doc_id, round(score, 6) AS score FROM (
-  SELECT doc_id, sum(score) AS score
+  SELECT doc_id, sum(score ORDER BY term) AS score
   FROM scores GROUP BY doc_id
   HAVING sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) > 0
      AND sum(CASE WHEN term IN ('merge', 'window') THEN 1 ELSE 0 END) > 0
@@ -1028,7 +1051,8 @@ def _dsl_grouped_not_sql() -> str:
         + """
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT doc_id,
-         sum(CASE WHEN term <> 'scan' THEN score ELSE 0 END) AS score
+         sum(CASE WHEN term <> 'scan' THEN score ELSE 0 END
+             ORDER BY term) AS score
   FROM scores GROUP BY doc_id
   HAVING sum(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) > 0
      AND sum(CASE WHEN term IN ('merge', 'window') THEN 1 ELSE 0 END) > 0
@@ -1370,12 +1394,16 @@ base AS (
 SELECT doc_id,
   CAST(n_tokens AS BIGINT) AS n_tokens,
   CAST(n_distinct AS BIGINT) AS n_distinct,
-  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
-  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-  round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS avg_token_len,
-  round((CAST(n_distinct AS DOUBLE) / n_tokens) *
+  floor(CAST(n_distinct AS DOUBLE) / n_tokens * 1000000.0 + 0.5)
+    / 1000000.0 AS ttr,
+  floor(CAST(n_stop AS DOUBLE) / n_tokens * 1000000.0 + 0.5)
+    / 1000000.0 AS stopword_ratio,
+  floor(CAST(sum_len AS DOUBLE) / n_tokens * 1000000.0 + 0.5)
+    / 1000000.0 AS avg_token_len,
+  floor((CAST(n_distinct AS DOUBLE) / n_tokens) *
         (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) *
-        (CAST(least(n_tokens, 256) AS DOUBLE) / 256.0), 6) AS quality
+        (CAST(least(n_tokens, 256) AS DOUBLE) / 256.0) * 1000000.0
+        + 0.5) / 1000000.0 AS quality
 FROM base"""
 
 
@@ -1634,7 +1662,12 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_topk": _fuzzy_sql("merg"),
         "keyword_lang_topk": _keyword_lang_sql("de", 20),
         "typed_exact_nchars": (
-            "SELECT doc_id, 1.0 AS score FROM documents WHERE n_chars = 128"
+            # ORDER + LIMIT must mirror the Spark side's page
+            # (score desc, doc_id asc, results_per_page=100): without
+            # them the oracle silently returns ALL matches once the
+            # corpus has >100 (latent until the sf1 run surfaced it)
+            "SELECT doc_id, 1.0 AS score FROM documents "
+            "WHERE n_chars = 128 ORDER BY doc_id LIMIT 100"
         ),
         # NOTE: DuckDB sum()/list_sum() promote BIGINT -> HUGEINT, which
         # the driver's Arrow-side hasher renders differently than Spark's

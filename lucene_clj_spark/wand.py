@@ -238,6 +238,16 @@ def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
         def process(cpdf: pd.DataFrame) -> None:
             if mode == "and" and cpdf["fkey"].nunique() < n_keys:
                 return
+            # CANONICAL row order: the per-doc score sum (np.add.at
+            # below) adds in concatenation order, and the raw chunk
+            # frame's row order varies with file/batch layout — which
+            # made IDENTICAL docs in different chunks differ by 1 ulp
+            # (surfaced by the sf1 duplication run: tie sets under
+            # 320-way duplication came out chunk-dependent). Stable
+            # fkey sort == (field, term) ascending, every chunk, every
+            # layout.
+            cpdf = cpdf.sort_values("fkey", kind="stable",
+                                    ignore_index=True)
             # per-key chunk maxima ONCE: the chunk bound is their sum;
             # a block's skip bound is its own max + the OTHER keys' sums
             key_maxes = cpdf.groupby("fkey")["block_max_score"].max()
@@ -1363,6 +1373,12 @@ def _group_kernel_factory(
             if len(heap) >= k and tm_sum < theta():
                 return
             doc_parts, score_parts, gid_parts = [], [], []
+            # canonical (field, term) iteration order: per-doc sums add
+            # in concatenation order, so the row order must not depend
+            # on file/batch layout or identical docs in different
+            # chunks drift by 1 ulp (see _kernel_factory)
+            pos = pos.sort_values("fkey", kind="stable",
+                                  ignore_index=True)
             for row in pos.itertuples(index=False):
                 others = tm_sum - float(key_maxes[row.fkey])
                 if (

@@ -205,6 +205,70 @@ def test_build_segments_bucket_scans_partition_postings_exactly(disk_index):
     assert seen == n_total
 
 
+def test_duplicated_corpus_tie_sets_are_canonical(spark, tmp_path):
+    """sf1 regression: identical docs living in DIFFERENT chunks must
+    score BIT-identically in the kernels. The per-doc sum used to add
+    term contributions in chunk-frame row order — which varies with
+    file/batch layout — so copies of one doc drifted by 1 ulp and the
+    k-boundary tie set came out chunk-dependent (320-way duplication at
+    sf1 returned an arbitrary subset of copies instead of the smallest
+    doc_ids). The kernels now accumulate in canonical fkey-sorted
+    order."""
+    from collections import defaultdict
+
+    from lucene_clj_spark.query import MUST, SHOULD, BoolQ, TermQ
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = base.count()
+    copies = 30
+    docs = base.selectExpr(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    for i in range(1, copies):
+        docs = docs.unionByName(
+            base.selectExpr(
+                f"doc_id + {i * n} AS doc_id", "text", "lang",
+                "source", "n_chars",
+            )
+        )
+    idx = create_index(
+        spark, docs,
+        {"text": "text", "lang": "keyword", "source": "keyword",
+         "n_chars": "long"},
+        id_column="doc_id", path=str(tmp_path / "dup_idx"),
+        index_type="disk", re_create=True,
+    )
+    # small chunk span so the copies of one doc span MANY chunks
+    build_segments(idx, n_buckets=4, chunk_span=256, block_size=32)
+
+    node = BoolQ(1.0, (
+        (MUST, BoolQ(1.0, ((SHOULD, TermQ(1.0, "text", "merge")),
+                           (SHOULD, TermQ(1.0, "text", "window"))))),
+        (MUST, TermQ(1.0, "text", "dup")),
+    ))
+    for q, kw in [
+        (node, {"strategy": "wand"}),                      # group kernel
+        (["merge", "window"], {"field_name": "text"}),     # AND kernel
+        ({"text": {"merge", "dup", "vector"}}, {}),        # OR kernel
+    ]:
+        got = idx.search(q, results_per_page=3 * copies,
+                         with_hit=False, **kw).collect()
+        # every copy of a base doc must carry IDENTICAL score bits
+        per_base = defaultdict(set)
+        for r in got:
+            per_base[r["doc_id"] % n].add(r["score"])
+        assert all(len(v) == 1 for v in per_base.values()), q
+        # the k-boundary tie cohort resolves to the SMALLEST doc_ids:
+        # result ids match the DataFrame path's ids exactly
+        want = idx.search(q, results_per_page=3 * copies,
+                          with_hit=False, strategy="dataframe",
+                          **{k_: v for k_, v in kw.items()
+                             if k_ != "strategy"}).collect()
+        assert [r["doc_id"] for r in got] == [
+            r["doc_id"] for r in want
+        ], q
+
+
 def test_disk_bool_query_plan_prunes_buckets(disk_index):
     """The boolean-group fast path must prune to the query terms'
     bucket directories, same as the single-term path (VERDICT r01
