@@ -118,6 +118,95 @@ def iceberg_writers(index, table_prefix: str,
     return writers
 
 
+def _index_from_properties(spark: SparkSession, props: dict,
+                           docs, postings, terms, suggest=None):
+    """Rehydrate an Index from catalog-table DataFrames + the sidecar
+    table properties (the inverse of _sidecar_properties). Separated
+    from the catalog read so the rehydration is unit-testable without
+    an Iceberg runtime."""
+    from lucene_clj_spark.analysis import (
+        Analyzer,
+        DEFAULT_MAX_TOKEN_LENGTH,
+    )
+    from lucene_clj_spark.indexer import Index
+    from lucene_clj_spark.schema import specs_from_json
+
+    missing = [k for k in (PROP_FIELD_SPECS, PROP_STATS, PROP_ANALYZERS)
+               if k not in props]
+    if missing:
+        raise ValidationError(
+            "postings table lacks the engine's sidecar properties "
+            f"{missing} — was it written by Index.write("
+            "table_format='iceberg')?", {"missing": missing},
+        )
+
+    def _an(v: dict) -> Analyzer:
+        # explicit None check (not `or default`): a persisted falsy cap
+        # must round-trip, same contract as Index.load (ADVICE r03)
+        cap = v.get("max_token_length")
+        return Analyzer(
+            v["kind"],
+            stop_words=frozenset(v.get("stop_words") or ()),
+            max_token_length=(
+                int(cap) if cap is not None else DEFAULT_MAX_TOKEN_LENGTH
+            ),
+        )
+
+    analyzers = {
+        (None if k == "None" else k): _an(v)
+        for k, v in json.loads(props[PROP_ANALYZERS]).items()
+    }
+    nb = props.get(PROP_N_BUCKETS)
+    return Index(
+        spark=spark,
+        specs=specs_from_json(props[PROP_FIELD_SPECS]),
+        analyzers=analyzers,
+        docs=docs,
+        postings=postings,
+        terms=terms,
+        stats=json.loads(props[PROP_STATS]),
+        suggest=suggest,
+        path=None,
+        buckets=int(nb) if nb is not None else None,
+    )
+
+
+def load_iceberg(spark: SparkSession, table_prefix: str):
+    """Reopen an index written with ``Index.write(table_format=
+    "iceberg")``: reads the catalog tables and rehydrates specs /
+    stats / analyzers from the postings table's properties — the
+    catalog-native form of Index.load's sidecar read. Queries run
+    against the catalog tables directly (snapshot isolation comes from
+    the catalog instead of session.py's cache pinning)."""
+    if not have_iceberg_catalog(spark, table_prefix):
+        raise ValidationError(
+            f"no Spark catalog configured for {table_prefix!r} "
+            "(set spark.sql.catalog.<name> to an Iceberg catalog and "
+            "ship the iceberg-spark-runtime jar)",
+            {"catalog_table": table_prefix},
+        )
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(
+            f"SHOW TBLPROPERTIES {table_prefix}_postings"
+        ).collect()
+    }
+    # JSON-valued properties come back as strings — exactly what
+    # _index_from_properties parses
+    try:
+        suggest = spark.table(f"{table_prefix}_suggest")
+    except Exception:
+        suggest = None
+    return _index_from_properties(
+        spark,
+        props,
+        docs=spark.table(f"{table_prefix}_docs"),
+        postings=spark.table(f"{table_prefix}_postings"),
+        terms=spark.table(f"{table_prefix}_terms"),
+        suggest=suggest,
+    )
+
+
 def write_iceberg(index, table_prefix: str,
                   n_buckets: int | None = None) -> None:
     """Execute the Iceberg write: one ``createOrReplace()`` per table —

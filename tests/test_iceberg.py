@@ -106,6 +106,52 @@ def test_have_catalog_detects_conf(idx):
     assert not have_iceberg_catalog(spark, "bare_table_no_catalog")
 
 
+def test_rehydrate_from_properties_round_trip(idx):
+    """The read-path inverse: _index_from_properties over the writer's
+    own table properties + the index's own DataFrames must yield a
+    FULLY OPERATIONAL index — same specs/stats/analyzers, and a real
+    search that returns the same top-k as the original."""
+    from lucene_clj_spark.iceberg import _index_from_properties
+
+    props = _sidecar_properties(idx, 16)
+    re = _index_from_properties(
+        idx.spark, props,
+        docs=idx.docs, postings=idx.postings, terms=idx.terms,
+    )
+    assert set(re.specs) == set(idx.specs)
+    assert re.stats == idx.stats
+    assert re.buckets == 16
+    for k in idx.analyzers:
+        a, b = idx.analyzers[k], re.analyzers[k]
+        assert (a.kind, a.stop_words, a.max_token_length) == (
+            b.kind, b.stop_words, b.max_token_length
+        )
+    got = re.search("merge", field_name="text", with_hit=False,
+                    results_per_page=5).collect()
+    want = idx.search("merge", field_name="text", with_hit=False,
+                      results_per_page=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_rehydrate_requires_engine_properties(idx):
+    from lucene_clj_spark.iceberg import _index_from_properties
+
+    with pytest.raises(ValidationError, match="sidecar"):
+        _index_from_properties(
+            idx.spark, {"some": "table"},
+            docs=idx.docs, postings=idx.postings, terms=idx.terms,
+        )
+
+
+def test_load_refuses_without_catalog(idx):
+    from lucene_clj_spark.iceberg import load_iceberg
+
+    with pytest.raises(ValidationError, match="catalog"):
+        load_iceberg(idx.spark, "nocat.db.t")
+
+
 @pytest.mark.skipif(
     True, reason="Iceberg runtime jar not shipped in this container; "
     "this probe documents the execution path a catalog deployment runs",
