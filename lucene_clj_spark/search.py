@@ -138,6 +138,16 @@ def _scored_term_group(
     semantics fall out of ``count(matched must clauses) == n_musts`` in
     the same aggregation that sums scores. One scan, one shuffle,
     regardless of clause count — this is what survives a 100x scale-up.
+
+    Tie-precision note: the per-doc ``F.sum`` adds term scores in
+    Spark's aggregation order, which is not canonical — two docs with
+    identical term sets can in principle differ by 1 ulp under an
+    adversarial partition layout (the segment KERNELS, the scale path,
+    accumulate in canonical fkey order precisely for this reason —
+    wand.py). Both correctness gates (sf0.01 and the 1.6M-doc sf1 run)
+    pass on this path; canonicalizing here would cost a per-doc
+    collect+sort on the hot fallback, which isn't warranted for a
+    last-bit-of-a-tie hazard.
     """
     spark = index.spark
     merged: dict[tuple[str, str], dict] = {}
