@@ -246,8 +246,13 @@ def test_duplicated_corpus_tie_sets_are_canonical(spark, tmp_path):
                            (SHOULD, TermQ(1.0, "text", "window"))))),
         (MUST, TermQ(1.0, "text", "dup")),
     ))
+    from lucene_clj_spark.query import parse_dsl
+
+    tree = parse_dsl("((merge AND window) OR (dup AND scan)) NOT compact",
+                     "text", idx.specs, idx.analyzers)
     for q, kw in [
         (node, {"strategy": "wand"}),                      # group kernel
+        (tree, {"strategy": "wand"}),                      # tree kernel
         (["merge", "window"], {"field_name": "text"}),     # AND kernel
         ({"text": {"merge", "dup", "vector"}}, {}),        # OR kernel
     ]:
@@ -267,6 +272,24 @@ def test_duplicated_corpus_tie_sets_are_canonical(spark, tmp_path):
         assert [r["doc_id"] for r in got] == [
             r["doc_id"] for r in want
         ], q
+
+    # keyset pagination must WALK a tied cohort by doc_id: page through
+    # 3 * copies results 10 at a time via search_after and land on the
+    # same sequence as one big page, with no skips or repeats across
+    # the equal-score runs
+    one_page = idx.search(node, results_per_page=3 * copies,
+                          with_hit=False, strategy="wand").collect()
+    walked, after = [], None
+    for _ in range(3 * copies // 10):
+        page = idx.search(node, results_per_page=10, with_hit=False,
+                          strategy="wand", search_after=after).collect()
+        if not page:
+            break
+        walked.extend(page)
+        after = {"score": page[-1]["score"], "doc_id": page[-1]["doc_id"]}
+    assert [(r["doc_id"], r["score"]) for r in walked] == [
+        (r["doc_id"], r["score"]) for r in one_page
+    ]
 
 
 def test_disk_bool_query_plan_prunes_buckets(disk_index):
