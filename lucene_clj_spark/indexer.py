@@ -241,7 +241,19 @@ class Index:
                 {"path": path},
             )
         os.makedirs(path, exist_ok=True)
-        self.docs.write.mode("overwrite").parquet(f"{path}/docs")
+        # docs range-partitioned + sorted on doc_id: stored-field
+        # retrieval (search with_hit) pushes a doc_id IN (...) filter
+        # into this scan, and tight per-file/row-group min/max on a
+        # sorted id column turn that into SEEKS instead of a table scan
+        n_docs_files = max(
+            2, self.spark.sparkContext.defaultParallelism
+        )
+        (
+            self.docs.repartitionByRange(n_docs_files, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/docs")
+        )
         _write_postings(self.postings, path, n_buckets, "overwrite")
         self.terms.write.mode("overwrite").parquet(f"{path}/terms")
         if self.suggest is not None:

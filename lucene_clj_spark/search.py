@@ -1445,7 +1445,30 @@ def search(
         ]
         if "doc_id" not in cols:
             cols = ["doc_id"] + cols
-        top = F.broadcast(top).join(index.docs.select(*cols), "doc_id")
+        # Stored-field retrieval by SEEK, not scan (Lucene fetches
+        # stored fields by docID; the Spark analogue is a literal
+        # doc_id IN (...) pushed into the parquet scan for row-group
+        # min/max skipping). The previous broadcast join streamed the
+        # FULL docs table to fetch k rows — a full-corpus scan per
+        # hit-bearing query at 100 TB. The top-k is bounded
+        # (k * (page+1)), so materializing it here costs one action
+        # the caller was about to pay anyway, and the fetch plan
+        # becomes PushedFilters: In(doc_id, ...) over a doc_id-sorted
+        # table (Index.write range-partitions docs on doc_id).
+        hits = top.collect()
+        spark = index.spark
+        top = spark.createDataFrame(
+            [(r["doc_id"], r["score"]) for r in hits],
+            "doc_id long, score double",
+        )
+        fetched = index.docs.select(*cols)
+        if hits:
+            fetched = fetched.filter(
+                F.col("doc_id").isin([r["doc_id"] for r in hits])
+            )
+        else:
+            fetched = fetched.filter(F.lit(False))
+        top = F.broadcast(top).join(fetched, "doc_id")
         if hit_fn is not None:
             from pyspark.sql.types import StructType
 

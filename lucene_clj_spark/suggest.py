@@ -142,6 +142,24 @@ def suggest(
         ]
         if "doc_id" not in cols:
             cols = ["doc_id"] + cols
-        out = F.broadcast(out).join(index.docs.select(*cols), "doc_id")
+        # stored-field retrieval by SEEK (same contract as search
+        # with_hit): materialize the bounded suggestion set, push a
+        # literal doc_id IN (...) into the docs scan so row-group
+        # min/max on the doc_id-sorted table prunes instead of
+        # streaming the whole docs table through a broadcast join
+        rows = out.collect()
+        spark = index.spark
+        out = spark.createDataFrame(
+            [(r["doc_id"], r["completion"], r["score"]) for r in rows],
+            "doc_id long, completion string, score double",
+        )
+        fetched = index.docs.select(*cols)
+        if rows:
+            fetched = fetched.filter(
+                F.col("doc_id").isin([r["doc_id"] for r in rows])
+            )
+        else:
+            fetched = fetched.filter(F.lit(False))
+        out = F.broadcast(out).join(fetched, "doc_id")
         out = out.orderBy(F.desc("score"), F.asc("completion"), F.asc("doc_id"))
     return out

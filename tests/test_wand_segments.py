@@ -205,6 +205,19 @@ def test_build_segments_bucket_scans_partition_postings_exactly(disk_index):
     assert seen == n_total
 
 
+def test_with_hit_fetch_is_a_docid_seek(disk_index):
+    """Stored-field retrieval must SEEK by doc_id (literal IN pushed
+    into the docs scan over the doc_id-sorted table), never stream the
+    full docs table through a broadcast join — at 100 TB the old shape
+    was a full-corpus scan per hit-bearing query."""
+    plan = disk_index.search("merge", field_name="text", with_hit=True,
+                             results_per_page=5, strategy="dataframe")
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "In(doc_id, [" in s  # pushed literal id set
+    got = plan.collect()
+    assert len(got) == 5 and got[0]["text"] is not None
+
+
 def test_duplicated_corpus_tie_sets_are_canonical(spark, tmp_path):
     """sf1 regression: identical docs living in DIFFERENT chunks must
     score BIT-identically in the kernels. The per-doc sum used to add
