@@ -158,6 +158,189 @@ def flat_postings_generator(text_fields, kw_fields, analyzers, default_an):
     return emit
 
 
+def flat_postings_arrow_generator(text_fields, kw_fields, analyzers,
+                                  default_an):
+    """mapInArrow generator: documents -> FLAT postings RecordBatches.
+
+    Same contract as :func:`flat_postings_generator` (one row per
+    distinct (field, term, doc) with ascending positions, plus one
+    stats-marker row per (text field, doc) with term=NULL and
+    dl=token count) — pinned row-set-identical by
+    tests/test_arrow_kernel.py — but the per-doc Python dict inversion
+    is replaced by a batch-level vectorized inversion:
+
+      flatten all tokens -> pd.factorize (C hashing) -> stable argsort
+      on (doc, term-code) -> group boundaries via diff -> tf = group
+      sizes, positions = ONE zero-copy pyarrow ListArray built from
+      (group offsets, sorted position values).
+
+    The stable sort keeps each group's positions in original token
+    order (ascending within a doc), so per-group position lists never
+    materialize as Python objects. Measured 3.8x faster than the dict
+    loop on sf0.1 web text (73.6ms vs 280.4ms per 10k-doc batch,
+    /tmp-prototype recorded in BENCH/BASELINE.md), and yielding arrow
+    RecordBatches also skips the pandas block-manager assembly the
+    pandas generator paid on every batch. This kernel is the build's
+    hot path (reference analogue: Lucene's DocumentsWriter per-thread
+    inversion, indexer.clj:33-40)."""
+    import numpy as np
+    import pyarrow as pa
+    from itertools import chain
+
+    pos_type = pa.list_(pa.int32())
+    out_schema = pa.schema(
+        [
+            ("field", pa.string()),
+            ("term", pa.string()),
+            ("doc_id", pa.int64()),
+            ("tf", pa.int32()),
+            ("dl", pa.int32()),
+            ("positions", pos_type),
+        ]
+    )
+
+    def _invert_text(tok_lists, n_docs):
+        """Vectorized batch inversion. Returns (g_doc, g_terms, tf,
+        positions ListArray, lens) where g_* are group-level arrays
+        sorted by (doc index, first-appearance term code)."""
+        lens = np.fromiter(map(len, tok_lists), dtype=np.int64,
+                           count=n_docs)
+        total = int(lens.sum())
+        if total == 0:
+            return (
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=object),
+                np.empty(0, dtype=np.int32),
+                pa.array([], type=pos_type),
+                lens,
+            )
+        flat = np.asarray(
+            list(chain.from_iterable(tok_lists)), dtype=object
+        )
+        codes, uniq = pd.factorize(flat)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        starts_per_doc = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts_per_doc[1:])
+        pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(starts_per_doc, lens)
+        )
+        key = doc_idx * len(uniq) + codes
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        grp_start = np.flatnonzero(
+            np.concatenate(([True], ks[1:] != ks[:-1]))
+        )
+        ends = np.concatenate((grp_start[1:], [total]))
+        tf = (ends - grp_start).astype(np.int32)
+        first = order[grp_start]
+        g_doc = doc_idx[first]
+        g_terms = np.asarray(uniq, dtype=object)[codes[first]]
+        offsets = np.concatenate((grp_start, [total])).astype(np.int32)
+        positions = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(pos[order].astype(np.int32))
+        )
+        return g_doc, g_terms, tf, positions, lens
+
+    def emit(batches):
+        for rb in batches:
+            names = rb.schema.names
+            doc_ids = rb.column(names.index("doc_id")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            n_docs = len(doc_ids)
+            parts = []  # (field, term, doc_id, tf, dl, positions) arrays
+            for name, multi in text_fields:
+                an = analyzers.get(name, default_an)
+                vals = rb.column(names.index(name)).to_pandas()
+                if multi:
+                    vals = vals.map(
+                        lambda v: " \x1f ".join(
+                            x for x in v if x is not None
+                        )
+                        if v is not None
+                        else ""
+                    )
+                tok_lists = an.tokens_series(vals).tolist()
+                g_doc, g_terms, tf, positions, lens = _invert_text(
+                    tok_lists, n_docs
+                )
+                ng = len(tf)
+                parts.append(
+                    (
+                        pa.array(np.full(ng + n_docs, name, dtype=object)),
+                        pa.concat_arrays(
+                            [
+                                pa.array(g_terms, type=pa.string()),
+                                pa.nulls(n_docs, pa.string()),
+                            ]
+                        ),
+                        pa.array(
+                            np.concatenate((doc_ids[g_doc], doc_ids))
+                        ),
+                        pa.array(
+                            np.concatenate(
+                                (tf, np.zeros(n_docs, dtype=np.int32))
+                            )
+                        ),
+                        pa.array(
+                            np.concatenate(
+                                (lens[g_doc], lens)
+                            ).astype(np.int32)
+                        ),
+                        pa.concat_arrays(
+                            [positions, pa.nulls(n_docs, pos_type)]
+                        ),
+                    )
+                )
+            for name, multi in kw_fields:
+                t_col, id_col = [], []
+                for did, v in zip(
+                    doc_ids, rb.column(names.index(name)).to_pylist()
+                ):
+                    if v is None:
+                        continue
+                    vs = v if multi else (v,)
+                    seen = set()
+                    for item in vs:
+                        if item is None:
+                            continue
+                        s = str(item)
+                        if s in seen:
+                            continue
+                        seen.add(s)
+                        t_col.append(s)
+                        id_col.append(did)
+                total = len(t_col)
+                ones = np.ones(total, dtype=np.int32)
+                parts.append(
+                    (
+                        pa.array(np.full(total, name, dtype=object)),
+                        pa.array(t_col, type=pa.string()),
+                        pa.array(np.asarray(id_col, dtype=np.int64)),
+                        pa.array(ones),
+                        pa.array(ones),
+                        pa.nulls(total, pos_type),
+                    )
+                )
+            if not parts:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], type=f.type) for f in out_schema],
+                    schema=out_schema,
+                )
+                continue
+            if len(parts) == 1:
+                cols = list(parts[0])
+            else:
+                cols = [
+                    pa.concat_arrays([p[i] for p in parts])
+                    for i in range(6)
+                ]
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+    return emit
+
+
 def shingle_udf(analyzer, n):
     """StringType -> ArrayType(StringType): distinct word n-gram
     shingles. Tokenize + shingle in one Arrow batch pass (Spark forbids

@@ -807,7 +807,10 @@ def _build_tables(docs, specs, analyzers, default_an, cache,
     plus Lucene's doc-at-a-time inversion.
 
     Returns (raw, postings, terms, terms_full, stats, n_docs)."""
-    from lucene_clj_spark._udfs import POSTINGS_SCHEMA, flat_postings_generator
+    from lucene_clj_spark._udfs import (
+        POSTINGS_SCHEMA,
+        flat_postings_arrow_generator,
+    )
 
     text_fields = [
         n for n, fs in specs.items() if fs.indexed and fs.type == "text"
@@ -817,13 +820,17 @@ def _build_tables(docs, specs, analyzers, default_an, cache,
     ]
     if not text_fields and not kw_fields:
         raise ValidationError("no indexed text/keyword fields in schema", {})
-    emit = flat_postings_generator(
+    emit = flat_postings_arrow_generator(
         [(n, specs[n].multi_valued) for n in text_fields],
         [(n, specs[n].multi_valued) for n in kw_fields],
         {n: a for n, a in analyzers.items() if n is not None},
         default_an,
     )
-    raw = docs.select("doc_id", *text_fields, *kw_fields).mapInPandas(
+    # mapInArrow (not mapInPandas): the kernel builds its output
+    # columns as arrow arrays directly (zero-copy list offsets for the
+    # positions column), so round-tripping through a pandas block
+    # manager would only add per-batch assembly cost
+    raw = docs.select("doc_id", *text_fields, *kw_fields).mapInArrow(
         emit, POSTINGS_SCHEMA
     )
     if cache or persist_raw:
