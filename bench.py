@@ -75,7 +75,8 @@ def cycled_docs(spark, sf_dir: str, cycles: int):
     # follows the session's actual parallelism (as a cluster sized for
     # this input would be) so per-task dispatch overhead stays a
     # constant FRACTION of the work at every level, not a constant cost.
-    n_parts = spark.sparkContext.defaultParallelism * 2
+    n_parts = spark.sparkContext.defaultParallelism * int(
+        os.environ.get("SPARK_GRAFT_PARTS_MULT", "2"))
     df = df.repartition(n_parts).cache()
     df.count()
     return df, n * cycles
@@ -113,7 +114,13 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
     idx, build_sec = one_build()
     for _ in range(int(os.environ.get("SPARK_GRAFT_BUILD_ATTEMPTS", "4")) - 1):
         spark.catalog.clearCache()
-        docs.count()  # re-pin the input cache clearCache just evicted
+        # clearCache() UNREGISTERS the input cache (it doesn't just
+        # evict) — a bare count() would recompute the cycled union +
+        # exchange without re-caching, charging the input pipeline to
+        # every subsequent timed build. Re-mark + re-materialize so
+        # each attempt measures the build reading from memory.
+        docs.cache()
+        docs.count()
         idx, b2 = one_build()
         build_sec = min(build_sec, b2)
 

@@ -1,7 +1,7 @@
-"""Scaling-efficiency evidence: the same build+query job at local[8]
-(N) and local[32] (4N) on the SAME input, per BASELINE.json's
-two-cluster-size criterion (no real cluster in this sandbox — see
-BASELINE.md "Graft targets").
+"""Scaling-efficiency evidence: the same build+query job at N and 4N
+EXECUTORS (local-cluster[n,1,8192] — real separate executor JVMs) on
+the SAME input, per BASELINE.json's two-cluster-size criterion (no
+real cluster in this sandbox — see BASELINE.md "Graft targets").
 
 Writes BENCH/scaling_latest.md (auto-generated per run; BENCH/BASELINE.md
 is the curated multi-run report) with throughput at both levels and
@@ -78,17 +78,41 @@ sys.path.insert(0, "/root/repo")
 cpus, cycles, attempts, sf_dir = (
     int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 )
-from bench import build_session, cycled_docs
+from pyspark.sql import SparkSession
+from bench import cycled_docs
 from lucene_clj_spark import create_index
 
-spark = build_session(cpus)
+# local-cluster[n,1,mem]: n REAL executor JVMs, each with its own heap,
+# GC, and Python worker — the in-sandbox analogue of "N vs 4N
+# executors" (BASELINE.json north_rule). Unlike local[n] (one shared
+# JVM whose heap/allocator contention is an artifact no real cluster
+# has), both levels here run IDENTICAL executor shapes; only the
+# executor COUNT changes. Measured r04: shared-JVM local[4] loses
+# ~0.2 efficiency to allocator/heap contention that 4 isolated
+# executor JVMs don't exhibit (tools/build_task_metrics.py decomposition:
+# +7% task CPU inflation + wave/gap overhead in the shared JVM).
+spark = (SparkSession.builder
+         .master(f"local-cluster[{cpus},1,8192]")
+         .appName("scaling-bench")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.driver.memory", "8g")
+         .config("spark.executor.memory", "7g")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 docs, n = cycled_docs(spark, sf_dir, cycles)
 
 best = None
 for i in range(attempts):
     spark.catalog.clearCache()
-    docs.count()  # re-pin the input cache clearCache just evicted
+    # clearCache() UNREGISTERS the input cache — re-mark + re-pin so
+    # the timed build reads memory, not the 96-way parquet union
+    docs.cache()
+    docs.count()
     t0 = time.time()
     idx = create_index(
         spark, docs,
@@ -157,12 +181,17 @@ def best_of_levels(levels: list[int], rounds: int = 2) -> dict[int, dict]:
 def main():
     n, n4 = N_CORES, 4 * N_CORES
     host_eff, host_speedup = host_ceiling(n)
+    # each executor runs ~2 busy OS threads (JVM task thread + Python
+    # worker, pipelined), so also calibrate at the engine's TRUE
+    # thread footprint: 2n -> 8n workers
+    host_eff2, host_speedup2 = host_ceiling(2 * n)
     print(f"host pure-CPU ceiling {n}->{n4}: eff={host_eff:.3f} "
-          f"(speedup {host_speedup:.2f}x)")
+          f"(speedup {host_speedup:.2f}x); footprint-matched "
+          f"{2*n}->{8*n}: eff={host_eff2:.3f} ({host_speedup2:.2f}x)")
     both = best_of_levels([n, n4], rounds=2)
     rN, r4 = both[n], both[n4]
-    print(f"local[{n}] :", json.dumps(rN))
-    print(f"local[{n4}]:", json.dumps(r4))
+    print(f"{n} executor(s) :", json.dumps(rN))
+    print(f"{n4} executors:", json.dumps(r4))
     eff = r4["docs_per_sec"] / (4 * rN["docs_per_sec"])
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     md = f"""# BENCH/BASELINE — measured performance (this engine)
@@ -171,28 +200,42 @@ def main():
 
 No real cluster exists in this sandbox; per BASELINE.md "Graft
 targets", the two-cluster-size criterion is evidenced by running the
-SAME index-build + query job on the SAME input at `local[{n}]` (N) and
-`local[{n4}]` (4N). Build times are best-of-{ATTEMPTS} (the host shows
-heavy CPU-steal variance); queries are min-of-5 warm runs.
+SAME index-build + query job on the SAME input at
+`local-cluster[{n},1,8192]` (N executor) and
+`local-cluster[{n4},1,8192]` (4N executors) — REAL separate executor
+JVM processes, each with its own heap, GC, and Python worker, exactly
+the north rule's "N vs 4N executors" shape. (Earlier rounds used
+`local[n]`, where all task threads share ONE JVM; task-metric
+decomposition — tools/build_task_metrics.py — showed that the shared
+heap costs ~+7% task CPU inflation plus wave/scheduler overhead that
+no real multi-JVM cluster exhibits, and executor-isolated runs
+measure both higher absolute throughput AND higher efficiency.)
+Levels are interleaved (N, 4N, N, 4N); build times are
+best-of-{ATTEMPTS} per level per round (the host shows heavy
+CPU-steal variance); queries are min-of-5 warm runs.
 
 **Host calibration**: this sandbox's nominal 32 CPUs are not 32
-independent cores — a pure-CPU multiprocessing burn (fixed total work)
-measures only ~2.2x speedup from 8 to 32 workers, i.e. a HARDWARE
-ceiling of ~0.55 efficiency at 8->32. The N={n} pair is used because
-there the host itself can deliver >=0.8: measured pure-CPU ceiling
-{n}->{n4} = **{host_eff:.3f}** ({host_speedup:.2f}x). The engine's
-efficiency below should be read against that ceiling.
+independent cores — a workload-shaped multiprocessing burn (fixed
+total work) measures only ~2.2x speedup from 8 to 32 workers. The
+N={n} pair is used because there the host itself can deliver >=0.8:
+measured burn ceiling {n}->{n4} workers = **{host_eff:.3f}**
+({host_speedup:.2f}x); at the engine's true OS-thread footprint
+(each executor ~2 busy threads: JVM task thread + Python worker,
+pipelined) the {2*n}->{8*n}-worker burn = **{host_eff2:.3f}**
+({host_speedup2:.2f}x). The engine's efficiency below should be read
+against those ceilings.
 
 Input: `{SF_DIR}/documents.parquet` cycled x{CYCLES}
 ({rN["n_docs"]} docs, full positional postings + norms + stats).
 
-| level | cores | build sec | docs/sec | q_term sec | q_or sec |
+| level | executors | build sec | docs/sec | q_term sec | q_or sec |
 |---|---|---|---|---|---|
 | N  | {n}  | {rN["build_sec"]} | {rN["docs_per_sec"]} | {rN["q_term_sec"]} | {rN["q_or_sec"]} |
 | 4N | {n4} | {r4["build_sec"]} | {r4["docs_per_sec"]} | {r4["q_term_sec"]} | {r4["q_or_sec"]} |
 
 **Scaling efficiency N->4N = {r4["docs_per_sec"]} / (4 x {rN["docs_per_sec"]}) = {eff:.3f}**
-(target >= 0.8; host pure-CPU ceiling at this pair: {host_eff:.3f})
+(target >= 0.8; host burn ceiling at this pair: {host_eff:.3f},
+footprint-matched {host_eff2:.3f})
 
 Why the build scales: ONE mapInPandas Arrow pass tokenizes, inverts
 per document, and emits the final flat postings rows (field, term,
@@ -221,7 +264,7 @@ does not share (each executor brings its own memory channels).
 The reference (jaju/lucene-clj) publishes only single-node index-build
 microbenchmarks: 19.7k-38.7k docs/s over 1,000-doc batches of ~6-field
 album rows (BASELINE.md). This engine indexes {r4["docs_per_sec"]:.0f}
-web-text docs/s at local[{n4}] including full positional postings,
+web-text docs/s at {n4} one-core executors including full positional postings,
 doc-length norms and corpus statistics, and additionally scales
 horizontally (the reference is single-process by design).
 
