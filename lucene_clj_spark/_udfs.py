@@ -199,25 +199,22 @@ def flat_postings_arrow_generator(text_fields, kw_fields, analyzers,
         ]
     )
 
-    def _invert_text(tok_lists, n_docs):
-        """Vectorized batch inversion. Returns (g_doc, g_terms, tf,
-        positions ListArray, lens) where g_* are group-level arrays
-        sorted by (doc index, first-appearance term code)."""
-        lens = np.fromiter(map(len, tok_lists), dtype=np.int64,
-                           count=n_docs)
-        total = int(lens.sum())
-        if total == 0:
-            return (
-                np.empty(0, dtype=np.int64),
-                np.empty(0, dtype=object),
-                np.empty(0, dtype=np.int32),
-                pa.array([], type=pos_type),
-                lens,
-            )
-        flat = np.asarray(
-            list(chain.from_iterable(tok_lists)), dtype=object
+    _EMPTY = None  # placeholder for the zero-token return, built lazily
+
+    def _empty_inversion(lens):
+        return (
+            np.empty(0, dtype=np.int64),
+            pa.array([], type=pa.string()),
+            np.empty(0, dtype=np.int32),
+            pa.array([], type=pos_type),
+            lens,
         )
-        codes, uniq = pd.factorize(flat)
+
+    def _invert_codes(codes, n_uniq, lens, n_docs):
+        """Core batch inversion over FACTORIZED token codes. Returns
+        (g_doc, first_codes, tf, positions ListArray) where groups are
+        sorted by (doc index, first-appearance term code)."""
+        total = codes.size
         doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
         starts_per_doc = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(lens[:-1], out=starts_per_doc[1:])
@@ -225,7 +222,7 @@ def flat_postings_arrow_generator(text_fields, kw_fields, analyzers,
             np.arange(total, dtype=np.int64)
             - np.repeat(starts_per_doc, lens)
         )
-        key = doc_idx * len(uniq) + codes
+        key = doc_idx * n_uniq + codes
         order = np.argsort(key, kind="stable")
         ks = key[order]
         grp_start = np.flatnonzero(
@@ -235,11 +232,52 @@ def flat_postings_arrow_generator(text_fields, kw_fields, analyzers,
         tf = (ends - grp_start).astype(np.int32)
         first = order[grp_start]
         g_doc = doc_idx[first]
-        g_terms = np.asarray(uniq, dtype=object)[codes[first]]
+        first_codes = codes[first]
         offsets = np.concatenate((grp_start, [total])).astype(np.int32)
         positions = pa.ListArray.from_arrays(
             pa.array(offsets), pa.array(pos[order].astype(np.int32))
         )
+        return g_doc, first_codes, tf, positions
+
+    def _invert_text(tok_lists, n_docs):
+        """Batch inversion over Python token lists (the full-analyzer
+        path). Returns (g_doc, g_terms pa.StringArray, tf, positions
+        ListArray, lens)."""
+        lens = np.fromiter(map(len, tok_lists), dtype=np.int64,
+                           count=n_docs)
+        total = int(lens.sum())
+        if total == 0:
+            return _empty_inversion(lens)
+        flat = np.asarray(
+            list(chain.from_iterable(tok_lists)), dtype=object
+        )
+        codes, uniq = pd.factorize(flat)
+        g_doc, first_codes, tf, positions = _invert_codes(
+            codes.astype(np.int64), len(uniq), lens, n_docs
+        )
+        g_terms = pa.array(
+            np.asarray(uniq, dtype=object)[first_codes],
+            type=pa.string(),
+        )
+        return g_doc, g_terms, tf, positions, lens
+
+    def _invert_flat_arrow(flat, lens, n_docs):
+        """Batch inversion over an Arrow-native flat token array (the
+        tokens_arrow_fast path): C++ dictionary_encode replaces the
+        object-array pd.factorize, and term strings never materialize
+        as Python objects."""
+        total = len(flat)
+        if total == 0:
+            return _empty_inversion(lens)
+        dict_arr = flat.dictionary_encode()
+        codes = dict_arr.indices.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        uniq = dict_arr.dictionary
+        g_doc, first_codes, tf, positions = _invert_codes(
+            codes, len(uniq), lens, n_docs
+        )
+        g_terms = uniq.take(pa.array(first_codes))
         return g_doc, g_terms, tf, positions, lens
 
     def emit(batches):
@@ -252,26 +290,38 @@ def flat_postings_arrow_generator(text_fields, kw_fields, analyzers,
             parts = []  # (field, term, doc_id, tf, dl, positions) arrays
             for name, multi in text_fields:
                 an = analyzers.get(name, default_an)
-                vals = rb.column(names.index(name)).to_pandas()
-                if multi:
-                    vals = vals.map(
-                        lambda v: " \x1f ".join(
-                            x for x in v if x is not None
-                        )
-                        if v is not None
-                        else ""
+                res = None
+                if not multi:
+                    # arrow-native fast path: split + empty-drop +
+                    # dictionary-encode all in C++, no Python tokens
+                    res = an.tokens_arrow_fast(
+                        rb.column(names.index(name))
                     )
-                tok_lists = an.tokens_series(vals).tolist()
-                g_doc, g_terms, tf, positions, lens = _invert_text(
-                    tok_lists, n_docs
-                )
+                if res is not None:
+                    g_doc, g_terms, tf, positions, lens = (
+                        _invert_flat_arrow(res[0], res[1], n_docs)
+                    )
+                else:
+                    vals = rb.column(names.index(name)).to_pandas()
+                    if multi:
+                        vals = vals.map(
+                            lambda v: " \x1f ".join(
+                                x for x in v if x is not None
+                            )
+                            if v is not None
+                            else ""
+                        )
+                    tok_lists = an.tokens_series(vals).tolist()
+                    g_doc, g_terms, tf, positions, lens = _invert_text(
+                        tok_lists, n_docs
+                    )
                 ng = len(tf)
                 parts.append(
                     (
                         pa.array(np.full(ng + n_docs, name, dtype=object)),
                         pa.concat_arrays(
                             [
-                                pa.array(g_terms, type=pa.string()),
+                                g_terms,
                                 pa.nulls(n_docs, pa.string()),
                             ]
                         ),

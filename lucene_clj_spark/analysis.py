@@ -150,6 +150,54 @@ class Analyzer:
             return []
         return self._fn()(text, self.stop_words, self.max_token_length)
 
+    def tokens_arrow_fast(self, arr):
+        """Arrow-native tokenization fast path: returns
+        ``(flat_tokens, lens)`` — a pyarrow StringArray of every row's
+        non-empty tokens concatenated, plus per-row token counts — or
+        ``None`` when any row needs the full UAX#29 path.
+
+        Same acceptance guard as the pandas fast path in
+        :meth:`tokens_series` (standard analyzer, empty stop set,
+        default token cap, rows of pure ``[a-z0-9 ]`` with no >255
+        alnum run), and BYTE-IDENTICAL output on the rows it accepts —
+        pinned by tests/test_arrow_kernel.py and
+        tests/test_analysis.py. The win: split + empty-drop +
+        (downstream) dictionary-encode all run in Arrow C++ with zero
+        per-token Python objects, where ``str.split`` materializes a
+        Python list per row.
+        """
+        if (self.kind != "standard" or self.stop_words
+                or self.max_token_length < 255):
+            return None
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = len(arr)
+        if n == 0:
+            return pa.array([], type=pa.string()), np.zeros(0, np.int64)
+        arr = pc.fill_null(arr, "")
+        if arr.type != pa.string():
+            arr = arr.cast(pa.string())
+        ok = pc.all(pc.and_(
+            pc.match_substring_regex(arr, r"^[a-z0-9 ]*$"),
+            pc.invert(pc.match_substring_regex(arr, r"[a-z0-9]{256}")),
+        )).as_py()
+        if not ok:
+            return None
+        lst = pc.ascii_split_whitespace(arr)
+        counts = pc.list_value_length(lst).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = lst.flatten()
+        # arrow's split emits empty tokens at boundaries ("a " -> ["a",
+        # ""]); python's str.split() drops them — filter + recount
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if nonempty.all():
+            return flat, counts
+        row_id = np.repeat(np.arange(n, dtype=np.int64), counts)
+        lens = np.bincount(row_id[nonempty], minlength=n)
+        return flat.filter(pa.array(nonempty)), lens
+
     def tokens_series(self, s: pd.Series) -> pd.Series:
         """Arrow-batch analysis: pandas Series[str] -> Series[list[str]].
 
