@@ -123,3 +123,61 @@ def test_property_no_empty_tokens(kind):
             assert all(t == t.lower() for t in toks)
 
     check()
+
+
+def test_tokens_arrow_fast_matches_str_split():
+    """The arrow fast path must be byte-identical to tokens_series on
+    the rows it accepts — including arrow's empty-token-at-boundary
+    behavior that Python's str.split() doesn't have."""
+    import numpy as np
+    import pyarrow as pa
+
+    an = Analyzer("standard")
+    rows = [
+        "", " ", "   ", "a", " a", "a ", "  a  ", "a  b", "ab 9 c  ",
+        "x" * 255, ("a " * 40).strip(), None,
+    ]
+    res = an.tokens_arrow_fast(pa.array(rows, type=pa.string()))
+    assert res is not None
+    flat, lens = res
+    expected = [(r or "").split() for r in rows]
+    assert list(lens) == [len(e) for e in expected]
+    assert flat.to_pylist() == [t for e in expected for t in e]
+
+
+def test_tokens_arrow_fast_property_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import pyarrow as pa
+
+    an = Analyzer("standard")
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(alphabet="ab 01", max_size=40), max_size=20))
+    def check(rows):
+        res = an.tokens_arrow_fast(pa.array(rows, type=pa.string()))
+        assert res is not None
+        flat, lens = res
+        expected = [r.split() for r in rows]
+        assert list(lens) == [len(e) for e in expected]
+        assert flat.to_pylist() == [t for e in expected for t in e]
+
+    check()
+
+
+def test_tokens_arrow_fast_rejects_rows_needing_full_analysis():
+    import pyarrow as pa
+
+    an = Analyzer("standard")
+    # uppercase / punctuation / CJK / >255 alnum run -> full UAX#29 path
+    for bad in ["Hello", "a.b", "中文", "x" * 256]:
+        assert an.tokens_arrow_fast(pa.array(["ok", bad])) is None
+    # non-standard kinds and configured analyzers never take it
+    assert Analyzer("simple").tokens_arrow_fast(pa.array(["a"])) is None
+    assert Analyzer("whitespace").tokens_arrow_fast(pa.array(["a"])) is None
+    assert Analyzer(
+        "standard", stop_words=frozenset({"a"})
+    ).tokens_arrow_fast(pa.array(["a"])) is None
+    assert Analyzer(
+        "standard", max_token_length=10
+    ).tokens_arrow_fast(pa.array(["a"])) is None
