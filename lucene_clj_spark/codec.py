@@ -81,8 +81,17 @@ def encode_positions(tfs: np.ndarray, positions: list[np.ndarray]) -> bytes:
     if len(positions) == 0:
         return b""
     flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in positions])
+    return encode_positions_flat(tfs, flat)
+
+
+def encode_positions_flat(tfs: np.ndarray, flat: np.ndarray) -> bytes:
+    """``encode_positions`` over an ALREADY-flat position stream —
+    the zero-copy entry used by the slab encoder, which slices the
+    Arrow list column's values buffer directly instead of building a
+    python list of per-posting arrays."""
     if flat.size == 0:
         return b""
+    flat = np.ascontiguousarray(flat, dtype=np.int64)
     counts = np.asarray(tfs, dtype=np.int64)
     deltas = np.empty_like(flat)
     deltas[0] = flat[0]

@@ -51,6 +51,8 @@ import time
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
@@ -158,21 +160,174 @@ def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+PA_SEGMENT_SCHEMA = pa.schema([
+    pa.field("field", pa.string()),
+    pa.field("term", pa.string()),
+    pa.field("chunk", pa.int64()),
+    pa.field("block_id", pa.int32()),
+    pa.field("n", pa.int32()),
+    pa.field("first_doc", pa.int64()),
+    pa.field("last_doc", pa.int64()),
+    pa.field("doc_deltas", pa.binary()),
+    pa.field("tfs", pa.binary()),
+    pa.field("norms", pa.binary()),
+    pa.field("positions", pa.binary()),
+    pa.field("impacts", pa.list_(pa.struct([
+        pa.field("tf", pa.float64()),
+        pa.field("qdl", pa.float64()),
+    ]))),
+])
+
+
+def _one_chunk(col) -> pa.Array:
+    """A Table column (ChunkedArray) as a single contiguous Array."""
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def _last_group_start(tbl: pa.Table) -> int:
+    """Start index of the trailing (field, term, chunk) group of a
+    group-sorted slab — the split point for the cross-batch carry."""
+    n = tbl.num_rows
+    fld = _one_chunk(tbl.column("field"))
+    trm = _one_chunk(tbl.column("term"))
+    chk = tbl.column("chunk").to_numpy()
+    same = (
+        pc.equal(fld, fld[n - 1]).to_numpy(zero_copy_only=False)
+        & pc.equal(trm, trm[n - 1]).to_numpy(zero_copy_only=False)
+        & (chk == chk[n - 1])
+    )
+    not_tail = np.flatnonzero(~same)
+    return int(not_tail[-1]) + 1 if not_tail.size else 0
+
+
+def _encode_table(tbl: pa.Table, block_size: int) -> pa.RecordBatch:
+    """Encode a SLAB of postings — many complete (field, term, chunk)
+    groups, already sorted by (field, term, chunk, doc_id) — in one
+    vectorized pass. Group boundaries come from adjacent-row compares
+    on dictionary codes; norms/qdl are computed once for the whole
+    slab; positions are sliced straight out of the Arrow list column's
+    flat values buffer (no per-posting python objects). Replaces the
+    per-group applyInPandas encode, whose fixed per-group overhead
+    measured 76% of encode wall-clock at a realistic (24k-term Zipf)
+    vocabulary — the regime a web corpus is actually in."""
+    n = tbl.num_rows
+    field_a = _one_chunk(tbl.column("field"))
+    term_a = _one_chunk(tbl.column("term"))
+    chunk = tbl.column("chunk").to_numpy()
+    doc_ids = np.ascontiguousarray(tbl.column("doc_id").to_numpy(), np.int64)
+    tfs_all = np.ascontiguousarray(tbl.column("tf").to_numpy(), np.int64)
+    dls = np.ascontiguousarray(tbl.column("dl").to_numpy(), np.int64)
+    norms_all = bm25.norm_byte_np(dls)
+    qdl_all = bm25.LENGTH_TABLE[norms_all].astype(np.float64)
+    tf_f64 = tfs_all.astype(np.float64)
+    tf_u64 = tfs_all.astype(np.uint64)
+
+    f_codes = pc.dictionary_encode(field_a).indices.to_numpy()
+    t_codes = pc.dictionary_encode(term_a).indices.to_numpy()
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (
+        (f_codes[1:] != f_codes[:-1])
+        | (t_codes[1:] != t_codes[:-1])
+        | (chunk[1:] != chunk[:-1])
+    )
+    g_starts = np.flatnonzero(change)
+    g_ends = np.append(g_starts[1:], n)
+
+    pos_a = _one_chunk(tbl.column("positions"))
+    pos_valid = pos_a.is_valid().to_numpy(zero_copy_only=False)
+    # sliced ListArrays keep absolute offsets into the full child
+    # values buffer, so off[i]:off[i+1] indexes pos_vals correctly
+    pos_off = pos_a.offsets.to_numpy().astype(np.int64, copy=False)
+    pos_vals = pos_a.values.to_numpy(zero_copy_only=False)
+
+    cols: dict[str, list] = {name: [] for name in PA_SEGMENT_SCHEMA.names}
+    for gi in range(g_starts.size):
+        s, e = int(g_starts[gi]), int(g_ends[gi])
+        fld = field_a[s].as_py()
+        trm = term_a[s].as_py()
+        chk = int(chunk[s])
+        has_pos = bool(pos_valid[s])
+        block_id = 0
+        for b0 in range(s, e, block_size):
+            b1 = min(b0 + block_size, e)
+            ids = doc_ids[b0:b1]
+            cols["field"].append(fld)
+            cols["term"].append(trm)
+            cols["chunk"].append(chk)
+            cols["block_id"].append(block_id)
+            cols["n"].append(b1 - b0)
+            cols["first_doc"].append(int(ids[0]))
+            cols["last_doc"].append(int(ids[-1]))
+            cols["doc_deltas"].append(codec.encode_varints(
+                codec.delta_encode(ids).astype(np.uint64)
+            ))
+            cols["tfs"].append(codec.encode_varints(tf_u64[b0:b1]))
+            cols["norms"].append(norms_all[b0:b1].tobytes())
+            cols["positions"].append(
+                codec.encode_positions_flat(
+                    tfs_all[b0:b1], pos_vals[pos_off[b0]:pos_off[b1]]
+                ) if has_pos else b""
+            )
+            cols["impacts"].append(
+                _impact_frontier(tf_f64[b0:b1], qdl_all[b0:b1])
+            )
+            block_id += 1
+    return pa.RecordBatch.from_pydict(cols, schema=PA_SEGMENT_SCHEMA)
+
+
 def _encode_blocks(postings: DataFrame, chunk_span: int,
                    block_size: int) -> DataFrame:
     """postings (field, term, doc_id, tf, dl, positions[, ...]) ->
     encoded block rows, grouped on the bounded (field, term, chunk)
-    key (structural hot-term salting)."""
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_group(pdf, block_size)
+    key (structural hot-term salting).
 
-    return (
-        postings.withColumn(
-            "chunk", (F.col("doc_id") / F.lit(chunk_span)).cast("long")
-        )
-        .groupBy("field", "term", "chunk")
-        .applyInPandas(encode, SEGMENT_SCHEMA)
+    Second-generation kernel: repartition by the group key (a group
+    never splits across partitions), sort within partitions, then
+    stream one ``mapInArrow`` pass that encodes whole SLABS of groups
+    per Arrow batch — a group that spans batches is carried forward
+    until its last row arrives (carry is bounded by chunk_span, the
+    structural-salting group-size bound). The prior groupBy +
+    applyInPandas route paid ~240µs of fixed overhead PER GROUP: with
+    a realistic web vocabulary (groups ≈ terms × chunks, millions at
+    scale) that overhead measured 76% of encode wall-clock (A/B:
+    836k postings / 24.6k Zipf terms / 70.3k groups — real 22.3s,
+    null encode 16.9s, repartition+sort floor 0.98s)."""
+    cols = ["field", "term", "chunk", "doc_id", "tf", "dl", "positions"]
+    src = postings.withColumn(
+        "chunk", (F.col("doc_id") / F.lit(chunk_span)).cast("long")
     )
+    if "positions" not in src.columns:
+        src = src.withColumn("positions", F.lit(None).cast("array<int>"))
+    src = (
+        src.select(*cols)
+        .repartition("field", "term", "chunk")
+        .sortWithinPartitions("field", "term", "chunk", "doc_id")
+    )
+    bs = int(block_size)
+
+    def encode_iter(batches):
+        carry: pa.Table | None = None
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl])
+                carry = None
+            if tbl.num_rows == 0:
+                continue
+            tbl = tbl.combine_chunks()
+            split = _last_group_start(tbl)
+            carry = tbl.slice(split)
+            if split:
+                out = _encode_table(tbl.slice(0, split), bs)
+                if out.num_rows:
+                    yield out
+        if carry is not None and carry.num_rows:
+            yield _encode_table(carry.combine_chunks(), bs)
+
+    return src.mapInArrow(encode_iter, SEGMENT_SCHEMA)
 
 
 def _gen_dir(root: str, gen: int) -> str:

@@ -2064,3 +2064,70 @@ def test_search_after_group_and_tree_kernels(disk_index):
         # page 2 really continues after page 1 (no repeats, ordered)
         assert not ({d for d, _ in gl}
                     & {r["doc_id"] for r in p1})
+
+
+def test_slab_encoder_bit_identical_to_group_encode(spark):
+    """The mapInArrow slab encoder (r04 generation-2 kernel) must be
+    BIT-identical to the per-group reference encode (_encode_group),
+    including when a (field, term, chunk) group spans Arrow batch
+    boundaries — forced here with maxRecordsPerBatch=7 so every group
+    of the 400-posting hot term crosses many carries."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_clj_spark import segments as S
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # hot term: 400 postings across 4 chunks (chunk_span=128)
+    for d in range(400):
+        tf = int(rng.integers(1, 4))
+        rows.append(("text", "hot", d, tf,
+                     int(rng.integers(5, 60)),
+                     [int(p) for p in sorted(rng.integers(0, 50, tf))]))
+    # sparse vocab: 60 terms, 1-3 postings each
+    for t in range(60):
+        for d in sorted(rng.choice(500, rng.integers(1, 4), replace=False)):
+            rows.append(("text", f"t{t}", int(d), 1,
+                         int(rng.integers(5, 60)), [int(rng.integers(0, 9))]))
+    # a non-positional field (positions NULL end-to-end)
+    for d in range(0, 50, 5):
+        rows.append(("lang", "en", d, 1, 1, None))
+    post = spark.createDataFrame(
+        rows,
+        "field string, term string, doc_id long, tf long, dl long, "
+        "positions array<int>",
+    )
+
+    old_batch = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = S._encode_blocks(post, chunk_span=128, block_size=32).toPandas()
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
+
+    # reference: the per-group pandas encode, group by hand
+    pdf = post.toPandas()
+    pdf["chunk"] = pdf["doc_id"] // 128
+    want = pd.concat(
+        [S._encode_group(g, 32)
+         for _, g in pdf.groupby(["field", "term", "chunk"], sort=False)],
+        ignore_index=True,
+    )
+
+    key = ["field", "term", "chunk", "block_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) and len(got) > 400 / 32
+    for col in ("field", "term", "chunk", "block_id", "n",
+                "first_doc", "last_doc"):
+        assert got[col].tolist() == want[col].tolist(), col
+    for col in ("doc_deltas", "tfs", "norms", "positions"):
+        assert got[col].tolist() == want[col].tolist(), col
+    for gi, wi in zip(got["impacts"], want["impacts"]):
+        assert [(round(p["tf"], 9), round(p["qdl"], 9))
+                for p in (dict(x.asDict()) if hasattr(x, "asDict") else x
+                          for x in gi)] == \
+               [(round(p["tf"], 9), round(p["qdl"], 9)) for p in wi]
