@@ -278,6 +278,91 @@ def _encode_table(tbl: pa.Table, block_size: int) -> pa.RecordBatch:
     return pa.RecordBatch.from_pydict(cols, schema=PA_SEGMENT_SCHEMA)
 
 
+def _decode_blocks_table(tbl: pa.Table) -> pa.Table:
+    """Inverse of ``_encode_table``: a slab of encoded block rows
+    (sorted by field, term, chunk, first_doc) back to flat postings
+    (field, term, chunk, doc_id, tf, dl, positions), ready to be
+    re-encoded. Appended delta blocks always hold doc_ids above the
+    base generation's max (add_documents assigns dense ids past the
+    current max), so first_doc order concatenates to doc_id order —
+    guarded anyway by a lexsort fallback."""
+    nb = tbl.num_rows
+    field_a = _one_chunk(tbl.column("field"))
+    term_a = _one_chunk(tbl.column("term"))
+    chunk = tbl.column("chunk").to_numpy()
+    dd = tbl.column("doc_deltas").to_pylist()
+    tfb = tbl.column("tfs").to_pylist()
+    nmb = tbl.column("norms").to_pylist()
+    psb = tbl.column("positions").to_pylist()
+
+    counts = np.empty(nb, dtype=np.int64)
+    has_pos_rows = np.empty(nb, dtype=bool)
+    ids_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
+    for i in range(nb):
+        ids = codec.delta_decode(codec.decode_varints(dd[i]))
+        tfs = codec.decode_varints(tfb[i]).astype(np.int64)
+        norms = np.frombuffer(nmb[i], dtype=np.uint8)
+        # norm byte -> quantized length; re-encoding quantizes again
+        # (idempotent: int_to_int4(int4_to_int(b)) == b)
+        dls = bm25.LENGTH_TABLE[norms].astype(np.int64)
+        counts[i] = ids.size
+        has_pos_rows[i] = len(psb[i]) > 0
+        ids_parts.append(ids)
+        tf_parts.append(tfs)
+        dl_parts.append(dls)
+        if has_pos_rows[i]:
+            flat, _ = codec.decode_positions_flat(psb[i], tfs)
+            pos_parts.append(flat)
+
+    def cat(parts, dtype=np.int64):
+        return (np.concatenate(parts).astype(dtype, copy=False)
+                if parts else np.zeros(0, dtype))
+
+    doc_id = cat(ids_parts)
+    tf = cat(tf_parts)
+    dl = cat(dl_parts)
+    block_idx = np.repeat(np.arange(nb, dtype=np.int64), counts)
+
+    post_valid = np.repeat(has_pos_rows, counts)
+    per_post_counts = np.where(post_valid, tf, 0)
+    offsets = np.concatenate(
+        ([0], np.cumsum(per_post_counts))).astype(np.int32)
+    pos_arr = pa.ListArray.from_arrays(
+        pa.array(offsets),
+        pa.array(cat(pos_parts)),
+        mask=pa.array(~post_valid),
+    )
+    idx = pa.array(block_idx)
+    ptbl = pa.table({
+        "field": pc.take(field_a, idx),
+        "term": pc.take(term_a, idx),
+        "chunk": pa.array(chunk[block_idx]),
+        "doc_id": pa.array(doc_id),
+        "tf": pa.array(tf),
+        "dl": pa.array(dl),
+        "positions": pos_arr,
+    })
+
+    # ordering guard: doc_ids must ascend within each (field, term,
+    # chunk) group for _encode_table; repair with a lexsort if the
+    # non-overlapping-delta invariant ever breaks
+    f_codes = pc.dictionary_encode(field_a).indices.to_numpy()
+    t_codes = pc.dictionary_encode(term_a).indices.to_numpy()
+    g_block = np.zeros(nb, dtype=np.int64)
+    if nb > 1:
+        g_block[1:] = np.cumsum(
+            (f_codes[1:] != f_codes[:-1])
+            | (t_codes[1:] != t_codes[:-1])
+            | (chunk[1:] != chunk[:-1])
+        )
+    g_post = np.repeat(g_block, counts)
+    if doc_id.size > 1 and bool(np.any(
+            (doc_id[1:] < doc_id[:-1]) & (g_post[1:] == g_post[:-1]))):
+        perm = np.lexsort((doc_id, g_post))
+        ptbl = ptbl.take(pa.array(perm))
+    return ptbl
+
+
 def _encode_blocks(postings: DataFrame, chunk_span: int,
                    block_size: int) -> DataFrame:
     """postings (field, term, doc_id, tf, dl, positions[, ...]) ->
@@ -705,40 +790,47 @@ def merge_segments(index, root: str | None = None,
         (spark.sparkContext.defaultParallelism * 2) // meta["n_buckets"],
     )
 
-    def remerge(pdf: pd.DataFrame) -> pd.DataFrame:
-        # decode every block of the group back to flat postings, then
-        # re-encode: one pass, bounded by the (field, term, chunk) group
-        rows = {"doc_id": [], "tf": [], "dl": [], "positions": []}
-        has_pos = False
-        for r in pdf.itertuples(index=False):
-            ids = codec.delta_decode(codec.decode_varints(r.doc_deltas))
-            tfs = codec.decode_varints(r.tfs).astype(np.int64)
-            norms = np.frombuffer(r.norms, dtype=np.uint8)
-            # norm byte -> quantized length; re-encoding quantizes again
-            # (idempotent: int_to_int4(int4_to_int(b)) == b)
-            dls = bm25.LENGTH_TABLE[norms].astype(np.int64)
-            if len(r.positions):
-                has_pos = True
-                pos = codec.decode_positions(r.positions, tfs)
-            else:
-                pos = [None] * len(ids)
-            rows["doc_id"].extend(ids.tolist())
-            rows["tf"].extend(tfs.tolist())
-            rows["dl"].extend(dls.tolist())
-            rows["positions"].extend(pos)
-        flat = pd.DataFrame(rows)
-        flat["field"] = pdf["field"].iloc[0]
-        flat["term"] = pdf["term"].iloc[0]
-        flat["chunk"] = int(pdf["chunk"].iloc[0])
-        if not has_pos:
-            flat["positions"] = None
-        return _encode_group(flat, block_size)
-
-    merged = (
+    # decode every block of a group back to flat postings, then
+    # re-encode full-size blocks — one streaming mapInArrow pass over
+    # group-sorted slabs (same slab kernel + carry as _encode_blocks;
+    # the former per-group applyInPandas route paid its ~240µs fixed
+    # cost once per (field, term, chunk) — millions of groups at a web
+    # vocabulary)
+    src = (
         spark.read.schema(SEGMENT_SCHEMA + ", bucket int")
         .parquet(seg_root)
-        .groupBy("field", "term", "chunk")
-        .applyInPandas(remerge, SEGMENT_SCHEMA)
+        .drop("bucket")
+        .repartition("field", "term", "chunk")
+        .sortWithinPartitions(
+            "field", "term", "chunk", "first_doc", "block_id"
+        )
+    )
+
+    def merge_iter(batches):
+        carry: pa.Table | None = None
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            if carry is not None:
+                tbl = pa.concat_tables([carry, tbl])
+                carry = None
+            if tbl.num_rows == 0:
+                continue
+            tbl = tbl.combine_chunks()
+            split = _last_group_start(tbl)
+            carry = tbl.slice(split)
+            if split:
+                out = _encode_table(
+                    _decode_blocks_table(tbl.slice(0, split)), block_size
+                )
+                if out.num_rows:
+                    yield out
+        if carry is not None and carry.num_rows:
+            yield _encode_table(
+                _decode_blocks_table(carry.combine_chunks()), block_size
+            )
+
+    merged = (
+        src.mapInArrow(merge_iter, SEGMENT_SCHEMA)
         .withColumn(
             "bucket",
             F.pmod(F.xxhash64("term"), F.lit(meta["n_buckets"])),

@@ -2131,3 +2131,84 @@ def test_slab_encoder_bit_identical_to_group_encode(spark):
                 for p in (dict(x.asDict()) if hasattr(x, "asDict") else x
                           for x in gi)] == \
                [(round(p["tf"], 9), round(p["qdl"], 9)) for p in wi]
+
+
+def test_decode_encode_slab_round_trip():
+    """_decode_blocks_table is the exact inverse of _encode_table:
+    decode(encode(postings)) == postings and re-encode is bit-stable —
+    pure kernel test, no Spark job. Covers positional and
+    non-positional groups, multi-block groups, and the doc-order
+    lexsort guard (fed deliberately first_doc-misordered blocks)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_clj_spark import segments as S
+
+    rng = np.random.default_rng(23)
+    field, term, chunk = [], [], []
+    doc_id, tf, dl, pos = [], [], [], []
+    for t, nd, positional in (("alpha", 70, True), ("beta", 3, True),
+                              ("gamma", 1, False)):
+        docs = sorted(rng.choice(1000, nd, replace=False))
+        for d in docs:
+            k = int(rng.integers(1, 4))
+            field.append("text" if positional else "lang")
+            term.append(t)
+            chunk.append(int(d) // 512)
+            doc_id.append(int(d))
+            tf.append(k)
+            dl.append(int(rng.integers(3, 90)))
+            pos.append(sorted(int(p) for p in rng.integers(0, 99, k))
+                       if positional else None)
+    order = np.lexsort((doc_id, chunk, term, field))
+    ptbl = pa.table({
+        "field": pa.array(np.array(field, dtype=object)[order].tolist()),
+        "term": pa.array(np.array(term, dtype=object)[order].tolist()),
+        "chunk": pa.array(np.array(chunk, dtype=np.int64)[order]),
+        "doc_id": pa.array(np.array(doc_id, dtype=np.int64)[order]),
+        "tf": pa.array(np.array(tf, dtype=np.int64)[order]),
+        "dl": pa.array(np.array(dl, dtype=np.int64)[order]),
+        "positions": pa.array([pos[i] for i in order],
+                              type=pa.list_(pa.int64())),
+    })
+
+    enc = S._encode_table(ptbl, block_size=16)
+    dec = S._decode_blocks_table(pa.Table.from_batches([enc]))
+    assert dec.column("field").to_pylist() == ptbl.column("field").to_pylist()
+    assert dec.column("term").to_pylist() == ptbl.column("term").to_pylist()
+    assert dec.column("doc_id").to_pylist() == \
+        ptbl.column("doc_id").to_pylist()
+    assert dec.column("tf").to_pylist() == ptbl.column("tf").to_pylist()
+    assert dec.column("positions").to_pylist() == \
+        ptbl.column("positions").to_pylist()
+    # dl round-trips through the SmallFloat norm byte: quantized equal
+    from lucene_clj_spark import bm25
+    want_dl = bm25.LENGTH_TABLE[
+        bm25.norm_byte_np(np.array(dl, dtype=np.int64)[order])
+    ].astype(np.int64).tolist()
+    assert dec.column("dl").to_pylist() == want_dl
+
+    # re-encode of the decode is bit-stable
+    enc2 = S._encode_table(dec, block_size=16)
+    assert enc2.equals(enc)
+
+    # ordering guard: feed the decoder the same blocks reversed —
+    # doc order inside each group must be repaired by the lexsort
+    rev = pa.Table.from_batches([enc]).take(
+        pa.array(np.arange(enc.num_rows)[::-1].copy()))
+    # group rows back together (decoder expects group-contiguous
+    # slabs, but NOT first_doc order within a group)
+    import pandas as pd
+    rpdf = rev.to_pandas()
+    rpdf = rpdf.sort_values(["field", "term", "chunk"], kind="stable")
+    rev = pa.Table.from_pandas(rpdf, preserve_index=False)
+    dec2 = S._decode_blocks_table(rev.combine_chunks())
+    got = sorted(zip(dec2.column("term").to_pylist(),
+                     dec2.column("doc_id").to_pylist()))
+    want = sorted(zip(ptbl.column("term").to_pylist(),
+                      ptbl.column("doc_id").to_pylist()))
+    assert got == want
+    # and within each group the repaired order is ascending
+    d2 = dec2.to_pandas()
+    for _, g in d2.groupby(["field", "term", "chunk"], sort=False):
+        assert g["doc_id"].is_monotonic_increasing
