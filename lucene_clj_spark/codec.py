@@ -1,4 +1,4 @@
-"""Posting-block codec — vectorized varint (LEB128) + delta encoding.
+"""Posting-block codec — vectorized FOR bit-packing + varint + delta.
 
 The north-star index layout stores postings as compressed blocks of
 ~128 docs (Lucene's block size), per block: delta-coded doc ids,
@@ -6,11 +6,24 @@ term frequencies, per-posting norm bytes, and concatenated
 delta-coded positions — plus ``block_max_score`` metadata for
 block-max WAND skipping (SURVEY.md §4.2).
 
-Everything here is numpy-vectorized (no per-value Python loops): encode
-builds the byte stream with at most ``max_bytes`` masked passes; decode
-finds value boundaries from continuation bits and reduces 7-bit groups
-with ``np.add.reduceat``. These kernels run inside Arrow UDFs on
-executors — the hot path of both index build and WAND scoring.
+Two codecs, both numpy-vectorized (no per-value Python loops):
+
+- ``encode_block``/``decode_block`` — the segment-format-3 block
+  codec: FOR (frame-of-reference) fixed-width bit-packing, the same
+  family Lucene's ``ForUtil`` uses per 128-doc postings block. A
+  one-byte width tag + 4-byte count header, then ``n*width`` bits
+  packed LSB-first via ``np.packbits``/``np.unpackbits`` (C-speed).
+  Values needing more than 32 bits fall back to the varint payload
+  under tag 0. Measured vs the varint codec on realistic block
+  shapes: ~2.6x faster decode, ~3.5x faster encode, ~1.2-1.4x
+  smaller (see BENCH/BASELINE.md round-4 codec section).
+- ``encode_varints``/``decode_varints`` — LEB128, kept as the tag-0
+  fallback and for non-block metadata: encode builds the byte stream
+  with masked passes; decode finds value boundaries from continuation
+  bits and reduces 7-bit groups with ``np.add.reduceat``.
+
+These kernels run inside Arrow UDFs on executors — the hot path of
+both index build and WAND scoring.
 """
 
 from __future__ import annotations
@@ -58,6 +71,46 @@ def decode_varints(buf: bytes) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
+_FOR_VARINT_TAG = 0
+_FOR_MAX_WIDTH = 32
+_BIT_WEIGHTS = np.uint64(1) << np.arange(_FOR_MAX_WIDTH, dtype=np.uint64)
+
+
+def encode_block(a: np.ndarray) -> bytes:
+    """FOR bit-pack a non-negative int array (segment format 3).
+
+    Layout: ``[width:1][n:4 LE][ceil(n*width/8) packed bytes]``,
+    bits LSB-first within the stream. ``width == 0`` tags a raw
+    varint payload (empty arrays, or any value wider than 32 bits —
+    impossible for in-chunk doc deltas/tfs/position deltas, kept as
+    a safety hatch)."""
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    if a.size == 0:
+        return bytes([_FOR_VARINT_TAG])
+    w = max(1, int(a.max()).bit_length())
+    if w > _FOR_MAX_WIDTH:
+        return bytes([_FOR_VARINT_TAG]) + encode_varints(a)
+    bits = ((a[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1))
+    packed = np.packbits(bits.astype(np.uint8).ravel(), bitorder="little")
+    return (bytes([w]) + int(a.size).to_bytes(4, "little")
+            + packed.tobytes())
+
+
+def decode_block(buf: bytes) -> np.ndarray:
+    """Inverse of ``encode_block`` -> uint64 array (vectorized)."""
+    if len(buf) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    w = buf[0]
+    if w == _FOR_VARINT_TAG:
+        return decode_varints(buf[1:])
+    n = int.from_bytes(buf[1:5], "little")
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8, offset=5),
+        count=n * w, bitorder="little",
+    ).reshape(n, w)
+    return bits.astype(np.uint64) @ _BIT_WEIGHTS[:w]
+
+
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing ids -> first value + gaps (all >= 0)."""
     a = np.ascontiguousarray(sorted_ids, dtype=np.int64)
@@ -98,7 +151,7 @@ def encode_positions_flat(tfs: np.ndarray, flat: np.ndarray) -> bytes:
     np.subtract(flat[1:], flat[:-1], out=deltas[1:])
     starts = np.cumsum(counts)[:-1]
     deltas[starts] = flat[starts]  # boundary reset: absolute first pos
-    return encode_varints(deltas)
+    return encode_block(deltas)
 
 
 def decode_positions_flat(
@@ -111,7 +164,7 @@ def decode_positions_flat(
     cumsum carries the previous postings' totals across boundaries).
     The flat form feeds the phrase kernels' vectorized multi-segment
     gather; ``decode_positions`` wraps it with zero-copy splits."""
-    flat = decode_varints(buf).astype(np.int64)
+    flat = decode_block(buf).astype(np.int64)
     counts = np.asarray(tfs, dtype=np.int64)
     if counts.size == 0:
         return flat[:0], np.zeros(0, dtype=np.int64)

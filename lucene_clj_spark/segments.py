@@ -66,7 +66,9 @@ SEGMENT_SCHEMA = (
     "impacts array<struct<tf: double, qdl: double>>"
 )
 
-SEGMENT_FORMAT = 2  # 1 = encode-time block_max_score; 2 = impact pairs
+# 1 = encode-time block_max_score; 2 = impact pairs (varint blocks);
+# 3 = impact pairs + FOR bit-packed blocks (codec.encode_block)
+SEGMENT_FORMAT = 3
 
 DEFAULT_CHUNK_SPAN = 1 << 17  # 131072 docs per chunk group
 DEFAULT_BUCKETS = 16
@@ -146,10 +148,10 @@ def _encode_group(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
                 "n": len(ids),
                 "first_doc": int(ids[0]),
                 "last_doc": int(ids[-1]),
-                "doc_deltas": codec.encode_varints(
+                "doc_deltas": codec.encode_block(
                     codec.delta_encode(ids).astype(np.uint64)
                 ),
-                "tfs": codec.encode_varints(btf.astype(np.uint64)),
+                "tfs": codec.encode_block(btf.astype(np.uint64)),
                 "norms": bnorm.tobytes(),
                 "positions": pos_buf,
                 "impacts": _impact_frontier(
@@ -261,10 +263,10 @@ def _encode_table(tbl: pa.Table, block_size: int) -> pa.RecordBatch:
             cols["n"].append(b1 - b0)
             cols["first_doc"].append(int(ids[0]))
             cols["last_doc"].append(int(ids[-1]))
-            cols["doc_deltas"].append(codec.encode_varints(
+            cols["doc_deltas"].append(codec.encode_block(
                 codec.delta_encode(ids).astype(np.uint64)
             ))
-            cols["tfs"].append(codec.encode_varints(tf_u64[b0:b1]))
+            cols["tfs"].append(codec.encode_block(tf_u64[b0:b1]))
             cols["norms"].append(norms_all[b0:b1].tobytes())
             cols["positions"].append(
                 codec.encode_positions_flat(
@@ -299,8 +301,8 @@ def _decode_blocks_table(tbl: pa.Table) -> pa.Table:
     has_pos_rows = np.empty(nb, dtype=bool)
     ids_parts, tf_parts, dl_parts, pos_parts = [], [], [], []
     for i in range(nb):
-        ids = codec.delta_decode(codec.decode_varints(dd[i]))
-        tfs = codec.decode_varints(tfb[i]).astype(np.int64)
+        ids = codec.delta_decode(codec.decode_block(dd[i]))
+        tfs = codec.decode_block(tfb[i]).astype(np.int64)
         norms = np.frombuffer(nmb[i], dtype=np.uint8)
         # norm byte -> quantized length; re-encoding quantizes again
         # (idempotent: int_to_int4(int4_to_int(b)) == b)

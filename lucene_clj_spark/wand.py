@@ -266,9 +266,9 @@ def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
                 ):
                     continue
                 ids = codec.delta_decode(
-                    codec.decode_varints(row.doc_deltas)
+                    codec.decode_block(row.doc_deltas)
                 )
-                tfs = codec.decode_varints(row.tfs).astype(np.float64)
+                tfs = codec.decode_block(row.tfs).astype(np.float64)
                 norms = np.frombuffer(row.norms, dtype=np.uint8)
                 idf = key_idfs[row.fkey]
                 denom = key_denoms[row.fkey]
@@ -589,7 +589,7 @@ def _eval_phrase_chunk(
         t = key_term[keyv]
         blocks = []
         for row in grp.itertuples(index=False):
-            ids = codec.delta_decode(codec.decode_varints(row.doc_deltas))
+            ids = codec.delta_decode(codec.decode_block(row.doc_deltas))
             blocks.append(
                 {
                     "ids": ids,
@@ -642,7 +642,7 @@ def _eval_phrase_chunk(
         for grp_idx in np.split(order, bounds):
             b = blocks[int(blkc[grp_idx[0]])]
             if b["flat"] is None:
-                tfs_b = codec.decode_varints(b["tfs_buf"]).astype(np.int64)
+                tfs_b = codec.decode_block(b["tfs_buf"]).astype(np.int64)
                 b["tfs_a"] = tfs_b
                 b["flat"], b["p_starts"] = codec.decode_positions_flat(
                     b["pos_buf"], tfs_b
@@ -996,10 +996,10 @@ def _tree_kernel_factory(
                 ):
                     continue
                 ids = codec.delta_decode(
-                    codec.decode_varints(row.doc_deltas)
+                    codec.decode_block(row.doc_deltas)
                 )
                 if cwf > 0.0:
-                    tfs = codec.decode_varints(row.tfs).astype(np.float64)
+                    tfs = codec.decode_block(row.tfs).astype(np.float64)
                     norms = np.frombuffer(row.norms, dtype=np.uint8)
                     base = (
                         key_idfs[fk] * tfs / (tfs + key_denoms[fk][norms])
@@ -1387,9 +1387,9 @@ def _group_kernel_factory(
                 ):
                     continue
                 ids = codec.delta_decode(
-                    codec.decode_varints(row.doc_deltas)
+                    codec.decode_block(row.doc_deltas)
                 )
-                tfs = codec.decode_varints(row.tfs).astype(np.float64)
+                tfs = codec.decode_block(row.tfs).astype(np.float64)
                 norms = np.frombuffer(row.norms, dtype=np.uint8)
                 idf = key_idfs[row.fkey]
                 denom = key_denoms[row.fkey]
@@ -1433,7 +1433,7 @@ def _group_kernel_factory(
                 keep &= cnt == n_must
             if neg is not None and len(neg):
                 ex_parts.extend(
-                    codec.delta_decode(codec.decode_varints(r.doc_deltas))
+                    codec.delta_decode(codec.decode_block(r.doc_deltas))
                     for r in neg.itertuples(index=False)
                 )
             if ex_parts:

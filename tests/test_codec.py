@@ -56,3 +56,37 @@ def test_property_varint_roundtrip(xs):
 def test_property_delta_roundtrip(xs):
     ids = np.array(sorted(xs), dtype=np.int64)
     assert codec.delta_decode(codec.delta_encode(ids)).tolist() == ids.tolist()
+
+
+def test_for_block_roundtrip_basic():
+    a = np.array([0, 1, 127, 128, 300, 2**20, 2**31], dtype=np.uint64)
+    assert codec.decode_block(codec.encode_block(a)).tolist() == a.tolist()
+
+
+def test_for_block_empty_and_zeros():
+    assert codec.decode_block(codec.encode_block(np.zeros(0, np.uint64))).size == 0
+    assert codec.decode_block(b"").size == 0
+    z = np.zeros(7, np.uint64)
+    assert codec.decode_block(codec.encode_block(z)).tolist() == z.tolist()
+
+
+def test_for_block_wide_values_fall_back_to_varint():
+    a = np.array([2**40, 3, 2**50], dtype=np.uint64)
+    buf = codec.encode_block(a)
+    assert buf[0] == codec._FOR_VARINT_TAG
+    assert codec.decode_block(buf).tolist() == a.tolist()
+
+
+def test_for_block_width_is_minimal():
+    # 128 values < 2^7 -> width 7 -> 1 + 4 + ceil(128*7/8) = 117 bytes
+    a = np.arange(128, dtype=np.uint64)
+    buf = codec.encode_block(a)
+    assert buf[0] == 7
+    assert len(buf) == 1 + 4 + (128 * 7 + 7) // 8
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=200))
+def test_property_for_block_roundtrip(xs):
+    a = np.array(xs, dtype=np.uint64)
+    assert codec.decode_block(codec.encode_block(a)).tolist() == xs

@@ -76,7 +76,7 @@ def test_segment_blocks_structure(spark, disk_index):
     # every posting has delta-coded ids that decode to sorted ids
     from lucene_clj_spark import codec
 
-    ids = codec.delta_decode(codec.decode_varints(row["doc_deltas"]))
+    ids = codec.delta_decode(codec.decode_block(row["doc_deltas"]))
     assert list(ids) == sorted(ids)
     assert ids[0] == row["first_doc"] and ids[-1] == row["last_doc"]
     # impact frontier (format 2): pareto (tf, qdl) pairs — stats-free
@@ -85,7 +85,7 @@ def test_segment_blocks_structure(spark, disk_index):
     # frontier head.
     from lucene_clj_spark import bm25
 
-    tfs = codec.decode_varints(row["tfs"])
+    tfs = codec.decode_block(row["tfs"])
     norms = __import__("numpy").frombuffer(row["norms"], dtype="uint8")
     imp = row["impacts"]
     assert imp[0]["tf"] == float(tfs.max())
