@@ -8,15 +8,20 @@ block-max WAND skipping (SURVEY.md §4.2).
 
 Two codecs, both numpy-vectorized (no per-value Python loops):
 
-- ``encode_block``/``decode_block`` — the segment-format-3 block
-  codec: FOR (frame-of-reference) fixed-width bit-packing, the same
-  family Lucene's ``ForUtil`` uses per 128-doc postings block. A
-  one-byte width tag + 4-byte count header, then ``n*width`` bits
-  packed LSB-first via ``np.packbits``/``np.unpackbits`` (C-speed).
-  Values needing more than 32 bits fall back to the varint payload
-  under tag 0. Measured vs the varint codec on realistic block
-  shapes: ~2.6x faster decode, ~3.5x faster encode, ~1.2-1.4x
-  smaller (see BENCH/BASELINE.md round-4 codec section).
+- ``encode_block``/``decode_block`` — the segment-format-4 block
+  codec: adaptive FOR (frame-of-reference) fixed-width bit-packing,
+  the same family Lucene's ``ForUtil`` uses per 128-doc postings
+  block. A one-byte width tag + LEB128 count + LEB128 first value
+  (Lucene's doc-base split: the block's leading absolute offset
+  rides in the header so it can't force the shared width up), then
+  ``(n-1)*width`` bits packed LSB-first via ``np.packbits``/
+  ``np.unpackbits`` (C-speed). Each buffer is encoded as whichever
+  of FOR / varint is smaller — tag 0 marks the varint arm (sparse
+  or tiny blocks, the position stream's per-posting absolute
+  resets, and any value wider than 32 bits). Measured vs the varint
+  codec on realistic block shapes: ~2.6x faster decode, ~3.5x
+  faster encode, ~1.2-1.4x smaller (BENCH/BASELINE.md round-4
+  codec section).
 - ``encode_varints``/``decode_varints`` — LEB128, kept as the tag-0
   fallback and for non-block metadata: encode builds the byte stream
   with masked passes; decode finds value boundaries from continuation
@@ -77,23 +82,59 @@ _BIT_WEIGHTS = np.uint64(1) << np.arange(_FOR_MAX_WIDTH, dtype=np.uint64)
 
 
 def encode_block(a: np.ndarray) -> bytes:
-    """FOR bit-pack a non-negative int array (segment format 3).
+    """Adaptively encode a non-negative int array (segment format 4):
+    FOR bit-packing when it is smaller, varint otherwise.
 
-    Layout: ``[width:1][n:4 LE][ceil(n*width/8) packed bytes]``,
-    bits LSB-first within the stream. ``width == 0`` tags a raw
-    varint payload (empty arrays, or any value wider than 32 bits —
-    impossible for in-chunk doc deltas/tfs/position deltas, kept as
-    a safety hatch)."""
+    FOR layout: ``[width:1][n:LEB128][first:LEB128]`` + ``n-1``
+    values packed at ``width`` bits LSB-first — the codec family
+    Lucene's ``ForUtil`` uses per postings block, with the block's
+    first value split into the header (Lucene's doc-base trick)
+    because a delta block starts with an ABSOLUTE in-chunk offset
+    that would otherwise force the whole block's width up. Varint
+    layout: ``[0x00]`` + LEB128 payload; chosen only when it is
+    >= 12.5% smaller than the FOR arm (tiny/sparse blocks), and
+    always for values wider than 32 bits. The bias exists because
+    FOR decodes ~2-3x faster per block (one ``unpackbits`` +
+    matmul) than the varint boundary-scan — a near-tie on bytes
+    should not buy a 2x decode-time regression on the WAND scan's
+    hottest loop."""
     a = np.ascontiguousarray(a, dtype=np.uint64)
     if a.size == 0:
         return bytes([_FOR_VARINT_TAG])
-    w = max(1, int(a.max()).bit_length())
-    if w > _FOR_MAX_WIDTH:
-        return bytes([_FOR_VARINT_TAG]) + encode_varints(a)
-    bits = ((a[:, None] >> np.arange(w, dtype=np.uint64)) & np.uint64(1))
-    packed = np.packbits(bits.astype(np.uint8).ravel(), bitorder="little")
-    return (bytes([w]) + int(a.size).to_bytes(4, "little")
-            + packed.tobytes())
+    if a.size > 1:
+        rest = a[1:]
+        w = max(1, int(rest.max()).bit_length())
+        if w <= _FOR_MAX_WIDTH:
+            head = _leb(int(a.size)) + _leb(int(a[0]))
+            for_len = 1 + len(head) + ((a.size - 1) * w + 7) // 8
+            # FOR unless varint is >=12.5% smaller (7/8 = the bias)
+            if for_len * 7 <= _varint_len(a) * 8:
+                bits = ((rest[:, None] >> np.arange(w, dtype=np.uint64))
+                        & np.uint64(1))
+                packed = np.packbits(bits.astype(np.uint8).ravel(),
+                                     bitorder="little")
+                return bytes([w]) + head + packed.tobytes()
+    return bytes([_FOR_VARINT_TAG]) + encode_varints(a)
+
+
+def _varint_len(a: np.ndarray) -> int:
+    """Exact LEB128-encoded byte length of ``a`` without building it."""
+    nb = np.ones(a.shape, dtype=np.int64)
+    v = a >> np.uint64(7)
+    while v.any():
+        nb += (v > 0).astype(np.int64)
+        v >>= np.uint64(7)
+    return int(nb.sum())
+
+
+def _leb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
 
 
 def decode_block(buf: bytes) -> np.ndarray:
@@ -103,12 +144,28 @@ def decode_block(buf: bytes) -> np.ndarray:
     w = buf[0]
     if w == _FOR_VARINT_TAG:
         return decode_varints(buf[1:])
-    n = int.from_bytes(buf[1:5], "little")
+    n, off = _read_leb(buf, 1)
+    first, off = _read_leb(buf, off)
     bits = np.unpackbits(
-        np.frombuffer(buf, dtype=np.uint8, offset=5),
-        count=n * w, bitorder="little",
-    ).reshape(n, w)
-    return bits.astype(np.uint64) @ _BIT_WEIGHTS[:w]
+        np.frombuffer(buf, dtype=np.uint8, offset=off),
+        count=(n - 1) * w, bitorder="little",
+    ).reshape(n - 1, w)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = first
+    np.matmul(bits.astype(np.uint64), _BIT_WEIGHTS[:w], out=out[1:])
+    return out
+
+
+def _read_leb(buf: bytes, off: int) -> tuple[int, int]:
+    n = 0
+    shift = 0
+    while True:
+        b = buf[off]
+        off += 1
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return n, off
+        shift += 7
 
 
 def delta_encode(sorted_ids: np.ndarray) -> np.ndarray:
@@ -141,17 +198,36 @@ def encode_positions_flat(tfs: np.ndarray, flat: np.ndarray) -> bytes:
     """``encode_positions`` over an ALREADY-flat position stream —
     the zero-copy entry used by the slab encoder, which slices the
     Arrow list column's values buffer directly instead of building a
-    python list of per-posting arrays."""
+    python list of per-posting arrays.
+
+    Layout (format 4): ``[len(firsts_block):LEB128]`` + two
+    ``encode_block`` payloads — the per-posting ABSOLUTE first
+    positions, then the flat intra-posting gaps. Splitting the two
+    populations lets each pack at its own FOR width (firsts ~11-13
+    bits, gaps ~2-6 bits); interleaved (the format-3 layout) the
+    absolute resets forced every gap up to the firsts' width, and
+    the adaptive codec would flee to the slower varint arm. Measured
+    (tools-free micro A/B, BENCH/BASELINE.md round-4 codec section):
+    on web-page-like blocks (128 postings, avg tf 10, bursty gaps)
+    the split stream is 44% smaller than interleaved FOR at ~1.3x
+    its decode pass (both linear unpackbits); on short-doc blocks
+    (tf mostly 1, the gaps stream near-empty) it is size-neutral
+    (-0.8%). Positions dominate index bytes on web corpora, so the
+    long-doc regime is the one that matters at scale."""
     if flat.size == 0:
         return b""
     flat = np.ascontiguousarray(flat, dtype=np.int64)
     counts = np.asarray(tfs, dtype=np.int64)
+    p_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     deltas = np.empty_like(flat)
     deltas[0] = flat[0]
     np.subtract(flat[1:], flat[:-1], out=deltas[1:])
-    starts = np.cumsum(counts)[:-1]
-    deltas[starts] = flat[starts]  # boundary reset: absolute first pos
-    return encode_block(deltas)
+    firsts = flat[p_starts]
+    gap_mask = np.ones(flat.size, dtype=bool)
+    gap_mask[p_starts] = False
+    fb = encode_block(firsts.astype(np.uint64))
+    gb = encode_block(deltas[gap_mask].astype(np.uint64))
+    return _leb(len(fb)) + fb + gb
 
 
 def decode_positions_flat(
@@ -159,20 +235,35 @@ def decode_positions_flat(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of encode_positions WITHOUT splitting: returns
     ``(flat, starts)`` where posting ``j``'s positions are
-    ``flat[starts[j] : starts[j] + tfs[j]]``. Vectorized: one cumsum
-    over the flat stream, then a per-posting offset correction (the
-    cumsum carries the previous postings' totals across boundaries).
-    The flat form feeds the phrase kernels' vectorized multi-segment
-    gather; ``decode_positions`` wraps it with zero-copy splits."""
-    flat = decode_block(buf).astype(np.int64)
+    ``flat[starts[j] : starts[j] + tfs[j]]``. Vectorized: decode the
+    firsts and gaps blocks, scatter them back into one delta stream
+    (absolutes at posting boundaries), then one cumsum with a
+    per-posting offset correction (the cumsum carries the previous
+    postings' totals across boundaries). The flat form feeds the
+    phrase kernels' vectorized multi-segment gather;
+    ``decode_positions`` wraps it with zero-copy splits."""
     counts = np.asarray(tfs, dtype=np.int64)
+    if len(buf) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, (np.zeros(counts.size, dtype=np.int64)
+                   if counts.size == 0 else
+                   np.concatenate(([0], np.cumsum(counts)[:-1])))
+    n_fb, off = _read_leb(buf, 0)
+    firsts = decode_block(buf[off:off + n_fb]).astype(np.int64)
+    gaps = decode_block(buf[off + n_fb:]).astype(np.int64)
     if counts.size == 0:
-        return flat[:0], np.zeros(0, dtype=np.int64)
+        return gaps[:0], np.zeros(0, dtype=np.int64)
     p_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    if flat.size == 0:
-        return flat, p_starts
+    total = firsts.size + gaps.size
+    if total == 0:
+        return gaps[:0], p_starts
+    deltas = np.empty(total, dtype=np.int64)
+    gap_mask = np.ones(total, dtype=bool)
+    gap_mask[p_starts] = False
+    deltas[p_starts] = firsts
+    deltas[gap_mask] = gaps
     starts = p_starts[1:]
-    c = np.cumsum(flat)
+    c = np.cumsum(deltas)
     # subtract each posting's incoming running total (c[start-1]) so
     # every split behaves like its own cumsum
     run_off = np.concatenate(([0], c[starts - 1]))

@@ -67,8 +67,14 @@ SEGMENT_SCHEMA = (
 )
 
 # 1 = encode-time block_max_score; 2 = impact pairs (varint blocks);
-# 3 = impact pairs + FOR bit-packed blocks (codec.encode_block)
-SEGMENT_FORMAT = 3
+# 3 = impact pairs + fixed-layout FOR blocks; 4 = adaptive FOR/varint
+# blocks with the first value split into the header
+# (codec.encode_block). The bump to 4 is deliberate even though both
+# 3 and 4 share codec.encode_block: the block LAYOUT changed
+# incompatibly ([w][n:4LE] -> [w][n:LEB][first:LEB]), and decoding a
+# format-3 file with the format-4 decoder would return garbage, not
+# an error — the meta gate must refuse it.
+SEGMENT_FORMAT = 4
 
 DEFAULT_CHUNK_SPAN = 1 << 17  # 131072 docs per chunk group
 DEFAULT_BUCKETS = 16
