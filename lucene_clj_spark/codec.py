@@ -107,8 +107,11 @@ def encode_block(a: np.ndarray) -> bytes:
         if w <= _FOR_MAX_WIDTH:
             head = _leb(int(a.size)) + _leb(int(a[0]))
             for_len = 1 + len(head) + ((a.size - 1) * w + 7) // 8
-            # FOR unless varint is >=12.5% smaller (7/8 = the bias)
-            if for_len * 7 <= _varint_len(a) * 8:
+            # FOR unless varint is >=12.5% smaller (7/8 = the bias);
+            # a.size is varint's exact lower bound (>=1 byte/value),
+            # so dense blocks skip the _varint_len pass entirely
+            if (for_len * 7 <= a.size * 8
+                    or for_len * 7 <= _varint_len(a) * 8):
                 bits = ((rest[:, None] >> np.arange(w, dtype=np.uint64))
                         & np.uint64(1))
                 packed = np.packbits(bits.astype(np.uint8).ravel(),
