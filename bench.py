@@ -130,7 +130,18 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
     # host a single spike lands in the sample set often; with n=9 the
     # median is robust to up to 4 spiked samples instead of 2.
     def timed(fn, runs: int = 9, name: str | None = None) -> float:
-        fn()  # warm-up
+        # THREE warm-ups, not one: the first executions of a plan
+        # shape pay JVM JIT compilation of its generated code, a
+        # one-time per-executor cost that is not query latency.
+        # Measured on the phrase plan (the worst case, round-4
+        # triage in BENCH/BASELINE.md): post-warmup samples ran
+        # 5.3 / 5.9 / 3.0 / 0.91 / 0.93 / 0.85... — the same 6x
+        # "regression" every session, window-independent, and gone
+        # the moment ANY phrase query had run 4 times first. Three
+        # warm-ups put every recorded sample in steady state, which
+        # is what p50/max are meant to describe.
+        for _ in range(3):
+            fn()
         samples = []
         for _ in range(runs):
             t = time.time()
