@@ -204,6 +204,7 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
         timed(lambda: ann.cosine_topk(emb, qv, k=10).collect(), 3), 4)
 
     # --- block-max WAND over compressed segments (the scale kernel) ---
+    seg_bytes = None
     if os.environ.get("SPARK_GRAFT_BENCH_WAND", "1") == "1":
         import shutil
         import tempfile
@@ -223,6 +224,14 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
             )
             build_segments(didx, n_buckets=16, chunk_span=1 << 14)
             queries["build_segments_disk"] = round(time.time() - t0, 3)
+            # compressed footprint of the segment files — makes codec
+            # size wins/regressions visible in the per-round record
+            seg_bytes = sum(
+                os.path.getsize(os.path.join(dp, fn))
+                for dp, _dns, fns in os.walk(f"{wdir}/idx")
+                for fn in fns
+                if fn.endswith(".parquet") and "segments" in dp
+            )
             queries["q_wand_or"] = round(
                 timed(lambda: wand_topk(
                     didx, "text", ["merge", "dup", "vector"], k=10,
@@ -288,6 +297,7 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
         "docs_per_sec": round(n_docs / build_sec, 1),
         "cpus": cpus,
         "cycles": cycles,
+        "segment_bytes": seg_bytes,
         "latency_percentiles": percentiles,
     }
     if not quiet:
