@@ -8,20 +8,26 @@ block-max WAND skipping (SURVEY.md §4.2).
 
 Two codecs, both numpy-vectorized (no per-value Python loops):
 
-- ``encode_block``/``decode_block`` — the segment-format-4 block
-  codec: adaptive FOR (frame-of-reference) fixed-width bit-packing,
-  the same family Lucene's ``ForUtil`` uses per 128-doc postings
-  block. A one-byte width tag + LEB128 count + LEB128 first value
-  (Lucene's doc-base split: the block's leading absolute offset
-  rides in the header so it can't force the shared width up), then
-  ``(n-1)*width`` bits packed LSB-first via ``np.packbits``/
-  ``np.unpackbits`` (C-speed). Each buffer is encoded as whichever
-  of FOR / varint is smaller — tag 0 marks the varint arm (sparse
-  or tiny blocks, the position stream's per-posting absolute
-  resets, and any value wider than 32 bits). Measured vs the varint
-  codec on realistic block shapes: ~2.6x faster decode, ~3.5x
-  faster encode, ~1.2-1.4x smaller (BENCH/BASELINE.md round-4
-  codec section).
+- ``encode_block``/``decode_block`` — the segment-format-5 block
+  codec: adaptive FOR/PFor/varint, the ``ForUtil`` + PForDelta
+  family Lucene uses per 128-doc postings block (the north star
+  names "varint/PForDelta block compression" verbatim). A one-byte
+  tag + LEB128 count + LEB128 first value (Lucene's doc-base split:
+  the block's leading absolute offset rides in the header so it
+  can't force the shared width up), then ``(n-1)*width`` bits
+  packed LSB-first via ``np.packbits``/``np.unpackbits`` (C-speed).
+  Tags 1-32 are plain FOR at that width; tag ``0x40|w`` is PFor —
+  base width ``w`` chosen by an exact bit-length-histogram cost
+  model, and the outliers' high bits patched back in from two
+  fixed-width side streams (indices, highs), so a single tf=255 in
+  a block of tf=1..3 costs bytes proportional to ONE exception
+  instead of widening all 128 values to 8 bits; tag 0 is the varint
+  arm, chosen only when >=12.5% smaller than the best packed arm
+  (it decodes 2-3x slower) and always for values wider than 32
+  bits. Measured on realistic block shapes (BENCH/BASELINE.md
+  round-4 codec sections): tf streams 33% smaller than plain FOR,
+  outlier-contaminated delta blocks 71% smaller, decode 16-22us per
+  128-value block.
 - ``encode_varints``/``decode_varints`` — LEB128, kept as the tag-0
   fallback and for non-block metadata: encode builds the byte stream
   with masked passes; decode finds value boundaries from continuation
@@ -78,45 +84,110 @@ def decode_varints(buf: bytes) -> np.ndarray:
 
 _FOR_VARINT_TAG = 0
 _FOR_MAX_WIDTH = 32
+_PFOR_TAG_BASE = 0x40  # tag 0x40|w = PFor: base width w + patch list
 _BIT_WEIGHTS = np.uint64(1) << np.arange(_FOR_MAX_WIDTH, dtype=np.uint64)
+def _pack_bits(vals: np.ndarray, w: int) -> bytes:
+    """LSB-first fixed-width bit-pack (np.packbits, C-speed)."""
+    bits = ((vals[:, None] >> np.arange(w, dtype=np.uint64))
+            & np.uint64(1))
+    return np.packbits(bits.astype(np.uint8).ravel(),
+                       bitorder="little").tobytes()
+
+
+def _unpack_bits(buf: bytes, off: int, n: int, w: int) -> np.ndarray:
+    """Inverse of ``_pack_bits`` -> uint64 array of ``n`` values."""
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8, offset=off,
+                      count=(n * w + 7) // 8),
+        count=n * w, bitorder="little",
+    ).reshape(n, w)
+    return bits.astype(np.uint64) @ _BIT_WEIGHTS[:w]
 
 
 def encode_block(a: np.ndarray) -> bytes:
-    """Adaptively encode a non-negative int array (segment format 4):
-    FOR bit-packing when it is smaller, varint otherwise.
+    """Adaptively encode a non-negative int array (segment format 5):
+    smallest of plain FOR, PFor (patched FOR), or varint.
 
     FOR layout: ``[width:1][n:LEB128][first:LEB128]`` + ``n-1``
     values packed at ``width`` bits LSB-first — the codec family
     Lucene's ``ForUtil`` uses per postings block, with the block's
     first value split into the header (Lucene's doc-base trick)
     because a delta block starts with an ABSOLUTE in-chunk offset
-    that would otherwise force the whole block's width up. Varint
-    layout: ``[0x00]`` + LEB128 payload; chosen only when it is
-    >= 12.5% smaller than the FOR arm (tiny/sparse blocks), and
-    always for values wider than 32 bits. The bias exists because
-    FOR decodes ~2-3x faster per block (one ``unpackbits`` +
-    matmul) than the varint boundary-scan — a near-tie on bytes
-    should not buy a 2x decode-time regression on the WAND scan's
-    hottest loop."""
+    that would otherwise force the whole block's width up.
+
+    PFor layout: ``[0x40|w][n:LEB][first:LEB][wi:1][wh:1]
+    [n_exc:LEB]`` + base values at ``w`` bits (exceptions keep only
+    their low ``w`` bits) + exception indices at ``wi`` bits +
+    exception high parts at ``wh`` bits. The base width is chosen by
+    an exact per-width cost model over the tail's bit-length
+    histogram — a few outliers stop widening the whole block.
+
+    Varint layout: ``[0x00]`` + LEB128 payload; chosen only when it
+    is >= 12.5% smaller than the best packed arm (tiny/sparse
+    blocks), and always for values wider than 32 bits. The bias
+    exists because the packed arms decode ~2-3x faster per block
+    (``unpackbits`` + matmul) than the varint boundary-scan — a
+    near-tie on bytes should not buy a 2x decode-time regression on
+    the WAND scan's hottest loop."""
     a = np.ascontiguousarray(a, dtype=np.uint64)
     if a.size == 0:
         return bytes([_FOR_VARINT_TAG])
     if a.size > 1:
         rest = a[1:]
-        w = max(1, int(rest.max()).bit_length())
-        if w <= _FOR_MAX_WIDTH:
+        w_max = max(1, int(rest.max()).bit_length())
+        if w_max <= _FOR_MAX_WIDTH:
             head = _leb(int(a.size)) + _leb(int(a[0]))
-            for_len = 1 + len(head) + ((a.size - 1) * w + 7) // 8
-            # FOR unless varint is >=12.5% smaller (7/8 = the bias);
-            # a.size is varint's exact lower bound (>=1 byte/value),
-            # so dense blocks skip the _varint_len pass entirely
-            if (for_len * 7 <= a.size * 8
-                    or for_len * 7 <= _varint_len(a) * 8):
-                bits = ((rest[:, None] >> np.arange(w, dtype=np.uint64))
-                        & np.uint64(1))
-                packed = np.packbits(bits.astype(np.uint8).ravel(),
-                                     bitorder="little")
-                return bytes([w]) + head + packed.tobytes()
+            n1 = a.size - 1
+            best_w, best_len, best_exc = w_max, (
+                1 + len(head) + (n1 * w_max + 7) // 8), None
+            # PFor width selection — a handful of outliers (one
+            # tf=255 in a block of tf=1..3) must not force every
+            # value to the max width; exceptions patch their high
+            # bits back in from two fixed-width side streams
+            # (absolute indices at wi bits, high parts at wh bits —
+            # bit-packed like the base, so the patch decodes at FOR
+            # speed, not a varint scan). The base width is picked
+            # from an exact bit-length histogram (np.frexp's exponent
+            # IS bit_length for w_max<=32) with a vectorized
+            # per-width cost model — no percentile sorts, no
+            # per-candidate scans; one exact pass for the winner.
+            if w_max > 2 and n1 >= 8:
+                bl = np.frexp(rest.astype(np.float64))[1]
+                hist = np.bincount(bl, minlength=w_max + 1)
+                n_exc_at = n1 - np.cumsum(hist)  # [w] = #values bl>w
+                ws = np.arange(1, w_max)
+                wi_ub = max(1, (n1 - 1).bit_length())
+                costs = ((n1 * ws + 7) // 8 + 3
+                         + (n_exc_at[ws] * (wi_ub + (w_max - ws))
+                            + 7) // 8)
+                k = int(np.argmin(costs))
+                w = int(ws[k])
+                if costs[k] < (n1 * w_max + 7) // 8:
+                    idx = np.flatnonzero(rest >> np.uint64(w))
+                    high = rest[idx] >> np.uint64(w)
+                    wi = max(1, int(idx[-1]).bit_length())
+                    wh = max(1, int(high.max()).bit_length())
+                    plen = (1 + len(head) + 2 + len(_leb(idx.size))
+                            + (n1 * w + 7) // 8
+                            + (idx.size * wi + 7) // 8
+                            + (idx.size * wh + 7) // 8)
+                    if plen < best_len:
+                        best_w, best_len = w, plen
+                        best_exc = (idx.astype(np.uint64), high, wi, wh)
+            # packed unless varint is >=12.5% smaller (7/8 = the
+            # bias: FOR/PFor decode 2-3x faster than the varint
+            # boundary-scan); a.size is varint's exact lower bound
+            # (>=1 byte/value), so dense blocks skip the length pass
+            if (best_len * 7 <= a.size * 8
+                    or best_len * 7 <= _varint_len(a) * 8):
+                w = best_w
+                if best_exc is None:
+                    return bytes([w]) + head + _pack_bits(rest, w)
+                idx, high, wi, wh = best_exc
+                return (bytes([_PFOR_TAG_BASE | w]) + head
+                        + bytes([wi, wh]) + _leb(idx.size)
+                        + _pack_bits(rest & np.uint64((1 << w) - 1), w)
+                        + _pack_bits(idx, wi) + _pack_bits(high, wh))
     return bytes([_FOR_VARINT_TAG]) + encode_varints(a)
 
 
@@ -144,18 +215,25 @@ def decode_block(buf: bytes) -> np.ndarray:
     """Inverse of ``encode_block`` -> uint64 array (vectorized)."""
     if len(buf) == 0:
         return np.zeros(0, dtype=np.uint64)
-    w = buf[0]
-    if w == _FOR_VARINT_TAG:
+    tag = buf[0]
+    if tag == _FOR_VARINT_TAG:
         return decode_varints(buf[1:])
+    w = tag & (_PFOR_TAG_BASE - 1)
     n, off = _read_leb(buf, 1)
     first, off = _read_leb(buf, off)
-    bits = np.unpackbits(
-        np.frombuffer(buf, dtype=np.uint8, offset=off),
-        count=(n - 1) * w, bitorder="little",
-    ).reshape(n - 1, w)
+    wi = wh = n_exc = 0
+    if tag & _PFOR_TAG_BASE:
+        wi, wh = buf[off], buf[off + 1]
+        n_exc, off = _read_leb(buf, off + 2)
     out = np.empty(n, dtype=np.uint64)
     out[0] = first
-    np.matmul(bits.astype(np.uint64), _BIT_WEIGHTS[:w], out=out[1:])
+    out[1:] = _unpack_bits(buf, off, n - 1, w)
+    if n_exc:
+        off += ((n - 1) * w + 7) // 8
+        idx = _unpack_bits(buf, off, n_exc, wi).astype(np.int64)
+        off += (n_exc * wi + 7) // 8
+        high = _unpack_bits(buf, off, n_exc, wh)
+        out[idx + 1] |= high << np.uint64(w)  # +1: out[0] = first
     return out
 
 

@@ -68,13 +68,14 @@ SEGMENT_SCHEMA = (
 
 # 1 = encode-time block_max_score; 2 = impact pairs (varint blocks);
 # 3 = impact pairs + fixed-layout FOR blocks; 4 = adaptive FOR/varint
-# blocks with the first value split into the header
-# (codec.encode_block). The bump to 4 is deliberate even though both
-# 3 and 4 share codec.encode_block: the block LAYOUT changed
-# incompatibly ([w][n:4LE] -> [w][n:LEB][first:LEB]), and decoding a
-# format-3 file with the format-4 decoder would return garbage, not
-# an error — the meta gate must refuse it.
-SEGMENT_FORMAT = 4
+# blocks, first value split into the header, split position streams;
+# 5 = + PFor arm (patched FOR: base width chosen by a bit-length-
+# histogram cost model, outliers' high bits in fixed-width side
+# streams under tag 0x40|w). Every layout change bumps the format —
+# 3 and 4 share codec.encode_block, but decoding an older file with
+# a newer decoder would return garbage, not an error, so the meta
+# gate must refuse it.
+SEGMENT_FORMAT = 5
 
 DEFAULT_CHUNK_SPAN = 1 << 17  # 131072 docs per chunk group
 DEFAULT_BUCKETS = 16

@@ -182,3 +182,44 @@ def test_property_positions_roundtrip(groups):
     assert len(got) == len(pos)
     for g, p in zip(got, pos):
         assert g.tolist() == p.tolist()
+
+
+def test_pfor_outliers_do_not_widen_the_block():
+    # one tf=255 in a block of tf<=3: plain FOR would pack all 127
+    # tail values at 8 bits; PFor packs them at 2 bits and patches
+    # the single outlier's high bits from the side streams
+    a = np.concatenate((
+        np.ones(1, dtype=np.uint64),
+        np.full(126, 3, dtype=np.uint64),
+        np.array([255], dtype=np.uint64),
+    ))
+    buf = codec.encode_block(a)
+    assert buf[0] & codec._PFOR_TAG_BASE  # PFor arm
+    assert (buf[0] & 0x3F) == 2           # base width 2, not 8
+    plain_for = 1 + 2 + 1 + (127 * 8 + 7) // 8
+    assert len(buf) < plain_for * 0.45
+    assert codec.decode_block(buf).tolist() == a.tolist()
+
+
+def test_pfor_many_exceptions_falls_back_to_plain_for():
+    # half the values are wide: patching them costs more than just
+    # packing at the max width — the cost model must pick plain FOR
+    a = np.concatenate((
+        np.full(64, 3, dtype=np.uint64),
+        np.full(64, 200, dtype=np.uint64),
+    ))
+    buf = codec.encode_block(a)
+    assert not (buf[0] & codec._PFOR_TAG_BASE)
+    assert codec.decode_block(buf).tolist() == a.tolist()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**32 - 1),
+             min_size=8, max_size=300),
+    st.lists(st.integers(min_value=2**10, max_value=2**31),
+             min_size=1, max_size=6),
+)
+def test_property_pfor_roundtrip_with_outliers(base, outliers):
+    a = np.array(base + outliers, dtype=np.uint64)
+    assert codec.decode_block(codec.encode_block(a)).tolist() == a.tolist()
