@@ -283,6 +283,29 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
                 timed(lambda: didx.search(
                     tast, with_hit=False,
                     strategy="wand").collect(), name="q_seg_tree"), 4)
+            # the delta path: append one source-table batch (1/32 of
+            # the corpus) as DELTA segment blocks, query across
+            # base+delta, then compact via merge_segments — tracks
+            # the Lucene flush-then-merge analogue per round
+            from lucene_clj_spark.segments import merge_segments
+
+            batch = spark.read.parquet(
+                f"{sf_dir}/documents.parquet"
+            ).select(
+                (F.col("doc_id") + F.lit(n_docs)).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+            t0 = time.time()
+            didx = didx.add_documents(batch)
+            queries["append_delta"] = round(time.time() - t0, 3)
+            queries["q_wand_or_post_append"] = round(
+                timed(lambda: wand_topk(
+                    didx, "text", ["merge", "dup", "vector"], k=10,
+                    mode="or").collect(),
+                    name="q_wand_or_post_append"), 4)
+            t0 = time.time()
+            merge_segments(didx)
+            queries["merge_segments"] = round(time.time() - t0, 3)
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
 
