@@ -476,6 +476,8 @@ class Index:
             self._term_stats_cache.clear()
         if hasattr(self, "_fuzzy_exp_cache"):
             self._fuzzy_exp_cache.clear()
+        if hasattr(self, "_seg_term_cache"):
+            self._seg_term_cache.clear()
 
     def add_documents(
         self,
@@ -716,6 +718,8 @@ class Index:
             self._term_stats_cache.clear()
         if hasattr(self, "_fuzzy_exp_cache"):
             self._fuzzy_exp_cache.clear()
+        if hasattr(self, "_seg_term_cache"):
+            self._seg_term_cache.clear()
         return self
 
 

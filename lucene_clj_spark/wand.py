@@ -365,53 +365,85 @@ def _segment_scan(index, pairs: list[tuple[str, str]],
     by_field: dict[str, list[str]] = {}
     for f_, t_ in uniq:
         by_field.setdefault(f_, []).append(t_)
-    cond = None
-    for f_, ts in by_field.items():
-        c = (F.col("field") == f_) & F.col("term").isin(ts)
-        cond = c if cond is None else (cond | c)
-    # idf computed JVM-side (bm25.idf_col) so the kernel's Python map
-    # is BIT-IDENTICAL to the DataFrame path's literals — libm log and
-    # java.lang.Math.log differ by 1 ULP on some inputs, which would
-    # break the result-identical-strategies contract on tie-ish scores
-    n_map = F.create_map(
-        *[
-            F.lit(x)
-            for f_ in by_field
-            for x in (f_, float(int(index.field_stats(f_)["N"])))
-        ]
-    )
-    df_rows = (
-        index.terms.filter(cond)
-        .select(
-            "field", "term",
-            bm25.idf_col(F.col("df"), n_map[F.col("field")]).alias("idf"),
+    # idf per (field, term) is memoized on the Index (absent terms as
+    # None) — the Lucene-reader TermStates analogue the DataFrame path
+    # already has (_lookup_term_stats): a warm repeated query needs NO
+    # driver-side stats action, only the scoring job. Invalidated at
+    # the same sites as _term_stats_cache (add_documents, truncate);
+    # stats are frozen per Index object, so the cache can't go stale
+    # ahead of the stats dict it derives from.
+    idf_cache = getattr(index, "_seg_term_cache", None)
+    if idf_cache is None:
+        idf_cache = {}
+        index._seg_term_cache = idf_cache
+    missing = [fk for fk in uniq if fk not in idf_cache]
+    if missing:
+        m_by_field: dict[str, list[str]] = {}
+        for f_, t_ in missing:
+            m_by_field.setdefault(f_, []).append(t_)
+        cond = None
+        for f_, ts in m_by_field.items():
+            c = (F.col("field") == f_) & F.col("term").isin(ts)
+            cond = c if cond is None else (cond | c)
+        # idf computed JVM-side (bm25.idf_col) so the kernel's Python
+        # map is BIT-IDENTICAL to the DataFrame path's literals — libm
+        # log and java.lang.Math.log differ by 1 ULP on some inputs,
+        # which would break the result-identical-strategies contract
+        # on tie-ish scores
+        n_map = F.create_map(
+            *[
+                F.lit(x)
+                for f_ in m_by_field
+                for x in (f_, float(int(index.field_stats(f_)["N"])))
+            ]
         )
-        .collect()
-    )
+        df_rows = (
+            index.terms.filter(cond)
+            .select(
+                "field", "term",
+                bm25.idf_col(
+                    F.col("df"), n_map[F.col("field")]
+                ).alias("idf"),
+            )
+            .collect()
+        )
+        found = {(r["field"], r["term"]): float(r["idf"])
+                 for r in df_rows}
+        for fk in missing:
+            idf_cache[fk] = found.get(fk)
     key_idfs, key_ws = {}, {}
-    for r in df_rows:
-        fk = (r["field"], r["term"])
-        if fk not in uniq:
+    for fk in uniq:
+        idf = idf_cache.get(fk)
+        if idf is None:
             continue
-        fkey_s = f"{r['field']}\x1f{r['term']}"
-        key_idfs[fkey_s] = float(r["idf"])
+        fkey_s = f"{fk[0]}\x1f{fk[1]}"
+        key_idfs[fkey_s] = idf
         key_ws[fkey_s] = float(weights.get(fk, 1.0))
     if not key_idfs:
         return key_idfs, key_ws, None
     present_terms = sorted(
         {k.split("\x1f", 1)[1] for k in key_idfs}
     )
-    bucket_row = (
-        index.spark.range(1)
-        .select(
-            *[
-                F.pmod(F.xxhash64(F.lit(t)), F.lit(nb)).alias(f"b{i}")
-                for i, t in enumerate(present_terms)
-            ]
+    # per-term bucket memoized the same way (keyed by layout width nb)
+    b_cache = getattr(index, "_seg_bucket_cache", None)
+    if b_cache is None:
+        b_cache = {}
+        index._seg_bucket_cache = b_cache
+    b_missing = [t for t in present_terms if (t, nb) not in b_cache]
+    if b_missing:
+        bucket_row = (
+            index.spark.range(1)
+            .select(
+                *[
+                    F.pmod(F.xxhash64(F.lit(t)), F.lit(nb)).alias(f"b{i}")
+                    for i, t in enumerate(b_missing)
+                ]
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    query_buckets = sorted({int(v) for v in bucket_row})
+        for t, v in zip(b_missing, bucket_row):
+            b_cache[(t, nb)] = int(v)
+    query_buckets = sorted({b_cache[(t, nb)] for t in present_terms})
     cond2 = None
     for f_, ts in by_field.items():
         keep = [t for t in ts if f"{f_}\x1f{t}" in key_idfs]

@@ -2212,3 +2212,36 @@ def test_decode_encode_slab_round_trip():
     d2 = dec2.to_pandas()
     for _, g in d2.groupby(["field", "term", "chunk"], sort=False):
         assert g["doc_id"].is_monotonic_increasing
+
+
+def test_seg_idf_cache_warm_repeat_and_invalidation(spark, tmp_path):
+    """_segment_scan memoizes per-(field, term) idf and per-term
+    bucket on the Index (the Lucene TermStates analogue the DataFrame
+    path has in _lookup_term_stats): a repeated query must return
+    identical results from the warm cache, and add_documents must
+    invalidate the idf cache (stats change) while the bucket cache —
+    a pure hash of (term, n_buckets) — survives."""
+    docs = spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    idx = create_index(
+        spark, docs,
+        {"text": "text"}, id_column="doc_id",
+        path=str(tmp_path / "idf_cache_idx"), index_type="disk",
+        re_create=True,
+    )
+    build_segments(idx, n_buckets=4, chunk_span=64, block_size=16)
+    cold = wand_topk(idx, "text", ["merge", "window"], k=5).collect()
+    assert ("text", "merge") in idx._seg_term_cache
+    # absent terms memoize as None (no rescan per query)
+    wand_topk(idx, "text", ["merge", "zzzznotaterm"], k=5).collect()
+    assert idx._seg_term_cache[("text", "zzzznotaterm")] is None
+    warm = wand_topk(idx, "text", ["merge", "window"], k=5).collect()
+    assert [(r["doc_id"], r["score"]) for r in cold] == \
+           [(r["doc_id"], r["score"]) for r in warm]
+    # append: stats move, so cached idfs must be dropped
+    batch = docs.limit(3).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
+    idx.add_documents(batch, ignore_extra_columns=True)
+    assert ("text", "merge") not in idx._seg_term_cache
+    post = wand_topk(idx, "text", ["merge", "window"], k=5).collect()
+    assert len(post) == 5  # re-resolved idfs serve the grown index
