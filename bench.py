@@ -214,16 +214,31 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
 
         wdir = tempfile.mkdtemp(prefix="bench_wand_")
         try:
-            t0 = time.time()
-            didx = create_index(
-                spark, docs,
-                {"text": "text", "lang": "keyword", "source": "keyword",
-                 "n_chars": "long"},
-                id_column="doc_id", path=f"{wdir}/idx", index_type="disk",
-                re_create=True, cache=False,
-            )
-            build_segments(didx, n_buckets=16, chunk_span=1 << 14)
-            queries["build_segments_disk"] = round(time.time() - t0, 3)
+            # best-of-N like the in-memory build: this is the single
+            # biggest line in the record and a lone steal spike used
+            # to be unamortized (identical code measured 16.9s vs
+            # 26.6s in adjacent windows). rmtree first: surviving
+            # bucket manifests would make build_segments resume-skip
+            # the re-run, so each attempt must start from nothing.
+            def one_disk_build():
+                shutil.rmtree(f"{wdir}/idx", ignore_errors=True)
+                t0 = time.time()
+                di = create_index(
+                    spark, docs,
+                    {"text": "text", "lang": "keyword",
+                     "source": "keyword", "n_chars": "long"},
+                    id_column="doc_id", path=f"{wdir}/idx",
+                    index_type="disk", re_create=True, cache=False,
+                )
+                build_segments(di, n_buckets=16, chunk_span=1 << 14)
+                return di, time.time() - t0
+
+            didx, seg_sec = one_disk_build()
+            for _ in range(int(os.environ.get(
+                    "SPARK_GRAFT_SEG_ATTEMPTS", "2")) - 1):
+                didx, s2 = one_disk_build()
+                seg_sec = min(seg_sec, s2)
+            queries["build_segments_disk"] = round(seg_sec, 3)
             # compressed footprint of the segment files — makes codec
             # size wins/regressions visible in the per-round record
             seg_bytes = sum(
