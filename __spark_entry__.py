@@ -417,7 +417,19 @@ def _wand_index(spark: SparkSession, sf_dir: str):
             spark, _docs(spark, sf_dir), DOC_FIELDS, id_column="doc_id",
             path=path, index_type="disk", re_create=True,
         )
-        build_segments(idx, n_buckets=8, chunk_span=256, block_size=128)
+        # chunk_span sized to the corpus: multi-chunk at the tiny
+        # oracle gate (500 docs -> 2 chunks, the historical fixed 256)
+        # but bounded chunk COUNT as the corpus grows — a fixed 256 at
+        # sf1 (1.6M docs) meant ~6k chunk groups and the fixture build
+        # dominated the first wand query's wall (BENCH/sf1.md).
+        # Results are chunk-layout-independent (kernels accumulate in
+        # canonical term order; tie sets pinned by
+        # test_duplicated_corpus_tie_sets_are_canonical).
+        n = int(idx.stats["text"]["N"])
+        span = 256
+        while n // span > 32:
+            span <<= 1
+        build_segments(idx, n_buckets=8, chunk_span=span, block_size=128)
         _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 
