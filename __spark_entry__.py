@@ -786,6 +786,30 @@ def q_webpages_pipeline_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_batch_topk(spark, sf_dir):
+    """Batch multi-query search: FOUR query shapes (AND pair, OR
+    triple, single term, OR-with-NOT DSL) scored in ONE Spark job —
+    one union-bucket postings scan + one (query_id, doc_id) shuffle
+    for the whole log (batch.py). Oracle replays the same clause
+    relation as a VALUES join."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _index(spark, sf_dir)
+    notq = parse_dsl("merge NOT compact", "text", idx.specs,
+                     idx.analyzers)
+    out = idx.search_batch(
+        {
+            "and2": ["merge", "window"],
+            "or3": {"text": {"merge", "dup", "vector"}},
+            "term": "scan",
+            "notq": notq,
+        },
+        field_name="text",
+        results_per_page=10,
+    )
+    return _round6(out, "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -844,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_bool_topk": q_fuzzy_bool_topk,
         "wand_fuzzy_bool_topk": q_wand_fuzzy_bool_topk,
         "webpages_pipeline_topk": q_webpages_pipeline_topk,
+        "batch_topk": q_batch_topk,
         "embed_near_dup": q_embed_near_dup,
         "blob_features": q_blob_features,
     }
@@ -880,6 +905,57 @@ SELECT doc_id, round(score, 6) AS score FROM (
   GROUP BY doc_id
   ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
+    )
+
+
+def _batch_sql() -> str:
+    # q_batch_topk's clause relation replayed as a VALUES join: per
+    # (query_id, doc_id), score = ordered sum of non-NOT clause
+    # scores, matched MUST terms must cover the query's MUST count,
+    # and any matched NOT term vetoes; top-10 per query_id.
+    return (
+        _BASE
+        + f"""
+, qspec AS (
+  SELECT * FROM (VALUES
+    ('and2', 'merge',   'MUST'),
+    ('and2', 'window',  'MUST'),
+    ('or3',  'merge',   'SHOULD'),
+    ('or3',  'dup',     'SHOULD'),
+    ('or3',  'vector',  'SHOULD'),
+    ('term', 'scan',    'SHOULD'),
+    ('notq', 'merge',   'SHOULD'),
+    ('notq', 'compact', 'NOT')
+  ) AS v(query_id, term, occ)
+),
+scores AS (
+  SELECT q.query_id, p.doc_id, p.term, q.occ,
+         CASE WHEN q.occ = 'NOT' THEN 0.0 ELSE {_SCORE} END AS score
+  FROM post p
+  JOIN qspec q USING (term)
+  JOIN dl d USING (doc_id)
+  JOIN tstat t USING (term)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id,
+         sum(score ORDER BY term) AS score,
+         count(DISTINCT CASE WHEN occ = 'MUST' THEN term END) AS musts,
+         max(CASE WHEN occ = 'NOT' THEN 1 ELSE 0 END) AS vetoed
+  FROM scores GROUP BY query_id, doc_id
+),
+need AS (
+  SELECT query_id,
+         count(DISTINCT CASE WHEN occ = 'MUST' THEN term END) AS n_musts
+  FROM qspec GROUP BY query_id
+)
+SELECT query_id, doc_id, round(score, 6) AS score FROM (
+  SELECT a.query_id, a.doc_id, a.score,
+         row_number() OVER (PARTITION BY a.query_id
+                            ORDER BY a.score DESC, a.doc_id ASC) AS rn
+  FROM agg a JOIN need n USING (query_id)
+  WHERE a.musts = n.n_musts AND a.vetoed = 0
+) WHERE rn <= 10"""
     )
 
 
@@ -1753,6 +1829,7 @@ FROM (
         "fuzzy_bool_topk": _fuzzy_bool_sql("merg", "window"),
         "wand_fuzzy_bool_topk": _fuzzy_bool_sql("merg", "window"),
         "webpages_pipeline_topk": _term_topk_sql("merge", 10),
+        "batch_topk": _batch_sql(),
         "embed_near_dup": _embed_near_dup_sql(0.35, 4, 64),
         # byte-accurate over the UTF-8 encoding (hex-pair extraction),
         # with the engine's -1/0 sentinels for empty text — robust to

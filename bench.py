@@ -186,6 +186,22 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
                                  results_per_page=20).collect(),
               name="q_keyword_exact"), 4)
 
+    # batch multi-query: 32 mixed-shape queries in ONE job (batch.py)
+    # — compare against 32x the single-query floor (q_term et al.)
+    _bt = ["merge", "window", "dup", "vector", "scan", "compact"]
+    batch_q = {}
+    for i in range(32):
+        a, b = _bt[i % 6], _bt[(i // 2) % 6]
+        if i % 3 == 0:
+            batch_q[f"q{i}"] = {"text": {a, b}}
+        elif i % 3 == 1 and a != b:
+            batch_q[f"q{i}"] = [a, b]
+        else:
+            batch_q[f"q{i}"] = a
+    queries["q_batch_32"] = round(
+        timed(lambda: idx.search_batch(batch_q, field_name="text")
+              .collect(), name="q_batch_32"), 4)
+
     base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     queries["dedup_exact"] = round(
         timed(lambda: dedup.exact_dedup_groups(base_docs).count(), 3), 4)

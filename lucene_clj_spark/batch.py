@@ -1,0 +1,346 @@
+"""Batch multi-query search — score a whole QUERY LOG in one Spark job.
+
+The reference serves one query per call (`IndexSearcher.search`,
+reference search.clj:49-78); its unit of work is a query. At cluster
+scale the serving pattern for offline evaluation, relevance tuning,
+query-log replay, and bulk retrieval (RAG corpus joins, distillation
+set building) is a BATCH of M queries — and running M sequential
+Spark jobs pays M times the per-job floor (scheduling + scan setup,
+~0.3-1 s each in local mode, comparable on a busy cluster) plus M
+separate postings scans.
+
+``search_batch`` instead compiles the whole batch into ONE job:
+
+- every query normalizes to rows of a tiny clause relation
+  ``(query_id, group_id, field, term, boost, occ)`` — the same
+  one-level group-tree family `_scored_term_group` /
+  `_scored_group_tree` accept for single queries (terms, AND
+  vectors, OR sets, multi-field maps, one-level DSL booleans with
+  MUST/SHOULD/MUST_NOT and SHOULD-groups; fuzzy leaves expand
+  driver-side to weighted term groups exactly like the single-query
+  path, search.py `_expand_fuzzy_clauses`);
+- the clause relation is broadcast against ONE postings scan filtered
+  to the UNION of all batch terms — on a disk index the filter
+  constant-folds to bucket PartitionFilters (`_bucket_pruned`), so
+  the batch reads only the term buckets any of its queries touch,
+  once, no matter how many queries share them;
+- BM25 scoring + MUST/MUST_NOT semantics fall out of a single
+  ``groupBy(query_id, doc_id)``: score is the boost-weighted sum of
+  the non-negated clause scores, a MUST group counts as satisfied
+  when any of its members matched (``count(DISTINCT group_id)``),
+  and a matched MUST_NOT member vetoes the doc;
+- per-query top-k is a bounded ``row_number`` window partitioned by
+  ``query_id``.
+
+Cost: one bucket-pruned scan + one shuffle keyed ``(query_id,
+doc_id)`` + one k-bounded window, for the entire batch. The clause
+relation stays driver-tiny (10^6 queries x a few terms is MBs, far
+under the broadcast threshold). Per-doc score addition order is
+Spark's aggregation order — same 1-ulp tie caveat, and the same
+justification, as `_scored_term_group`'s docstring.
+
+Skew note (100 TB): the agg key ``(query_id, doc_id)`` is
+fine-grained, so a stop-word-heavy query cannot pin one reducer; and
+the per-query top-k window compiles with ``WindowGroupLimit``
+(Partial before the query_id exchange, Final after — visible in
+`.explain()`, pinned by test), so each map partition forwards at most
+k rows PER QUERY into the shuffle: a query matching 10^9 docs ships
+``k * n_partitions`` rows to its window partition, not 10^9. The
+single-query WAND kernels remain the latency path for interactive
+use; batch is the throughput path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucene_clj_spark import bm25
+from lucene_clj_spark.errors import ValidationError
+from lucene_clj_spark.query import (
+    MUST,
+    SHOULD,
+    BoolQ,
+    FuzzyQ,
+    MatchNone,
+    Node,
+    TermQ,
+    combine_fuzzy,
+    parse,
+)
+from lucene_clj_spark.search import (
+    DEFAULT_RESULTS_PER_PAGE,
+    _as_term,
+    _bucket_pruned,
+    _expand_fuzzy_clauses,
+    _flatten,
+    _lookup_term_stats,
+)
+
+MUST_NOT = "MUST_NOT"
+
+
+def _group_members(node: BoolQ) -> list[TermQ] | None:
+    """Term-like members of a one-level all-SHOULD group, else None."""
+    if not isinstance(node, BoolQ) or not node.clauses:
+        return None
+    if any(occ != SHOULD for occ, _ in node.clauses):
+        return None
+    members = [_as_term(c) for _, c in node.clauses]
+    if any(m is None for m in members):
+        return None
+    return [TermQ(node.boost * m.boost, m.field, m.term) for m in members]
+
+
+def _clause_groups(index, ast: Node):
+    """Normalize one parsed query to ``[(occ, [TermQ, ...])]`` groups.
+
+    Returns None when the query can never match (MatchNone, or a MUST
+    fuzzy clause with zero dictionary expansions). Raises
+    ValidationError for shapes outside the one-level group family
+    (phrases, nested trees) — those stay on ``index.search``.
+    """
+    ast = _flatten(ast)
+    if isinstance(ast, MatchNone):
+        return None
+    if isinstance(ast, FuzzyQ):
+        ast = BoolQ(1.0, ((SHOULD, ast),))
+    leaf = _as_term(ast)
+    if leaf is not None:
+        return [(SHOULD, [leaf])]
+    if not isinstance(ast, BoolQ):
+        raise ValidationError(
+            "search_batch supports term / AND / OR / field-map / "
+            "one-level boolean queries (fuzzy leaves included); use "
+            "index.search for phrases and nested trees",
+            {"query_type": type(ast).__name__},
+        )
+    expanded = _expand_fuzzy_clauses(index, ast)
+    if expanded is None:
+        return None  # a MUST fuzzy with no expansions: empty result
+    ast = _flatten(expanded)
+    if not isinstance(ast, BoolQ):
+        leaf = _as_term(ast)
+        if leaf is None:
+            raise ValidationError(
+                "search_batch: unsupported query shape after fuzzy "
+                "expansion", {"query_type": type(ast).__name__},
+            )
+        return [(SHOULD, [leaf])]
+    groups: list[tuple[str, list[TermQ]]] = []
+    for occ, child in ast.clauses:
+        if occ not in (MUST, SHOULD, MUST_NOT):
+            raise ValidationError(
+                "search_batch: unknown boolean occur", {"occ": occ}
+            )
+        if isinstance(child, MatchNone):
+            if occ == MUST:
+                return None
+            continue
+        t = _as_term(child)
+        if t is not None:
+            groups.append(
+                (occ, [TermQ(ast.boost * t.boost, t.field, t.term)])
+            )
+            continue
+        members = _group_members(child) if isinstance(child, BoolQ) else None
+        if members is not None:
+            if not members:
+                continue
+            groups.append(
+                (occ, [TermQ(ast.boost * m.boost, m.field, m.term)
+                       for m in members])
+            )
+            continue
+        raise ValidationError(
+            "search_batch supports term / AND / OR / field-map / "
+            "one-level boolean queries (fuzzy leaves included); use "
+            "index.search for phrases and nested trees",
+            {"clause_type": type(child).__name__},
+        )
+    return groups
+
+
+def search_batch(
+    index,
+    queries: dict[str, Any],
+    *,
+    field_name: str | None = None,
+    results_per_page: int = DEFAULT_RESULTS_PER_PAGE,
+    fuzzy: bool = False,
+    with_hit: bool = False,
+    hit_columns: list[str] | None = None,
+) -> DataFrame:
+    """Top-k search for EVERY query in ``queries`` in one Spark job.
+
+    ``queries`` maps a caller-chosen ``query_id`` string to any query
+    form ``index.search`` accepts within the one-level boolean family:
+    a term string, AND list, OR set, multi-field map, a prebuilt /
+    DSL-parsed one-level boolean (MUST / SHOULD / MUST_NOT, boosts,
+    SHOULD-groups), or — with ``fuzzy=True`` — a fuzzy field map.
+    Returns a DataFrame ``(query_id, doc_id, score [, stored cols])``
+    holding each query's top ``results_per_page`` hits ordered
+    (query_id asc, score desc, doc_id asc) — result-identical per
+    query to ``index.search(q, with_hit=False)`` (pinned by test).
+
+    Queries that cannot match (empty after parsing, a MUST term absent
+    from the dictionary, a MUST fuzzy with no expansions) contribute
+    zero rows; the other queries are unaffected. See the module
+    docstring for the execution plan and its scale properties.
+    """
+    if not queries:
+        raise ValidationError("search_batch needs at least one query", {})
+    if not isinstance(queries, dict):
+        raise ValidationError(
+            "queries must be a dict of query_id -> query",
+            {"queries_type": type(queries).__name__},
+        )
+    if results_per_page < 1:
+        raise ValidationError(
+            "results_per_page must be >= 1",
+            {"results_per_page": results_per_page},
+        )
+    spark = index.spark
+
+    # --- normalize every query to clause groups (driver-side, tiny)
+    per_query: dict[str, list[tuple[str, list[TermQ]]]] = {}
+    for qid, q in queries.items():
+        qid = str(qid)
+        if fuzzy:
+            ast = combine_fuzzy(q, index.specs)
+        else:
+            ast = parse(q, index.specs, index.analyzers, field_name)
+        groups = _clause_groups(index, ast)
+        if groups is not None:
+            per_query[qid] = groups
+
+    # --- one stats lookup for the union of (field, term) pairs
+    all_pairs = sorted({
+        (m.field, m.term)
+        for groups in per_query.values()
+        for _, members in groups
+        for m in members
+    })
+    stats = _lookup_term_stats(index, all_pairs)
+
+    # rows: query_id, group_id, field, term, boost, occ  (+ per-term
+    # df and per-field N/avgdl so scoring needs no further joins)
+    rows: list[tuple] = []
+    for qid, groups in per_query.items():
+        q_rows: list[tuple] = []
+        n_must_groups = 0
+        dead = False
+        for gidx, (occ, members) in enumerate(groups):
+            # merge duplicate (field, term) within a group: score sum
+            # is linear in boost, so SHOULD a + SHOULD a == boost 2a
+            # (same merge as _scored_term_group)
+            merged: dict[tuple[str, str], float] = {}
+            for m in members:
+                key = (m.field, m.term)
+                merged[key] = merged.get(key, 0.0) + m.boost
+            present = {
+                k: b for k, b in merged.items() if k in stats
+            }
+            if occ == MUST:
+                if not present:
+                    dead = True  # MUST group can never match
+                    break
+                n_must_groups += 1
+            if not present:
+                continue  # vacuous SHOULD / MUST_NOT group
+            for (f, t), b in present.items():
+                st = index.field_stats(f)
+                q_rows.append((
+                    qid, gidx, f, t, float(b), occ, stats[(f, t)],
+                    int(st["N"]), float(st["avgdl"]),
+                ))
+        if dead or not q_rows:
+            continue
+        rows.extend(r + (n_must_groups,) for r in q_rows)
+
+    k = results_per_page
+    if not rows:
+        out = spark.createDataFrame(
+            [], "query_id string, doc_id long, score double"
+        )
+        return _batch_hits(index, out, hit_columns) if with_hit else out
+
+    local = spark.createDataFrame(
+        rows,
+        "query_id string, group_id int, field string, term string, "
+        "boost double, occ string, df long, n_docs long, avgdl double, "
+        "n_must_groups int",
+    )
+    fields = sorted({r[2] for r in rows})
+    terms_ = sorted({r[3] for r in rows})
+    scan = index.postings.filter(
+        F.col("field").isin(fields) & F.col("term").isin(terms_)
+    )
+    scan = _bucket_pruned(index, scan, terms_)
+    is_not = F.col("occ") == MUST_NOT
+    scored = scan.join(F.broadcast(local), ["field", "term"]).select(
+        "query_id",
+        "doc_id",
+        F.when(is_not, F.lit(0.0)).otherwise(
+            F.col("boost")
+            * bm25.score_col(
+                F.col("tf"), F.col("dl"), F.col("df"),
+                F.col("n_docs"), F.col("avgdl"),
+            )
+        ).alias("score"),
+        F.when(F.col("occ") == MUST, F.col("group_id")).alias("__mg"),
+        is_not.cast("int").alias("__not"),
+        "n_must_groups",
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("score").alias("score"),
+        F.countDistinct("__mg").alias("__musts"),  # nulls don't count
+        F.max("__not").alias("__vetoed"),
+        F.first("n_must_groups").alias("__need"),  # constant per query
+    )
+    matched = agg.filter(
+        (F.col("__musts") == F.col("__need")) & (F.col("__vetoed") == 0)
+    ).select("query_id", "doc_id", "score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    top = (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+    return _batch_hits(index, top, hit_columns) if with_hit else top
+
+
+def _batch_hits(
+    index, top: DataFrame, hit_columns: list[str] | None
+) -> DataFrame:
+    """Stored-field retrieval for a batch result: same doc_id SEEK as
+    single-query search (the top set is bounded by M*k, so collecting
+    it costs one action and the fetch plan gets PushedFilters:
+    In(doc_id, ...) over the doc_id-sorted docs table)."""
+    cols = hit_columns or [
+        c for c in index.docs.columns if not c.startswith("__")
+    ]
+    if "doc_id" not in cols:
+        cols = ["doc_id"] + cols
+    hits = top.collect()
+    spark = index.spark
+    top_local = spark.createDataFrame(
+        [(r["query_id"], r["doc_id"], r["score"]) for r in hits],
+        "query_id string, doc_id long, score double",
+    )
+    fetched = index.docs.select(*cols)
+    if hits:
+        fetched = fetched.filter(
+            F.col("doc_id").isin(sorted({r["doc_id"] for r in hits}))
+        )
+    else:
+        fetched = fetched.filter(F.lit(False))
+    return top_local.join(F.broadcast(fetched), "doc_id", "left").select(
+        "query_id", "doc_id", "score",
+        *[c for c in cols if c != "doc_id"],
+    ).orderBy("query_id", F.desc("score"), F.asc("doc_id"))

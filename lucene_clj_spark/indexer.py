@@ -182,6 +182,14 @@ class Index:
 
         return search(self, query, **opts)
 
+    def search_batch(self, queries: dict, **opts) -> DataFrame:
+        """M queries, ONE job: (query_id, doc_id, score) top-k per
+        query — the throughput path for query logs / offline eval
+        (batch.py module docstring has the plan + scale analysis)."""
+        from lucene_clj_spark.batch import search_batch
+
+        return search_batch(self, queries, **opts)
+
     def suggest_(self, field: str, prefix: str, **opts) -> DataFrame:
         from lucene_clj_spark.suggest import suggest
 

@@ -1,0 +1,147 @@
+"""search_batch: M queries in one job, result-identical per query to
+index.search. Each shape in the supported one-level family is pinned
+against the single-query path on the reference sample corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_clj_spark.errors import ValidationError
+from lucene_clj_spark.query import parse_dsl
+
+
+def _hits(df):
+    return [
+        (r["doc_id"], round(r["score"], 6))
+        for r in df.orderBy(df.score.desc(), df.doc_id.asc()).collect()
+    ]
+
+
+def _batch_hits(df, qid):
+    rows = [r for r in df.collect() if r["query_id"] == qid]
+    rows.sort(key=lambda r: (-r["score"], r["doc_id"]))
+    return [(r["doc_id"], round(r["score"], 6)) for r in rows]
+
+
+SHAPES = {
+    "term": ("antics", {"field_name": "bio"}),
+    "and_pair": (["strong", "antics"], {"field_name": "bio"}),
+    "or_set": ({"bio": {"strong", "peace", "antics"}}, {}),
+    "multi_field": ({"bio": "antics", "gender": "m"}, {}),
+}
+
+
+def test_batch_matches_single_query_per_shape(sample_index):
+    queries = {qid: q for qid, (q, _) in SHAPES.items()}
+    # field_name applies batch-wide; the shapes that need it are
+    # strings/lists, the rest carry their own fields
+    out = sample_index.search_batch(
+        queries, field_name="bio", results_per_page=10
+    )
+    assert out.columns == ["query_id", "doc_id", "score"]
+    for qid, (q, opts) in SHAPES.items():
+        single = sample_index.search(
+            q, results_per_page=10, with_hit=False, **opts
+        )
+        assert _batch_hits(out, qid) == _hits(single), qid
+
+
+def test_batch_fuzzy_matches_single(sample_index):
+    out = sample_index.search_batch(
+        {"fz": {"bio": "stron"}}, fuzzy=True, results_per_page=10
+    )
+    single = sample_index.search(
+        {"bio": "stron"}, fuzzy=True, results_per_page=10, with_hit=False
+    )
+    assert _batch_hits(out, "fz") == _hits(single)
+
+
+def test_batch_dsl_not_and_groups(sample_index):
+    dsl = "(strong OR peace) NOT kryptonite"
+    node = parse_dsl(dsl, "bio", sample_index.specs, sample_index.analyzers)
+    out = sample_index.search_batch({"q": node}, results_per_page=10)
+    single = sample_index.search(node, results_per_page=10, with_hit=False)
+    assert _batch_hits(out, "q") == _hits(single)
+    assert len(_batch_hits(out, "q")) > 0
+
+
+def test_batch_boost_rides(sample_index):
+    node = parse_dsl(
+        "strong^3 antics", "bio", sample_index.specs,
+        sample_index.analyzers,
+    )
+    out = sample_index.search_batch({"b": node}, results_per_page=10)
+    single = sample_index.search(node, results_per_page=10, with_hit=False)
+    assert _batch_hits(out, "b") == _hits(single)
+
+
+def test_missing_must_term_empties_only_that_query(sample_index):
+    out = sample_index.search_batch(
+        {
+            "dead": ["antics", "zzzznotaword"],
+            "alive": "antics",
+        },
+        field_name="bio",
+    )
+    assert _batch_hits(out, "dead") == []
+    assert _batch_hits(out, "alive") == _hits(
+        sample_index.search("antics", field_name="bio", with_hit=False)
+    )
+
+
+def test_missing_should_term_is_dropped_not_fatal(sample_index):
+    out = sample_index.search_batch(
+        {"q": {"bio": {"antics", "zzzznotaword"}}}
+    )
+    single = sample_index.search(
+        {"bio": {"antics"}}, with_hit=False
+    )
+    assert _batch_hits(out, "q") == _hits(single)
+
+
+def test_batch_k_bounds_each_query(sample_index):
+    out = sample_index.search_batch(
+        {"a": "antics", "b": {"bio": {"strong", "love"}}},
+        field_name="bio", results_per_page=2,
+    )
+    assert len(_batch_hits(out, "a")) == 2
+    assert len(_batch_hits(out, "b")) == 2
+
+
+def test_batch_with_hit_fetches_stored_columns(sample_index):
+    out = sample_index.search_batch(
+        {"q": "antics"}, field_name="bio", with_hit=True,
+        hit_columns=["first_name", "last_name"],
+    )
+    rows = out.collect()
+    assert out.columns == [
+        "query_id", "doc_id", "score", "first_name", "last_name"
+    ]
+    assert all(r["first_name"] for r in rows)
+
+
+def test_batch_rejects_phrase_and_empty(sample_index):
+    with pytest.raises(ValidationError):
+        sample_index.search_batch({"p": "wonderful innocent"},
+                                  field_name="bio")
+    with pytest.raises(ValidationError):
+        sample_index.search_batch({})
+
+
+def test_batch_plan_shape(sample_index):
+    """ONE postings scan serves the whole batch (not one per query),
+    and the per-query top-k is map-side bounded: Spark compiles the
+    row_number window with WindowGroupLimit Partial BEFORE the
+    query_id exchange, so a wide-matching query forwards at most
+    k * n_partitions rows into the shuffle."""
+    import re
+
+    out = sample_index.search_batch(
+        {f"q{i}": {"bio": {"strong", "antics"}} for i in range(8)}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = len(re.findall(
+        r"InMemoryTableScan|Scan parquet|LocalTableScan", plan
+    ))
+    assert scans == 1, plan
+    assert plan.count("WindowGroupLimit") == 2, plan  # Partial + Final
