@@ -810,6 +810,21 @@ def q_batch_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_batch_df_topk(spark, sf_dir):
+    """Distributed batch search: the query log is a DataFrame
+    (query_id, field, term, occ) — joins postings directly, no driver
+    loop/broadcast requirement (batch.py:search_batch_df). The log
+    exercises MUST+NOT together and a query whose second MUST term is
+    absent from the vocabulary (must come back empty)."""
+    idx = _index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [(q, "text", t, o) for q, t, o in _BATCH_DF_CLAUSES],
+        "query_id string, field string, term string, occ string",
+    ).replace("NOT", "MUST_NOT", subset=["occ"])
+    out = idx.search_batch_df(qdf, results_per_page=10)
+    return _round6(out, "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -869,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wand_fuzzy_bool_topk": q_wand_fuzzy_bool_topk,
         "webpages_pipeline_topk": q_webpages_pipeline_topk,
         "batch_topk": q_batch_topk,
+        "batch_df_topk": q_batch_df_topk,
         "embed_near_dup": q_embed_near_dup,
         "blob_features": q_blob_features,
     }
@@ -908,24 +924,47 @@ SELECT doc_id, round(score, 6) AS score FROM (
     )
 
 
-def _batch_sql() -> str:
-    # q_batch_topk's clause relation replayed as a VALUES join: per
+_BATCH_CLAUSES = [
+    ("and2", "merge", "MUST"),
+    ("and2", "window", "MUST"),
+    ("or3", "merge", "SHOULD"),
+    ("or3", "dup", "SHOULD"),
+    ("or3", "vector", "SHOULD"),
+    ("term", "scan", "SHOULD"),
+    ("notq", "merge", "SHOULD"),
+    ("notq", "compact", "NOT"),
+]
+
+# the DF-variant log exercises MUST+NOT together and a dead query
+# whose second MUST term is absent from the corpus vocabulary
+_BATCH_DF_CLAUSES = [
+    ("mn", "merge", "MUST"),
+    ("mn", "window", "MUST"),
+    ("mn", "compact", "NOT"),
+    ("or2", "dup", "SHOULD"),
+    ("or2", "scan", "SHOULD"),
+    ("dead", "merge", "MUST"),
+    ("dead", "zzqqnotaword", "MUST"),
+    ("t", "vector", "SHOULD"),
+]
+
+
+def _batch_sql(clauses: list[tuple[str, str, str]]) -> str:
+    # a batch clause relation replayed as a VALUES join: per
     # (query_id, doc_id), score = ordered sum of non-NOT clause
-    # scores, matched MUST terms must cover the query's MUST count,
-    # and any matched NOT term vetoes; top-10 per query_id.
+    # scores, matched MUST terms must cover the query's MUST count
+    # (counted over the RAW spec, so a MUST term absent from the
+    # vocabulary empties its query), and any matched NOT term vetoes;
+    # top-10 per query_id.
+    values = ",\n    ".join(
+        f"('{q}', '{t}', '{o}')" for q, t, o in clauses
+    )
     return (
         _BASE
         + f"""
 , qspec AS (
   SELECT * FROM (VALUES
-    ('and2', 'merge',   'MUST'),
-    ('and2', 'window',  'MUST'),
-    ('or3',  'merge',   'SHOULD'),
-    ('or3',  'dup',     'SHOULD'),
-    ('or3',  'vector',  'SHOULD'),
-    ('term', 'scan',    'SHOULD'),
-    ('notq', 'merge',   'SHOULD'),
-    ('notq', 'compact', 'NOT')
+    {values}
   ) AS v(query_id, term, occ)
 ),
 scores AS (
@@ -1829,7 +1868,8 @@ FROM (
         "fuzzy_bool_topk": _fuzzy_bool_sql("merg", "window"),
         "wand_fuzzy_bool_topk": _fuzzy_bool_sql("merg", "window"),
         "webpages_pipeline_topk": _term_topk_sql("merge", 10),
-        "batch_topk": _batch_sql(),
+        "batch_topk": _batch_sql(_BATCH_CLAUSES),
+        "batch_df_topk": _batch_sql(_BATCH_DF_CLAUSES),
         "embed_near_dup": _embed_near_dup_sql(0.35, 4, 64),
         # byte-accurate over the UTF-8 encoding (hex-pair extraction),
         # with the engine's -1/0 sentinels for empty text — robust to

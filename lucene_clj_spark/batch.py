@@ -315,6 +315,119 @@ def search_batch(
     return _batch_hits(index, top, hit_columns) if with_hit else top
 
 
+def search_batch_df(
+    index,
+    queries_df: DataFrame,
+    *,
+    results_per_page: int = DEFAULT_RESULTS_PER_PAGE,
+) -> DataFrame:
+    """Fully-distributed batch search: the query log is itself a
+    DataFrame — no driver-side loop, no broadcast requirement, so the
+    batch can be 10^7 queries replayed against a 100 TB index.
+
+    ``queries_df`` is the clause relation directly, one row per
+    (query, clause): columns ``query_id`` (string), ``field``,
+    ``term`` (analyzer-normalized token — replayed logs store these),
+    optional ``boost`` (double, default 1.0) and ``occ`` (one of
+    MUST / SHOULD / MUST_NOT, default SHOULD). Each row is its own
+    boolean clause (term / AND / OR / NOT replay — the log shape);
+    SHOULD-groups-under-MUST and fuzzy expansion stay on
+    ``search_batch``, whose driver-side normalization produces them.
+
+    Returns ``(query_id, doc_id, score)`` top-k per query, ordered
+    (query_id asc, score desc, doc_id asc) — semantics identical to
+    ``search_batch`` on the same clauses (pinned by test).
+
+    Plan: queries join the vocab-sized ``terms`` table for df, a
+    fields-sized local relation for (N, avgdl), then the postings
+    table on (field, term) — Spark/AQE picks broadcast vs shuffle
+    join from the actual log size, which is exactly the call you want
+    made at runtime, not in code. A MUST clause whose term is absent
+    from the dictionary empties its query by arithmetic: the
+    per-query MUST count comes from the raw log, matched MUSTs can
+    never reach it. Aggregation and the WindowGroupLimit top-k are
+    the same single-shuffle shape as ``search_batch``.
+    """
+    if results_per_page < 1:
+        raise ValidationError(
+            "results_per_page must be >= 1",
+            {"results_per_page": results_per_page},
+        )
+    cols = set(queries_df.columns)
+    for c in ("query_id", "field", "term"):
+        if c not in cols:
+            raise ValidationError(
+                "queries_df needs columns (query_id, field, term "
+                "[, boost, occ])", {"columns": sorted(cols)},
+            )
+    qn = queries_df
+    if "boost" not in cols:
+        qn = qn.withColumn("boost", F.lit(1.0))
+    if "occ" not in cols:
+        qn = qn.withColumn("occ", F.lit(SHOULD))
+    qn = qn.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        "field", "term",
+        F.col("boost").cast("double").alias("boost"),
+        "occ",
+    )
+    spark = index.spark
+
+    # per-query MUST requirement from the RAW log (absent MUST terms
+    # still count, so their queries can never be satisfied — same
+    # contract as search_batch / the reference's BooleanQuery)
+    need = qn.groupBy("query_id").agg(
+        F.countDistinct(
+            F.when(F.col("occ") == MUST, F.struct("field", "term"))
+        ).alias("__need")
+    )
+
+    # vocab stats ride in as joins instead of driver literals: df from
+    # the terms table, (N, avgdl) from a fields-sized local relation
+    fstats = spark.createDataFrame(
+        [(f, int(s["N"]), float(s["avgdl"]))
+         for f, s in index.stats.items()],
+        "field string, n_docs long, avgdl double",
+    )
+    qs = (
+        qn.join(index.terms.select("field", "term", "df"),
+                ["field", "term"])
+        .join(F.broadcast(fstats), "field")
+    )
+    is_not = F.col("occ") == MUST_NOT
+    scored = index.postings.join(qs, ["field", "term"]).select(
+        "query_id",
+        "doc_id",
+        F.when(is_not, F.lit(0.0)).otherwise(
+            F.col("boost")
+            * bm25.score_col(
+                F.col("tf"), F.col("dl"), F.col("df"),
+                F.col("n_docs"), F.col("avgdl"),
+            )
+        ).alias("score"),
+        F.when(F.col("occ") == MUST,
+               F.struct("field", "term")).alias("__mg"),
+        is_not.cast("int").alias("__not"),
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("score").alias("score"),
+        F.countDistinct("__mg").alias("__musts"),
+        F.max("__not").alias("__vetoed"),
+    )
+    matched = agg.join(need, "query_id").filter(
+        (F.col("__musts") == F.col("__need")) & (F.col("__vetoed") == 0)
+    ).select("query_id", "doc_id", "score")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= results_per_page)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def _batch_hits(
     index, top: DataFrame, hit_columns: list[str] | None
 ) -> DataFrame:

@@ -190,6 +190,14 @@ class Index:
 
         return search_batch(self, queries, **opts)
 
+    def search_batch_df(self, queries_df: DataFrame, **opts) -> DataFrame:
+        """Distributed batch search over a query-log DataFrame
+        (query_id, field, term [, boost, occ]) — no driver loop, no
+        broadcast requirement; see batch.py:search_batch_df."""
+        from lucene_clj_spark.batch import search_batch_df
+
+        return search_batch_df(self, queries_df, **opts)
+
     def suggest_(self, field: str, prefix: str, **opts) -> DataFrame:
         from lucene_clj_spark.suggest import suggest
 

@@ -128,6 +128,79 @@ def test_batch_rejects_phrase_and_empty(sample_index):
         sample_index.search_batch({})
 
 
+def test_batch_df_matches_dict_variant(sample_index, spark):
+    """search_batch_df on the explicit clause relation == search_batch
+    on the equivalent query dict (singleton clauses)."""
+    node = parse_dsl(
+        "(strong OR peace) NOT kryptonite", "bio",
+        sample_index.specs, sample_index.analyzers,
+    )
+    dict_out = sample_index.search_batch(
+        {
+            "and2": ["strong", "antics"],
+            "or3": {"bio": {"strong", "peace", "antics"}},
+            "term": "antics",
+            "notq": node,
+        },
+        field_name="bio",
+    )
+    rows = [
+        ("and2", "bio", "strong", 1.0, "MUST"),
+        ("and2", "bio", "antics", 1.0, "MUST"),
+        ("or3", "bio", "strong", 1.0, "SHOULD"),
+        ("or3", "bio", "peace", 1.0, "SHOULD"),
+        ("or3", "bio", "antics", 1.0, "SHOULD"),
+        ("term", "bio", "antics", 1.0, "SHOULD"),
+        ("notq", "bio", "strong", 1.0, "SHOULD"),
+        ("notq", "bio", "peace", 1.0, "SHOULD"),
+        ("notq", "bio", "kryptonite", 1.0, "MUST_NOT"),
+    ]
+    qdf = spark.createDataFrame(
+        rows, "query_id string, field string, term string, "
+        "boost double, occ string",
+    )
+    df_out = sample_index.search_batch_df(qdf)
+    for qid in ("and2", "or3", "term", "notq"):
+        assert _batch_hits(df_out, qid) == _batch_hits(dict_out, qid), qid
+
+
+def test_batch_df_missing_must_empties_query(sample_index, spark):
+    qdf = spark.createDataFrame(
+        [("dead", "bio", "antics"), ("dead", "bio", "zzqqnotaword"),
+         ("alive", "bio", "antics")],
+        "query_id string, field string, term string",
+    )  # no boost/occ columns: defaults SHOULD... but force MUST:
+    from pyspark.sql import functions as F
+
+    qdf = qdf.withColumn(
+        "occ",
+        F.when(F.col("query_id") == "dead", "MUST").otherwise("SHOULD"),
+    )
+    out = sample_index.search_batch_df(qdf)
+    assert _batch_hits(out, "dead") == []
+    assert _batch_hits(out, "alive") == _hits(
+        sample_index.search("antics", field_name="bio", with_hit=False)
+    )
+
+
+def test_batch_df_default_columns(sample_index, spark):
+    qdf = spark.createDataFrame(
+        [("q", "bio", "antics")],
+        "query_id string, field string, term string",
+    )
+    out = sample_index.search_batch_df(qdf)
+    assert _batch_hits(out, "q") == _hits(
+        sample_index.search("antics", field_name="bio", with_hit=False)
+    )
+
+
+def test_batch_df_validates_columns(sample_index, spark):
+    qdf = spark.createDataFrame([("q", "antics")],
+                                "query_id string, term string")
+    with pytest.raises(ValidationError):
+        sample_index.search_batch_df(qdf)
+
+
 def test_batch_plan_shape(sample_index):
     """ONE postings scan serves the whole batch (not one per query),
     and the per-query top-k is map-side bounded: Spark compiles the
