@@ -825,6 +825,17 @@ def q_batch_df_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_mlt_topk(spark, sf_dir):
+    """MoreLikeThis: per-doc top-5 BM25-similar docs, queries = each
+    doc's 5 rarest terms (df asc, term asc), restricted to
+    doc_id < 40 on the query side (batch.py:more_like_this)."""
+    idx = _index(spark, sf_dir)
+    out = idx.more_like_this(
+        "text", doc_ids=range(40), top_terms=5, results_per_page=5
+    )
+    return _round6(out, "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -885,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webpages_pipeline_topk": q_webpages_pipeline_topk,
         "batch_topk": q_batch_topk,
         "batch_df_topk": q_batch_df_topk,
+        "mlt_topk": q_mlt_topk,
         "embed_near_dup": q_embed_near_dup,
         "blob_features": q_blob_features,
     }
@@ -995,6 +1007,46 @@ SELECT query_id, doc_id, round(score, 6) AS score FROM (
   FROM agg a JOIN need n USING (query_id)
   WHERE a.musts = n.n_musts AND a.vetoed = 0
 ) WHERE rn <= 10"""
+    )
+
+
+def _mlt_sql(max_query_doc: int = 40, n_terms: int = 5,
+             k: int = 5) -> str:
+    # MoreLikeThis replay: per query doc (doc_id < max_query_doc), its
+    # n rarest terms (df asc, term asc) score the whole corpus; self
+    # rows drop before the per-query top-k.
+    return (
+        _BASE
+        + f"""
+, qsel AS (
+  SELECT query_doc_id, term FROM (
+    SELECT p.doc_id AS query_doc_id, p.term,
+           row_number() OVER (PARTITION BY p.doc_id
+                              ORDER BY t.df ASC, p.term ASC) AS rn
+    FROM post p JOIN tstat t USING (term)
+    WHERE p.doc_id < {max_query_doc}
+  ) WHERE rn <= {n_terms}
+),
+scores AS (
+  SELECT q.query_doc_id, p.doc_id, p.term, {_SCORE} AS score
+  FROM post p
+  JOIN qsel q USING (term)
+  JOIN dl d USING (doc_id)
+  JOIN tstat t USING (term)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_doc_id, doc_id, sum(score ORDER BY term) AS score
+  FROM scores
+  WHERE doc_id <> query_doc_id
+  GROUP BY query_doc_id, doc_id
+)
+SELECT query_doc_id, doc_id, round(score, 6) AS score FROM (
+  SELECT query_doc_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_doc_id
+                            ORDER BY score DESC, doc_id ASC) AS rn
+  FROM agg
+) WHERE rn <= {k}"""
     )
 
 
@@ -1870,6 +1922,7 @@ FROM (
         "webpages_pipeline_topk": _term_topk_sql("merge", 10),
         "batch_topk": _batch_sql(_BATCH_CLAUSES),
         "batch_df_topk": _batch_sql(_BATCH_DF_CLAUSES),
+        "mlt_topk": _mlt_sql(40, 5, 5),
         "embed_near_dup": _embed_near_dup_sql(0.35, 4, 64),
         # byte-accurate over the UTF-8 encoding (hex-pair extraction),
         # with the engine's -1/0 sentinels for empty text — robust to

@@ -201,6 +201,12 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
     queries["q_batch_32"] = round(
         timed(lambda: idx.search_batch(batch_q, field_name="text")
               .collect(), name="q_batch_32"), 4)
+    # MoreLikeThis: 1,000 query docs x top-5 neighbors over the full
+    # corpus in one job (batch.py:more_like_this)
+    queries["mlt_1k"] = round(
+        timed(lambda: idx.more_like_this(
+            "text", doc_ids=range(1000), top_terms=5,
+            results_per_page=5).count(), 3, name="mlt_1k"), 4)
 
     base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     queries["dedup_exact"] = round(

@@ -303,15 +303,7 @@ def search_batch(
     matched = agg.filter(
         (F.col("__musts") == F.col("__need")) & (F.col("__vetoed") == 0)
     ).select("query_id", "doc_id", "score")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
-    top = (
-        matched.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
-        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
-    )
+    top = _topk_per_query(matched, k)
     return _batch_hits(index, top, hit_columns) if with_hit else top
 
 
@@ -417,15 +409,114 @@ def search_batch_df(
     matched = agg.join(need, "query_id").filter(
         (F.col("__musts") == F.col("__need")) & (F.col("__vetoed") == 0)
     ).select("query_id", "doc_id", "score")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("doc_id")
-    )
+    return _topk_per_query(matched, results_per_page)
+
+
+def _topk_per_query(
+    matched: DataFrame, k: int, key: str = "query_id"
+) -> DataFrame:
+    """Bounded per-query top-k: row_number over (key | score desc,
+    doc_id asc) compiles to WindowGroupLimit Partial+Final — each map
+    partition forwards at most k rows per query into the shuffle
+    (pinned by plan-shape test)."""
+    w = Window.partitionBy(key).orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         matched.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= results_per_page)
+        .filter(F.col("__rn") <= k)
         .drop("__rn")
-        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        .orderBy(key, F.desc("score"), F.asc("doc_id"))
     )
+
+
+def more_like_this(
+    index,
+    field: str,
+    *,
+    doc_ids=None,
+    top_terms: int = 10,
+    max_df: int | None = None,
+    results_per_page: int = DEFAULT_RESULTS_PER_PAGE,
+    include_self: bool = False,
+) -> DataFrame:
+    """For every document, the top-k most BM25-similar documents —
+    Lucene's MoreLikeThis (each doc's most distinctive terms become a
+    query against the index) expressed as one Spark job over the
+    index's own tables.
+
+    Query construction follows MoreLikeThis's selectivity rule: each
+    doc's ``top_terms`` RAREST terms in ``field`` (df ascending, term
+    ascending for determinism; ``max_df`` additionally drops
+    stop-word-frequency terms like MLT's maxDocFreq). ``doc_ids``
+    restricts which docs get queries (the candidate side always scans
+    the whole field). ``include_self=False`` (default) drops the
+    trivial self-match before the per-doc top-k, so all k slots carry
+    neighbors. Returns ``(query_doc_id, doc_id, score)``.
+
+    Scale shape: (1) the query-term selection shuffles only the
+    projected (doc_id, term, df) postings columns by doc_id (positions
+    and tf prune out of the scan); (2) the candidate join is keyed on
+    term, and because each doc queries its RAREST terms, per-term
+    fanout is small by construction — the df-ascending selection is
+    what makes index-replay MLT tractable at 10^9 docs (a hot term
+    never becomes a query term unless the doc has nothing rarer, and
+    ``max_df`` caps even that); (3) scoring aggregates on
+    (query_doc_id, doc_id) and the top-k is WindowGroupLimit-bounded
+    like every batch path. This is the doc-to-doc similarity primitive
+    for near-dup clustering and retrieval-negative mining that
+    embedding ANN (functions/ann.py) covers only when embeddings
+    exist.
+    """
+    if results_per_page < 1 or top_terms < 1:
+        raise ValidationError(
+            "results_per_page and top_terms must be >= 1",
+            {"results_per_page": results_per_page,
+             "top_terms": top_terms},
+        )
+    st = index.field_stats(field)
+
+    p = index.postings.filter(F.col("field") == field)
+    qside = p.select("doc_id", "term")
+    if doc_ids is not None:
+        if isinstance(doc_ids, range) and doc_ids.step == 1:
+            # contiguous ranges compile to a min/max-skippable BETWEEN
+            # instead of a literal IN list
+            qside = qside.filter(
+                (F.col("doc_id") >= doc_ids.start)
+                & (F.col("doc_id") < doc_ids.stop)
+            )
+        else:
+            qside = qside.filter(F.col("doc_id").isin(list(doc_ids)))
+    tdf = (
+        index.terms.filter(F.col("field") == field)
+        .select("term", "df")
+    )
+    if max_df is not None:
+        tdf = tdf.filter(F.col("df") <= max_df)
+    wq = Window.partitionBy("doc_id").orderBy(
+        F.asc("df"), F.asc("term")
+    )
+    qterms = (
+        qside.join(tdf, "term")
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= top_terms)
+        .select(
+            F.col("doc_id").alias("query_doc_id"), "term", "df",
+        )
+    )
+    scored = p.join(qterms, "term").select(
+        "query_doc_id",
+        "doc_id",
+        bm25.score_col(
+            F.col("tf"), F.col("dl"), F.col("df"),
+            F.lit(int(st["N"])), F.lit(float(st["avgdl"])),
+        ).alias("score"),
+    )
+    agg = scored.groupBy("query_doc_id", "doc_id").agg(
+        F.sum("score").alias("score")
+    )
+    if not include_self:
+        agg = agg.filter(F.col("doc_id") != F.col("query_doc_id"))
+    return _topk_per_query(agg, results_per_page, key="query_doc_id")
 
 
 def _batch_hits(

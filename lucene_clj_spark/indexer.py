@@ -198,6 +198,14 @@ class Index:
 
         return search_batch_df(self, queries_df, **opts)
 
+    def more_like_this(self, field: str, **opts) -> DataFrame:
+        """Per-document top-k BM25-similar documents (Lucene
+        MoreLikeThis as one index-replay job); see
+        batch.py:more_like_this."""
+        from lucene_clj_spark.batch import more_like_this
+
+        return more_like_this(self, field, **opts)
+
     def suggest_(self, field: str, prefix: str, **opts) -> DataFrame:
         from lucene_clj_spark.suggest import suggest
 

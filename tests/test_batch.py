@@ -201,6 +201,67 @@ def test_batch_df_validates_columns(sample_index, spark):
         sample_index.search_batch_df(qdf)
 
 
+def _rarest_terms(index, doc_id, field, n):
+    from pyspark.sql import functions as F
+
+    doc_terms = {
+        r["term"]
+        for r in index.postings.filter(
+            (F.col("field") == field) & (F.col("doc_id") == doc_id)
+        ).select("term").collect()
+    }
+    stats = index.terms.filter(
+        (F.col("field") == field) & F.col("term").isin(list(doc_terms))
+    ).select("term", "df").collect()
+    ranked = sorted(stats, key=lambda r: (r["df"], r["term"]))
+    return [r["term"] for r in ranked[:n]]
+
+
+def test_more_like_this_matches_or_query(sample_index):
+    """MLT for one doc == an OR query over that doc's n rarest terms,
+    with the self-match dropped."""
+    terms = _rarest_terms(sample_index, 0, "bio", 5)
+    expected = [
+        h for h in _hits(
+            sample_index.search({"bio": set(terms)}, with_hit=False,
+                                results_per_page=13)
+        ) if h[0] != 0
+    ][:3]
+    mlt = sample_index.more_like_this(
+        "bio", top_terms=5, results_per_page=3
+    )
+    got = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in mlt.collect() if r["query_doc_id"] == 0
+    ]
+    assert got == expected
+
+
+def test_more_like_this_no_self_by_default(sample_index):
+    mlt = sample_index.more_like_this("bio", top_terms=5).collect()
+    assert mlt and all(r["query_doc_id"] != r["doc_id"] for r in mlt)
+    with_self = sample_index.more_like_this(
+        "bio", top_terms=5, include_self=True
+    ).collect()
+    # every doc's own terms match itself; with include_self the self
+    # row exists and is that doc's best hit
+    best = {}
+    for r in with_self:
+        q = r["query_doc_id"]
+        if q not in best or (-r["score"], r["doc_id"]) < best[q][0]:
+            best[q] = ((-r["score"], r["doc_id"]), r["doc_id"])
+    assert all(doc == q for q, (_, doc) in best.items())
+
+
+def test_more_like_this_max_df(sample_index):
+    """max_df=1 restricts query terms to hapaxes: every returned
+    score must then come from terms no other doc shares... meaning NO
+    matches at all (a df-1 term exists in exactly one doc — the query
+    doc itself, which is excluded)."""
+    mlt = sample_index.more_like_this("bio", top_terms=5, max_df=1)
+    assert mlt.count() == 0
+
+
 def test_batch_plan_shape(sample_index):
     """ONE postings scan serves the whole batch (not one per query),
     and the per-query top-k is map-side bounded: Spark compiles the
