@@ -363,6 +363,17 @@ def search_batch_df(
         F.col("boost").cast("double").alias("boost"),
         "occ",
     )
+    # fail fast on malformed occ — a typo'd occur must not silently
+    # score as SHOULD. One pass over the (log-sized, postings-dwarfed)
+    # queries table; first offender reported.
+    bad = qn.filter(
+        ~F.col("occ").isin(MUST, SHOULD, MUST_NOT)
+    ).select("query_id", "occ").take(1)
+    if bad:
+        raise ValidationError(
+            "occ must be one of MUST / SHOULD / MUST_NOT",
+            {"query_id": bad[0]["query_id"], "occ": bad[0]["occ"]},
+        )
     spark = index.spark
 
     # per-query MUST requirement from the RAW log (absent MUST terms
@@ -461,10 +472,16 @@ def more_like_this(
     never becomes a query term unless the doc has nothing rarer, and
     ``max_df`` caps even that); (3) scoring aggregates on
     (query_doc_id, doc_id) and the top-k is WindowGroupLimit-bounded
-    like every batch path. This is the doc-to-doc similarity primitive
-    for near-dup clustering and retrieval-negative mining that
-    embedding ANN (functions/ann.py) covers only when embeddings
-    exist.
+    like every batch path. The fanout bound is a property of the
+    VOCABULARY, not the plan: on Zipfian webtext the rarest-terms
+    selection keeps per-term candidate lists tiny, but a degenerate
+    small vocabulary (every term common) degrades toward all-pairs —
+    measured at ~1.5M scored pairs/s/8-threads on the 31-term
+    synthetic bench corpus (bench.py's SPARK_GRAFT_BENCH_MLT note);
+    set ``max_df`` to refuse the dense regime outright. This is the
+    doc-to-doc similarity primitive for near-dup clustering and
+    retrieval-negative mining that embedding ANN (functions/ann.py)
+    covers only when embeddings exist.
     """
     if results_per_page < 1 or top_terms < 1:
         raise ValidationError(

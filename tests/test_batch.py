@@ -201,6 +201,15 @@ def test_batch_df_validates_columns(sample_index, spark):
         sample_index.search_batch_df(qdf)
 
 
+def test_batch_df_rejects_malformed_occ(sample_index, spark):
+    qdf = spark.createDataFrame(
+        [("q", "bio", "antics", "SHULD")],
+        "query_id string, field string, term string, occ string",
+    )
+    with pytest.raises(ValidationError):
+        sample_index.search_batch_df(qdf)
+
+
 def _rarest_terms(index, doc_id, field, n):
     from pyspark.sql import functions as F
 
