@@ -10,7 +10,11 @@ booleans, parens at any depth, boosts, phrases, fuzzy:
 ``--dsl --query '((merge AND window) OR (dup AND scan)) NOT compact'``.
 With ``--mode auto`` (the default for --dsl) eligible shapes route to
 the segment kernels; ``--explain`` prints which execution path served
-the query."""
+the query.
+
+``--batch log.tsv`` replays a query LOG (one ``query_id<TAB>dsl``
+line per query) as ONE Spark job via search_batch — the throughput
+path for offline eval; emits (query_id, doc_id, score) JSON lines."""
 
 from __future__ import annotations
 
@@ -26,7 +30,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--field", default="text")
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query")
+    ap.add_argument("--batch",
+                    help="file of 'query_id<TAB>dsl_query' lines — "
+                         "the whole log runs as ONE Spark job "
+                         "(batch.py:search_batch); emits JSON lines "
+                         "(query_id, doc_id, score)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["auto", "dataframe", "wand"],
                     default=None)
@@ -41,6 +50,8 @@ def main():
                     help="print the execution path (kernel vs "
                          "DataFrame) to stderr")
     args = ap.parse_args()
+    if (args.query is None) == (args.batch is None):
+        ap.error("exactly one of --query / --batch is required")
     if args.mode is None:
         args.mode = "auto" if args.dsl else "dataframe"
 
@@ -58,6 +69,28 @@ def main():
     idx = Index.load(spark, args.index)
 
     t0 = time.time()
+    if args.batch:
+        from lucene_clj_spark.query import parse_dsl
+
+        qs = {}
+        with open(args.batch) as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                qid, _, q = line.partition("\t")
+                qs[qid] = parse_dsl(q, args.field, idx.specs,
+                                    idx.analyzers)
+        out = idx.search_batch(qs, results_per_page=args.k)
+        rows = out.collect()
+        dt = time.time() - t0
+        for r in rows:
+            print(json.dumps({"query_id": r["query_id"],
+                              "doc_id": r["doc_id"],
+                              "score": r["score"]}))
+        print(f"# {len(rows)} hits for {len(qs)} queries in "
+              f"{dt:.3f}s (one job)", file=sys.stderr)
+        return
     if args.dsl:
         from lucene_clj_spark.query import parse_dsl
 

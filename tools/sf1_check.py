@@ -46,6 +46,11 @@ INDEX_QUERIES = [
     "wand_tree_phrase_topk", "wand_multi_field_topk",
     "wand_fuzzy_bool_topk",
     "token_stats", "fingerprint", "lang_id",
+    # round-4 batch family: a 4-query log in one job, the
+    # DataFrame-shaped log variant, and MoreLikeThis (40 query docs x
+    # top-5 — included even though this corpus's 31-term vocabulary
+    # makes MLT near-all-pairs; the match column is the point here)
+    "batch_topk", "batch_df_topk", "mlt_topk",
 ]
 
 
