@@ -82,6 +82,30 @@ from lucene_clj_spark.search import (
 MUST_NOT = "MUST_NOT"
 
 
+def _canonical_score_sum() -> "F.Column":
+    """Order-canonical per-doc score sum: collect the (field, term,
+    score) triples, sort, and left-fold the add — bit-identical
+    regardless of aggregation arrival order.
+
+    Plain ``F.sum`` adds in partition-arrival order, and IEEE addition
+    is commutative but NOT associative: with >= 3 clause scores, two
+    IDENTICAL documents can sum 1 ulp apart, and the top-k tie rule
+    (doc_id asc among equal scores) then selects copies
+    nondeterministically — the sf1 validation run (1.6M docs = 320
+    verbatim copies each) caught more_like_this doing exactly that
+    (the same failure mode the segment kernels fixed with canonical
+    fkey-order accumulation, wand.py). Groups are clause-count-sized
+    (a handful of elements), so the collect+sort+fold costs O(clauses
+    log clauses) per (query, doc) — noise next to the shared scan.
+    Matches the DuckDB oracles' ``sum(score ORDER BY term)``.
+    """
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct("field", "term", "score"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["score"],
+    )
+
+
 def _group_members(node: BoolQ) -> list[TermQ] | None:
     """Term-like members of a one-level all-SHOULD group, else None."""
     if not isinstance(node, BoolQ) or not node.clauses:
@@ -283,6 +307,8 @@ def search_batch(
     scored = scan.join(F.broadcast(local), ["field", "term"]).select(
         "query_id",
         "doc_id",
+        "field",
+        "term",
         F.when(is_not, F.lit(0.0)).otherwise(
             F.col("boost")
             * bm25.score_col(
@@ -295,7 +321,7 @@ def search_batch(
         "n_must_groups",
     )
     agg = scored.groupBy("query_id", "doc_id").agg(
-        F.sum("score").alias("score"),
+        _canonical_score_sum().alias("score"),
         F.countDistinct("__mg").alias("__musts"),  # nulls don't count
         F.max("__not").alias("__vetoed"),
         F.first("n_must_groups").alias("__need"),  # constant per query
@@ -401,6 +427,8 @@ def search_batch_df(
     scored = index.postings.join(qs, ["field", "term"]).select(
         "query_id",
         "doc_id",
+        "field",
+        "term",
         F.when(is_not, F.lit(0.0)).otherwise(
             F.col("boost")
             * bm25.score_col(
@@ -413,7 +441,7 @@ def search_batch_df(
         is_not.cast("int").alias("__not"),
     )
     agg = scored.groupBy("query_id", "doc_id").agg(
-        F.sum("score").alias("score"),
+        _canonical_score_sum().alias("score"),
         F.countDistinct("__mg").alias("__musts"),
         F.max("__not").alias("__vetoed"),
     )
@@ -523,13 +551,15 @@ def more_like_this(
     scored = p.join(qterms, "term").select(
         "query_doc_id",
         "doc_id",
+        "field",
+        "term",
         bm25.score_col(
             F.col("tf"), F.col("dl"), F.col("df"),
             F.lit(int(st["N"])), F.lit(float(st["avgdl"])),
         ).alias("score"),
     )
     agg = scored.groupBy("query_doc_id", "doc_id").agg(
-        F.sum("score").alias("score")
+        _canonical_score_sum().alias("score")
     )
     if not include_self:
         agg = agg.filter(F.col("doc_id") != F.col("query_doc_id"))

@@ -271,6 +271,53 @@ def test_more_like_this_max_df(sample_index):
     assert mlt.count() == 0
 
 
+def test_duplicated_docs_score_bit_identically(spark):
+    """Canonical-order score summation: verbatim copies of a doc must
+    receive BIT-identical batch/MLT scores regardless of partition
+    arrival order — plain F.sum adds in arrival order and IEEE
+    addition is not associative, which broke top-k tie selection on
+    the 320x-duplicated sf1 corpus (copies 1 ulp apart)."""
+    from pyspark.sql import functions as F
+
+    from lucene_clj_spark import create_index
+    from tests.conftest import SAMPLE_COLUMNS, SAMPLE_ROWS
+
+    copies = 64
+    rows = [
+        (i + c * len(SAMPLE_ROWS), *r)
+        for c in range(copies)
+        for i, r in enumerate(SAMPLE_ROWS)
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id"] + SAMPLE_COLUMNS
+    ).repartition(8)
+    idx = create_index(
+        spark, df.select("doc_id", "bio"), {"bio": "text"},
+        id_column="doc_id",
+    )
+    out = idx.search_batch(
+        {"q": {"bio": {"strong", "antics", "love", "peace", "soul"}}},
+        results_per_page=13 * copies,
+    ).collect()
+    by_base = {}
+    for r in out:
+        by_base.setdefault(r["doc_id"] % 13, set()).add(r["score"])
+    # every copy family collapses to ONE full-precision score
+    assert by_base and all(len(s) == 1 for s in by_base.values()), {
+        k: len(v) for k, v in by_base.items()
+    }
+    mlt = idx.more_like_this(
+        "bio", doc_ids=range(13), top_terms=5,
+        results_per_page=13 * copies, include_self=True,
+    ).collect()
+    per_q = {}
+    for r in mlt:
+        per_q.setdefault(
+            (r["query_doc_id"], r["doc_id"] % 13), set()
+        ).add(r["score"])
+    assert per_q and all(len(s) == 1 for s in per_q.values())
+
+
 def test_batch_plan_shape(sample_index):
     """ONE postings scan serves the whole batch (not one per query),
     and the per-query top-k is map-side bounded: Spark compiles the
