@@ -836,6 +836,79 @@ def q_mlt_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_dsl_wildcard_topk(spark, sf_dir):
+    """Wildcard multi-term query inside a boolean (QueryParser grammar
+    reachable through the reference's parse-dsl, query.clj:115-124):
+    's*a* OR dup' — the wildcard rewrites constant-score (every doc
+    holding >=1 term matching the pattern scores 1.0, Lucene's
+    MultiTermQuery CONSTANT_SCORE rewrite) and sums with the rare
+    term's BM25 score. The pattern plans as ONE postings scan with the
+    LIKE predicate pushed to parquet — no driver-side term expansion."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _index(spark, sf_dir)
+    ast = parse_dsl("s*a* OR dup", "text", idx.specs, idx.analyzers)
+    out = idx.search(ast, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_dsl_typed_range_topk(spark, sf_dir):
+    """Typed point-range inside a boolean: 'merge AND
+    n_chars:[100 TO 200]' — LongPoint.newRangeQuery semantics
+    (constant-score 1.0) intersected with the term's BM25 score.
+    The range filters the docs table directly (row-group min/max
+    pruning), never touching postings."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _index(spark, sf_dir)
+    ast = parse_dsl("merge AND n_chars:[100 TO 200]", "text",
+                    idx.specs, idx.analyzers)
+    out = idx.search(ast, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_dsl_term_range_topk(spark, sf_dir):
+    """Lexicographic TermRangeQuery with EXCLUSIVE bounds:
+    'dup OR text:{slow TO stream}' — docs holding >=1 term strictly
+    between 'slow' and 'stream' score 1.0 (constant-score rewrite),
+    summed with dup's BM25 score. One postings scan, range predicate
+    pushed to the sorted term column."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _index(spark, sf_dir)
+    ast = parse_dsl("dup OR text:{slow TO stream}", "text",
+                    idx.specs, idx.analyzers)
+    out = idx.search(ast, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_dsl_matchall_not_topk(spark, sf_dir):
+    """'*:* NOT merge' — MatchAllDocsQuery (every doc scores 1.0) with
+    a MUST_NOT exclusion; the complement-set query Lucene users write
+    for 'docs lacking term X'."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _index(spark, sf_dir)
+    ast = parse_dsl("*:* NOT merge", "text", idx.specs, idx.analyzers)
+    out = idx.search(ast, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_dsl_sloppy_phrase_topk(spark, sf_dir):
+    """Sloppy phrase '"the merge"~2' — Lucene SloppyPhraseScorer
+    phraseFreq: greedy minimal-match-length accumulation over
+    offset-adjusted positions, each match weighted 1/(1+matchLength)
+    (slop 2 admits the transposed 'merge the'), scored as BM25 over
+    the float freq with summed per-term idfs. The DuckDB twin replays
+    the same greedy in a recursive CTE."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _index(spark, sf_dir)
+    ast = parse_dsl('"the merge"~2', "text", idx.specs, idx.analyzers)
+    out = idx.search(ast, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -899,6 +972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": q_mlt_topk,
         "embed_near_dup": q_embed_near_dup,
         "blob_features": q_blob_features,
+        "dsl_wildcard_topk": q_dsl_wildcard_topk,
+        "dsl_typed_range_topk": q_dsl_typed_range_topk,
+        "dsl_term_range_topk": q_dsl_term_range_topk,
+        "dsl_matchall_not_topk": q_dsl_matchall_not_topk,
+        "dsl_sloppy_phrase_topk": q_dsl_sloppy_phrase_topk,
     }
 
 
@@ -1272,6 +1350,155 @@ SELECT doc_id, round(score, 6) AS score FROM (
          OR (s_dup IS NOT NULL AND s_scan IS NOT NULL))
     AND m_compact = 0
   ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _dsl_wildcard_sql() -> str:
+    # 's*a* OR dup': wildcard rewrites constant-score (1.0 per doc
+    # holding >=1 term LIKE 's%a%'), OR-summed with dup's BM25 score
+    return (
+        _TERM_SCORES.replace("{term}", "dup")
+        + """
+, wild AS (SELECT DISTINCT doc_id FROM post WHERE term LIKE 's%a%')
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT COALESCE(w.doc_id, sc.doc_id) AS doc_id,
+         (CASE WHEN w.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END
+          + COALESCE(sc.score, 0.0)) AS score
+  FROM wild w FULL OUTER JOIN scores sc ON w.doc_id = sc.doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _dsl_typed_range_sql() -> str:
+    # 'merge AND n_chars:[100 TO 200]': point range is constant-score
+    # 1.0, MUST-intersected with merge's BM25 score
+    return (
+        _TERM_SCORES.replace("{term}", "merge")
+        + """
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT sc.doc_id AS doc_id, sc.score + 1.0 AS score
+  FROM scores sc JOIN documents dd ON sc.doc_id = dd.doc_id
+  WHERE dd.n_chars BETWEEN 100 AND 200
+  ORDER BY score DESC, sc.doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _dsl_term_range_sql() -> str:
+    # 'dup OR text:{slow TO stream}': lexicographic term range with
+    # EXCLUSIVE bounds, constant-score 1.0, OR-summed with dup
+    return (
+        _TERM_SCORES.replace("{term}", "dup")
+        + """
+, rng AS (
+  SELECT DISTINCT doc_id FROM post
+  WHERE term > 'slow' AND term < 'stream'
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT COALESCE(r.doc_id, sc.doc_id) AS doc_id,
+         (CASE WHEN r.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END
+          + COALESCE(sc.score, 0.0)) AS score
+  FROM rng r FULL OUTER JOIN scores sc ON r.doc_id = sc.doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _dsl_matchall_not_sql() -> str:
+    # '*:* NOT merge': every doc scores 1.0, minus docs holding merge
+    return (
+        _BASE
+        + """
+SELECT doc_id, 1.0 AS score FROM (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM post WHERE term = 'merge')
+  ORDER BY d.doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _dsl_sloppy_sql(t1: str = "the", t2: str = "merge",
+                    slop: int = 2, k: int = 10) -> str:
+    # '"t1 t2"~slop' — replays Lucene's SloppyPhraseScorer greedy
+    # (the same algorithm as search._sloppy_freq_py) in a recursive
+    # CTE, one state row per doc per step: pop the min offset-adjusted
+    # position (slot-0-first on ties, like heapq on (pos, slot)),
+    # minimize the current match length while that slot stays minimal,
+    # bank 1/(1+matchLength) when it overtakes the other slot (and
+    # once more at exhaustion). Score = BM25 over the float freq with
+    # summed idfs, exactly the engine's arithmetic order.
+    idf1 = bm25.idf_sql("t1.df", "s.n")
+    idf2 = bm25.idf_sql("t2.df", "s.n")
+    qdl = bm25.quantized_dl_sql("d.dl")
+    base = _BASE.replace("WITH doc", "WITH RECURSIVE doc", 1)
+    return (
+        base
+        + f"""
+, pls AS (
+  SELECT doc_id,
+         list_filter(range(1, len(ts) + 1),
+                     i -> ts[i] = '{t1}') AS A,
+         list_transform(
+             list_filter(range(1, len(ts) + 1), i -> ts[i] = '{t2}'),
+             x -> x - 1) AS B
+  FROM doc
+),
+init AS (
+  SELECT doc_id, A, B,
+         CASE WHEN A[1] <= B[1] THEN 0 ELSE 1 END AS i,
+         CAST(1 AS BIGINT) AS idx0, CAST(1 AS BIGINT) AS idx1,
+         CASE WHEN A[1] <= B[1] THEN B[1] ELSE A[1] END AS other,
+         greatest(A[1], B[1]) AS end_,
+         greatest(A[1], B[1]) - least(A[1], B[1]) AS mlen,
+         CAST(0.0 AS DOUBLE) AS freq, false AS done
+  FROM pls WHERE len(A) > 0 AND len(B) > 0
+),
+steps AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT doc_id, A, B,
+         CASE WHEN NOT ex AND p > other THEN 1 - i ELSE i END AS i,
+         CASE WHEN NOT ex AND i = 0 THEN n ELSE idx0 END AS idx0,
+         CASE WHEN NOT ex AND i = 1 THEN n ELSE idx1 END AS idx1,
+         CASE WHEN NOT ex AND p > other THEN p ELSE other END AS other,
+         CASE WHEN ex THEN end_ ELSE greatest(end_, p) END AS end_,
+         CASE WHEN ex THEN mlen
+              WHEN p > other THEN greatest(end_, p) - other
+              WHEN end_ - p < mlen THEN end_ - p
+              ELSE mlen END AS mlen,
+         freq + CASE WHEN (ex OR p > other) AND mlen <= {slop}
+                     THEN 1.0 / (1.0 + mlen) ELSE 0.0 END AS freq,
+         ex AS done
+  FROM (
+    SELECT *,
+           (CASE WHEN i = 0 THEN idx0 ELSE idx1 END) + 1 AS n,
+           ((CASE WHEN i = 0 THEN idx0 ELSE idx1 END) + 1
+            > CASE WHEN i = 0 THEN len(A) ELSE len(B) END) AS ex,
+           CASE WHEN i = 0
+                THEN A[(CASE WHEN i = 0 THEN idx0 ELSE idx1 END) + 1]
+                ELSE B[(CASE WHEN i = 0 THEN idx0 ELSE idx1 END) + 1]
+           END AS p
+    FROM steps WHERE NOT done
+  )
+),
+sfreq AS (SELECT doc_id, freq FROM steps WHERE done),
+scores AS (
+  SELECT f.doc_id,
+         ({idf1} + {idf2}) * f.freq /
+         (f.freq + {K1!r} * ({1.0 - B!r} + {B!r} *
+          CAST({qdl} AS DOUBLE) / CAST(s.avgdl AS DOUBLE))) AS score
+  FROM sfreq f
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{t1}') t1
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{t2}') t2
+  WHERE f.freq > 0
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
 )"""
     )
 
@@ -1945,4 +2172,9 @@ SELECT doc_id AS media_id,
        ELSE CAST('0x' || substr(h, 2*nb-1, 2) AS INT) END AS tail_byte
 FROM b""",
         "lang_id": _lang_id_sql(),
+        "dsl_wildcard_topk": _dsl_wildcard_sql(),
+        "dsl_typed_range_topk": _dsl_typed_range_sql(),
+        "dsl_term_range_topk": _dsl_term_range_sql(),
+        "dsl_matchall_not_topk": _dsl_matchall_not_sql(),
+        "dsl_sloppy_phrase_topk": _dsl_sloppy_sql("the", "merge", 2),
     }

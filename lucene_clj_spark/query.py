@@ -69,6 +69,10 @@ class TermQ(Node):
 class PhraseQ(Node):
     field: str = ""
     terms: tuple[str, ...] = ()
+    # sloppy phrase (``"a b"~N`` in the classic DSL): terms may match
+    # within N total positional edits; freq accumulates Lucene's
+    # sloppyWeight 1/(1+matchLength) per match. 0 = exact adjacency.
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -88,6 +92,48 @@ class FuzzyQ(Node):
     max_edits: int = 2           # FuzzyQuery default (query.clj:126-147)
     prefix_length: int = 0
     max_expansions: int = 50     # Lucene FuzzyQuery.defaultMaxExpansions
+
+
+@dataclass(frozen=True)
+class WildcardQ(Node):
+    """Wildcard / prefix multi-term query (``te*t`` / ``te?t`` / ``te*``
+    in the classic DSL). Lucene QueryParser builds WildcardQuery /
+    PrefixQuery here (reference surface: query.clj:115-124 passes any
+    string to QueryParser, whose grammar includes wildcards); both use
+    the constant-score rewrite — every matching doc scores ``boost``,
+    no BM25 — which is what this engine reproduces. ``pattern`` is
+    normalized (lowercased for lowercasing analyzers, like Lucene's
+    ``Analyzer.normalize`` wildcard handling); ``*`` matches any run,
+    ``?`` exactly one char; ``\\*`` / ``\\?`` escape literals."""
+
+    field: str = ""
+    pattern: str = ""
+
+
+@dataclass(frozen=True)
+class RangeQ(Node):
+    """Term / point range query (``[a TO b]`` / ``{a TO b}`` in the
+    classic DSL — QueryParser grammar, reachable through the
+    reference's parse-dsl at query.clj:115-124). On text/keyword
+    fields this is Lucene's TermRangeQuery: constant-score over docs
+    containing >=1 term inside the lexicographic range. On typed
+    long/double/instant fields it is the point range query (also
+    constant-score — same scoring class as the typed exact queries,
+    field_types.clj:166-182). ``None`` endpoint = open (``*``)."""
+
+    field: str = ""
+    lo: Any = None
+    hi: Any = None
+    include_lo: bool = True
+    include_hi: bool = True
+    value_type: str = "text"
+
+
+@dataclass(frozen=True)
+class MatchAll(Node):
+    """``*:*`` — Lucene's MatchAllDocsQuery: every doc, score = boost."""
+
+    pass
 
 
 @dataclass(frozen=True)
@@ -260,7 +306,8 @@ _DSL_TOKEN = re.compile(
     r"""
     \s*(
         \( | \)
-      | (?:[^\s():"]+:)?"(?:[^"\\]|\\.)*"(?:\^\d+(?:\.\d+)?)?
+      | (?:[^\s():"]+:)?"(?:[^"\\]|\\.)*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?
+      | (?:[^\s():"]+:)?[\[\{][^\]\}]*[\]\}](?:\^\d+(?:\.\d+)?)?
       | (?:AND|OR|NOT)\b
       | [+\-]
       | [^\s()]+
@@ -269,6 +316,104 @@ _DSL_TOKEN = re.compile(
     re.VERBOSE,
 )
 _BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
+_FUZZY_SUFFIX = re.compile(r"~(\d+(?:\.\d+)?)?$")
+_RANGE = re.compile(r"^([\[\{])\s*(.*?)\s+TO\s+(.*?)\s*([\]\}])$", re.DOTALL)
+# a token is a wildcard query iff it contains an UNESCAPED * or ?
+_UNESCAPED_WILD = re.compile(r"(?<!\\)(?:\\\\)*[*?]")
+
+
+def _normalize_multiterm(s: str, fname: str, specs, analyzers) -> str:
+    """Lucene ``Analyzer.normalize`` as applied to wildcard / range /
+    fuzzy terms: the lowercasing chains (standard, simple) lowercase;
+    keyword-TYPED fields index verbatim single terms (reference
+    StringField, field_types.clj:35-46) so their multi-term patterns
+    stay verbatim too, as do keyword/whitespace analyzers."""
+    fs = specs.get(fname)
+    if fs is not None and fs.type == "keyword":
+        return s
+    an = analyzers.get(fname) or analyzers.get(None)
+    if an is not None and an.kind in ("standard", "simple"):
+        return s.lower()
+    return s
+
+
+def _range_endpoint(s: str):
+    """``*`` (or empty) = open endpoint; surrounding quotes stripped
+    (QueryParser allows ``["a" TO "b"]``)."""
+    if s in ("*", ""):
+        return None
+    if len(s) >= 2 and s[0] == '"' and s[-1] == '"':
+        s = s[1:-1]
+    return s
+
+
+def _range_node(
+    fname: str, m: re.Match, specs, analyzers, boost: float
+) -> Node:
+    """``[a TO b]`` / ``{a TO b}`` -> RangeQ. Typed fields parse their
+    endpoints by declared type (point range, constant score — Lucene's
+    LongPoint/DoublePoint.newRangeQuery); text/keyword fields get the
+    lexicographic TermRangeQuery semantics."""
+    op, lo_s, hi_s, cl = m.group(1), m.group(2), m.group(3), m.group(4)
+    include_lo = op == "["
+    include_hi = cl == "]"
+    lo, hi = _range_endpoint(lo_s), _range_endpoint(hi_s)
+    fs = specs.get(fname)
+    vtype = fs.type if fs is not None else "text"
+    if vtype == "boolean":
+        raise ValueTypeError(
+            f"range query against boolean field {fname!r} is not "
+            "supported",
+            {"field": fname},
+        )
+
+    def conv(v):
+        if v is None:
+            return None
+        try:
+            if vtype == "long":
+                return normalize_long(int(v))
+            if vtype == "double":
+                return normalize_double(float(v))
+            if vtype == "instant":
+                if re.fullmatch(r"-?\d+", v):
+                    return normalize_instant(int(v))  # epoch millis
+                return normalize_instant(
+                    dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+                )
+        except (ValueError, ValueTypeError) as e:
+            raise ValueTypeError(
+                f"range endpoint {v!r} does not parse as {vtype} for "
+                f"field {fname!r}",
+                {"field": fname, "value": v},
+            ) from e
+        return _normalize_multiterm(v, fname, specs, analyzers)
+
+    return RangeQ(boost, fname, conv(lo), conv(hi), include_lo,
+                  include_hi, vtype)
+
+
+def _wildcard_node(
+    fname: str, pattern: str, specs, analyzers, boost: float,
+    allow_leading: bool,
+) -> Node:
+    fs = specs.get(fname)
+    if fs is not None and fs.type not in ("text", "keyword"):
+        raise ValueTypeError(
+            f"wildcard query against {fs.type} field {fname!r} — "
+            "wildcards apply to text/keyword fields",
+            {"field": fname, "value": pattern},
+        )
+    if not allow_leading and pattern[:1] in ("*", "?") and pattern != "*":
+        # Lucene QueryParser default: allowLeadingWildcard=false
+        raise ValidationError(
+            "'*' or '?' not allowed as first character in WildcardQuery "
+            "(pass allow_leading_wildcard=True to enable)",
+            {"pattern": pattern},
+        )
+    return WildcardQ(
+        boost, fname, _normalize_multiterm(pattern, fname, specs, analyzers)
+    )
 
 
 def parse_dsl(
@@ -276,6 +421,7 @@ def parse_dsl(
     default_field: str,
     specs: dict[str, FieldSpec],
     analyzers: dict,
+    allow_leading_wildcard: bool = False,
 ) -> Node:
     """Classic Lucene QueryParser subset: whitespace-split clauses with
     default-OR combination, ``field:value``, quoted phrases, ``^boost``,
@@ -284,7 +430,17 @@ def parse_dsl(
     exactly like Lucene's QueryParser, with optional ``(...)^boost``.
     Matches the reference's parser configuration: split-on-whitespace
     true, auto-generate-phrase-queries true (query.clj:119-123; behavior
-    pinned by lucene_test.clj:119-135)."""
+    pinned by lucene_test.clj:119-135).
+
+    Multi-term grammar (all reachable through the reference's parse-dsl
+    — query.clj:115-124 feeds any string to QueryParser):
+    ``term~`` / ``term~N``  fuzzy (Damerau, N in 0..2, default 2);
+    ``te*t`` / ``te?t`` / ``te*``  wildcard/prefix (constant-score);
+    ``[a TO b]`` / ``{a TO b}``  term range on text/keyword,
+    point range on long/double/instant fields (constant-score;
+    ``*`` endpoint = open); ``*:*``  match-all. Leading wildcards
+    raise unless ``allow_leading_wildcard=True`` (Lucene's
+    allowLeadingWildcard default)."""
     default_field = str(default_field)
     raw = [m.group(1) for m in _DSL_TOKEN.finditer(dsl)]
     if not raw:
@@ -298,21 +454,81 @@ def parse_dsl(
             boost = float(m.group(1))
             tok = tok[: m.start()]
         fname, value = default_field, tok
-        if ":" in tok and not tok.startswith('"'):
+        if (
+            ":" in tok
+            and not tok.startswith('"')
+            and not tok.startswith("[")
+            and not tok.startswith("{")
+        ):
             fname, value = tok.split(":", 1)
             m2 = _BOOST.search(value)
             if m2:
                 boost = float(m2.group(1))
                 value = value[: m2.start()]
-        if value.startswith('"') and value.endswith('"') and len(value) >= 2:
-            phrase = value[1:-1]
-            an = analyzers.get(fname) or analyzers.get(None)
-            toks = an.tokens(phrase)
-            return (
-                PhraseQ(boost, fname, tuple(toks))
-                if len(toks) > 1
-                else (TermQ(boost, fname, toks[0]) if toks else MatchNone())
+        if value.startswith('"'):
+            # "phrase" / "phrase"~slop (sloppy phrase)
+            slop = 0
+            body = value
+            msl = re.fullmatch(r'("(?:[^"\\]|\\.)*")~(\d+)', value)
+            if msl:
+                body, slop = msl.group(1), int(msl.group(2))
+            if body.endswith('"') and len(body) >= 2:
+                phrase = body[1:-1]
+                an = analyzers.get(fname) or analyzers.get(None)
+                toks = an.tokens(phrase)
+                return (
+                    PhraseQ(boost, fname, tuple(toks), slop)
+                    if len(toks) > 1
+                    else (
+                        TermQ(boost, fname, toks[0])
+                        if toks
+                        else MatchNone()
+                    )
+                )
+        mr = _RANGE.match(value)
+        if mr:
+            return _range_node(fname, mr, specs, analyzers, boost)
+        if fname == "*" and value == "*":
+            return MatchAll(boost)  # *:* -> MatchAllDocsQuery
+        if _UNESCAPED_WILD.search(value):
+            return _wildcard_node(
+                fname, value, specs, analyzers, boost,
+                allow_leading_wildcard,
             )
+        mf = _FUZZY_SUFFIX.search(value)
+        if mf and value[: mf.start()]:
+            base = value[: mf.start()]
+            edits_s = mf.group(1)
+            if edits_s is None:
+                edits = 2  # bare ~ -> FuzzyQuery default
+            elif "." in edits_s:
+                raise ValidationError(
+                    "fractional edit distances are not allowed "
+                    "(Lucene FuzzyQuery)",
+                    {"token": value},
+                )
+            else:
+                edits = int(edits_s)
+                if edits > 2:
+                    raise ValidationError(
+                        "maximum supported fuzzy edit distance is 2 "
+                        "(Lucene LevenshteinAutomata limit)",
+                        {"token": value},
+                    )
+            fs0 = specs.get(fname)
+            if fs0 is not None and fs0.type not in ("text", "keyword"):
+                raise ValueTypeError(
+                    f"fuzzy query against {fs0.type} field {fname!r} — "
+                    "fuzzy applies to text/keyword fields",
+                    {"field": fname, "value": base},
+                )
+            return FuzzyQ(
+                boost, fname,
+                _normalize_multiterm(base, fname, specs, analyzers),
+                edits,
+            )
+        # unescape \x -> x (QueryParser escape syntax) before analysis
+        value = re.sub(r"\\(.)", r"\1", value)
         fs = specs.get(fname)
         an = analyzers.get(fname) or analyzers.get(None)
         if fs is not None and fs.type != "text":
@@ -399,6 +615,19 @@ def render(node: Node) -> str:
         s = f"{node.field}:{node.term}"
     elif isinstance(node, PhraseQ):
         s = f"{node.field}:\"{' '.join(node.terms)}\""
+        if node.slop:
+            s += f"~{node.slop}"
+    elif isinstance(node, WildcardQ):
+        s = f"{node.field}:{node.pattern}"
+    elif isinstance(node, RangeQ):
+        lo = "*" if node.lo is None else node.lo
+        hi = "*" if node.hi is None else node.hi
+        s = (
+            f"{node.field}:{'[' if node.include_lo else '{'}{lo} TO "
+            f"{hi}{']' if node.include_hi else '}'}"
+        )
+    elif isinstance(node, MatchAll):
+        s = "*:*"
     elif isinstance(node, ExactQ):
         s = f"{node.field}:{node.value}"
     elif isinstance(node, FuzzyQ):

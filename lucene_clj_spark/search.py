@@ -32,6 +32,8 @@ from __future__ import annotations
 from functools import reduce
 from typing import Any
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -43,10 +45,13 @@ from lucene_clj_spark.query import (
     BoolQ,
     ExactQ,
     FuzzyQ,
+    MatchAll,
     MatchNone,
     Node,
     PhraseQ,
+    RangeQ,
     TermQ,
+    WildcardQ,
     combine_fuzzy,
     parse,
 )
@@ -345,6 +350,7 @@ def _bool_tree_spec(node: BoolQ, allow_phrase: bool = False):
                 allow_phrase
                 and isinstance(child, PhraseQ)
                 and child.terms
+                and child.slop == 0  # sloppy -> DataFrame matcher
             ):
                 ref = len(leaves)
                 leaves.append(
@@ -524,7 +530,12 @@ def _group_tree_clauses(node: BoolQ, allow_phrase: bool = False) -> list | None:
     def leaf_ok(c: Node) -> bool:
         if _as_term(c) is not None:
             return True
-        return allow_phrase and isinstance(c, PhraseQ) and bool(c.terms)
+        return (
+            allow_phrase
+            and isinstance(c, PhraseQ)
+            and bool(c.terms)
+            and c.slop == 0  # sloppy -> DataFrame matcher
+        )
 
     if node.boost != 1.0:
         return None
@@ -581,18 +592,147 @@ def _scored_term(index, node: TermQ) -> DataFrame:
     return scored
 
 
+def _shift(offset):
+    # NOTE: F.transform calls 2-arg lambdas as (elem, idx); keep a
+    # 1-arg closure so `offset` is the phrase offset, not the index.
+    return lambda x: x - F.lit(offset)
+
+
+def _sloppy_freq_py(pos_lists, slop: int) -> float:
+    """Sloppy-phrase frequency for ONE doc — Lucene's
+    SloppyPhraseScorer.phraseFreq() greedy (public algorithm: pop the
+    min phrase-adjusted position, minimize the current match length
+    while that list stays minimal, count a match worth
+    ``1/(1+matchLength)`` when it overtakes the next list, plus the
+    final pending match at exhaustion). ``pos_lists``: one SORTED int
+    array of offset-adjusted positions (pos - slot) per phrase slot;
+    requires >= 2 slots and phrase terms all distinct (the repeat-group
+    variant is unsupported — _scored_sloppy_phrase rejects repeats)."""
+    import heapq
+
+    k = len(pos_lists)
+    idx = [0] * k
+    heap = []
+    end = None
+    for i, p in enumerate(pos_lists):
+        v = int(p[0])
+        heap.append((v, i))
+        if end is None or v > end:
+            end = v
+    heapq.heapify(heap)
+    freq = 0.0
+    pos_v, i = heapq.heappop(heap)
+    match_len = end - pos_v
+    nxt = heap[0][0]
+    while True:
+        idx[i] += 1
+        if idx[i] >= len(pos_lists[i]):
+            break  # this slot is exhausted -> no further matches
+        p = int(pos_lists[i][idx[i]])
+        if p > end:
+            end = p
+        if p > nxt:
+            # done minimizing the current match length
+            if match_len <= slop:
+                freq += 1.0 / (1.0 + match_len)
+            heapq.heappush(heap, (p, i))
+            pos_v, i = heapq.heappop(heap)
+            nxt = heap[0][0]
+            match_len = end - pos_v
+        else:
+            ml2 = end - p
+            if ml2 < match_len:
+                match_len = ml2
+    if match_len <= slop:
+        freq += 1.0 / (1.0 + match_len)  # the last pending match
+    return freq
+
+
+def _scored_sloppy_phrase(index, node: PhraseQ) -> DataFrame:
+    """Sloppy phrase (``"a b"~N``): all terms must co-occur, freq is
+    the slop-weighted match count from _sloppy_freq_py, and the score
+    is BM25 over that (float) freq with idf = sum of per-term idfs —
+    Lucene SloppyPhraseScorer semantics. Plan: the same rarest-first
+    postings join as the exact path bounds candidates by the rarest
+    term's df; the greedy runs Arrow-batched over the (already
+    conjunction-bounded) candidates only."""
+    import numpy as np
+
+    st = index.field_stats(node.field)
+    terms = list(node.terms)
+    if len(set(terms)) != len(terms):
+        raise ValidationError(
+            "sloppy phrases with repeated terms are not supported "
+            "(Lucene's repeat-group matcher variant); use slop=0 or "
+            "distinct terms",
+            {"terms": terms, "slop": node.slop},
+        )
+    stats = _lookup_term_stats(index, [(node.field, t) for t in terms])
+    if any((node.field, t) not in stats for t in terms):
+        return _empty_scores(index)
+    parts = []
+    for i, t in enumerate(terms):
+        p = _term_postings(index, node.field, t).select(
+            "doc_id",
+            F.col("dl").alias(f"__dl_{i}"),
+            F.transform(F.col("positions"), _shift(i)).alias(f"__pos_{i}"),
+        )
+        parts.append(p)
+    order = sorted(
+        range(len(terms)),
+        key=lambda i: (stats[(node.field, terms[i])], i),
+    )
+    joined = reduce(
+        lambda a, b: a.join(b, "doc_id"), [parts[i] for i in order]
+    )
+    slop = int(node.slop)
+    n_slots = len(terms)
+
+    @F.pandas_udf("double")
+    def _freq_udf(packed: pd.Series) -> pd.Series:
+        out = np.empty(len(packed), dtype=np.float64)
+        for r, slots in enumerate(packed):
+            pls = [
+                np.sort(np.asarray(p, dtype=np.int64)) for p in slots
+            ]
+            out[r] = _sloppy_freq_py(pls, slop)
+        return pd.Series(out)
+
+    freq_col = _freq_udf(
+        F.array(*[F.col(f"__pos_{i}") for i in range(n_slots)])
+    )
+    idf_sum = None
+    for t in terms:
+        e = bm25.idf_col(F.lit(stats[(node.field, t)]), F.lit(st["N"]))
+        idf_sum = e if idf_sum is None else (idf_sum + e)
+    qdl = bm25.quantized_dl_col(F.col("__dl_0"))
+    denom = F.col("__freq") + F.lit(bm25.K1) * (
+        F.lit(1.0 - bm25.B)
+        + F.lit(bm25.B) * qdl.cast("double") / F.lit(st["avgdl"])
+    )
+    return (
+        joined.withColumn("__freq", freq_col)
+        .filter(F.col("__freq") > 0)
+        .select(
+            "doc_id",
+            (
+                F.lit(node.boost) * idf_sum * F.col("__freq") / denom
+            ).alias("score"),
+        )
+    )
+
+
 def _scored_phrase(index, node: PhraseQ) -> DataFrame:
     """Positions-aware exact-adjacency phrase (slop 0), scored as BM25
     over the phrase frequency — public Lucene PhraseQuery semantics
-    (reference query.clj:70-75, tested lucene_test.clj:63-72)."""
+    (reference query.clj:70-75, tested lucene_test.clj:63-72).
+    ``slop > 0`` routes to the sloppy matcher."""
+    if node.slop:
+        return _scored_sloppy_phrase(index, node)
     st = index.field_stats(node.field)
     terms = list(node.terms)
     if not terms:
         return _empty_scores(index)
-    def _shift(offset):
-        # NOTE: F.transform calls 2-arg lambdas as (elem, idx); keep a
-        # 1-arg closure so `offset` is the phrase offset, not the index.
-        return lambda x: x - F.lit(offset)
 
     # PhraseQuery weight: idf = SUM of per-term idfs (public Lucene
     # semantics); per-term df folded as literals from the driver-side
@@ -687,6 +827,125 @@ def _scored_exact(index, node: ExactQ) -> DataFrame:
     else:
         cond = col == F.lit(node.value)
     return index.docs.filter(cond).select(
+        "doc_id", F.lit(float(node.boost)).alias("score")
+    )
+
+
+def _wildcard_like(pattern: str) -> str:
+    """Translate QueryParser wildcard syntax to a SQL LIKE pattern
+    (escape char ``\\``): ``*`` -> ``%``, ``?`` -> ``_``, ``\\x``
+    unescapes to literal x, and LIKE's own metachars ``% _ \\`` are
+    escaped."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            nxt = pattern[i + 1]
+            out.append("\\" + nxt if nxt in ("%", "_", "\\") else nxt)
+            i += 2
+            continue
+        if c == "*":
+            out.append("%")
+        elif c == "?":
+            out.append("_")
+        elif c in ("%", "_", "\\"):
+            out.append("\\" + c)
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _scored_wildcard(index, node: WildcardQ) -> DataFrame:
+    """WildcardQuery / PrefixQuery — constant-score rewrite: every doc
+    containing >=1 matching term scores ``boost`` (Lucene's
+    MultiTermQuery constant-score rewrite; the DSL surface is reachable
+    through the reference's parse-dsl, query.clj:115-124). Fully
+    distributed: ONE postings scan with the translated LIKE predicate
+    pushed into the parquet reader (a trailing-* prefix pattern plans
+    as StartsWith -> row-group min/max pruning on the sorted term
+    column), then a doc_id distinct bounded by the matching docs. No
+    driver-side term expansion — a pattern matching 10^6 vocab terms
+    at web scale still costs one scan."""
+    if node.field not in index.stats:
+        return _empty_scores(index)
+    pat = _wildcard_like(node.pattern)
+    post = index.postings.filter(
+        (F.col("field") == node.field) & F.col("term").like(pat)
+    )
+    return (
+        post.select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(float(node.boost)).alias("score"))
+    )
+
+
+def _scored_range(index, node: RangeQ) -> DataFrame:
+    """Range query, constant score (Lucene TermRangeQuery on
+    text/keyword — lexicographic over the term dictionary — and
+    LongPoint/DoublePoint/epoch-millis ``newRangeQuery`` on typed
+    fields; both use constant-score rewrites). Text ranges are one
+    postings scan with the term-range predicate pushed to the parquet
+    reader; typed ranges filter the docs table directly (the range
+    pushes to the column's row-group min/max)."""
+    boost = F.lit(float(node.boost)).alias("score")
+    if node.value_type in ("text", "keyword"):
+        if node.field not in index.stats:
+            return _empty_scores(index)
+        post = index.postings.filter(F.col("field") == node.field)
+        t = F.col("term")
+        if node.lo is not None:
+            post = post.filter(
+                t >= F.lit(node.lo) if node.include_lo else t > F.lit(node.lo)
+            )
+        if node.hi is not None:
+            post = post.filter(
+                t <= F.lit(node.hi) if node.include_hi else t < F.lit(node.hi)
+            )
+        return post.select("doc_id").distinct().select("doc_id", boost)
+    import datetime as _dt
+
+    col = F.col(node.field)
+    if node.value_type == "instant":
+        dtype = index.docs.schema[node.field].dataType.typeName()
+        if dtype == "timestamp_ntz":
+            # NTZ wall clock == UTC contract — compare against
+            # TIMESTAMP_NTZ literals, never a session-zone cast
+            # (same reasoning as the exact-instant path above)
+            def mk(ms):
+                naive = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+                    milliseconds=int(ms)
+                )
+                iso = naive.strftime("%Y-%m-%d %H:%M:%S.%f")
+                return F.expr(f"TIMESTAMP_NTZ '{iso}'")
+
+            cmp_col = col
+        else:
+            cmp_col = F.unix_millis(col.cast("timestamp"))
+
+            def mk(ms):
+                return F.lit(int(ms))
+
+    else:
+        cmp_col = col
+
+        def mk(v):
+            return F.lit(v)
+
+    cond = col.isNotNull()
+    if node.lo is not None:
+        lo = mk(node.lo)
+        cond = cond & (cmp_col >= lo if node.include_lo else cmp_col > lo)
+    if node.hi is not None:
+        hi = mk(node.hi)
+        cond = cond & (cmp_col <= hi if node.include_hi else cmp_col < hi)
+    return index.docs.filter(cond).select("doc_id", boost)
+
+
+def _scored_matchall(index, node: MatchAll) -> DataFrame:
+    """``*:*`` — MatchAllDocsQuery: every doc, score = boost."""
+    return index.docs.select(
         "doc_id", F.lit(float(node.boost)).alias("score")
     )
 
@@ -1005,6 +1264,12 @@ def compile_node(index, node: Node) -> DataFrame:
         return _scored_exact(index, node)
     if isinstance(node, FuzzyQ):
         return _scored_fuzzy(index, node)
+    if isinstance(node, WildcardQ):
+        return _scored_wildcard(index, node)
+    if isinstance(node, RangeQ):
+        return _scored_range(index, node)
+    if isinstance(node, MatchAll):
+        return _scored_matchall(index, node)
     if isinstance(node, BoolQ):
         return _scored_bool(index, node)
     if isinstance(node, MatchNone):
@@ -1059,6 +1324,7 @@ def _wand_route(
             node.boost <= 0  # non-positive boost inverts skip bounds
             or not node.terms
             or node.field not in index.stats
+            or node.slop != 0  # sloppy matcher lives on the DF path
         ):
             return None
         # a positive boost rides into the kernel folded into idf_sum
