@@ -894,6 +894,21 @@ def q_dsl_matchall_not_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_dsl_regexp_topk(spark, sf_dir):
+    """Regexp query inside a boolean: '/s(mall|low)/ OR dup' — the
+    pattern matches whole terms (anchored) with a constant-score
+    rewrite like Lucene's RegexpQuery, summed with dup's BM25 score.
+    One postings scan, JVM-side regex, with the pattern's literal
+    prefix ('s') bounding the scan as a sargable term range."""
+    from lucene_clj_spark.query import parse_dsl
+
+    idx = _index(spark, sf_dir)
+    ast = parse_dsl("/s(mall|low)/ OR dup", "text", idx.specs,
+                    idx.analyzers)
+    out = idx.search(ast, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
 def q_dsl_sloppy_phrase_topk(spark, sf_dir):
     """Sloppy phrase '"the merge"~2' — Lucene SloppyPhraseScorer
     phraseFreq: greedy minimal-match-length accumulation over
@@ -977,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_term_range_topk": q_dsl_term_range_topk,
         "dsl_matchall_not_topk": q_dsl_matchall_not_topk,
         "dsl_sloppy_phrase_topk": q_dsl_sloppy_phrase_topk,
+        "dsl_regexp_topk": q_dsl_regexp_topk,
     }
 
 
@@ -1401,6 +1417,26 @@ SELECT doc_id, round(score, 6) AS score FROM (
          (CASE WHEN r.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END
           + COALESCE(sc.score, 0.0)) AS score
   FROM rng r FULL OUTER JOIN scores sc ON r.doc_id = sc.doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _dsl_regexp_sql() -> str:
+    # '/s(mall|low)/ OR dup': anchored whole-term regexp, constant
+    # score 1.0, OR-summed with dup's BM25 score
+    return (
+        _TERM_SCORES.replace("{term}", "dup")
+        + """
+, rex AS (
+  SELECT DISTINCT doc_id FROM post
+  WHERE regexp_full_match(term, 's(mall|low)')
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT COALESCE(r.doc_id, sc.doc_id) AS doc_id,
+         (CASE WHEN r.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END
+          + COALESCE(sc.score, 0.0)) AS score
+  FROM rex r FULL OUTER JOIN scores sc ON r.doc_id = sc.doc_id
   ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
     )
@@ -2177,4 +2213,5 @@ FROM b""",
         "dsl_term_range_topk": _dsl_term_range_sql(),
         "dsl_matchall_not_topk": _dsl_matchall_not_sql(),
         "dsl_sloppy_phrase_topk": _dsl_sloppy_sql("the", "merge", 2),
+        "dsl_regexp_topk": _dsl_regexp_sql(),
     }

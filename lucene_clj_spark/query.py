@@ -111,6 +111,22 @@ class WildcardQ(Node):
 
 
 @dataclass(frozen=True)
+class RegexpQ(Node):
+    """Regexp query (``field:/pattern/`` in the classic DSL — the
+    QueryParser regexp production, reachable through the reference's
+    parse-dsl at query.clj:115-124). Matches whole terms against the
+    anchored pattern, constant-score rewrite like Lucene's
+    RegexpQuery. The pattern is NOT analyzer-normalized (Lucene leaves
+    regexp terms verbatim); supported syntax is the Java-regex subset
+    shared with Lucene RegExp ops (literals, ``.``, ``*``, ``+``,
+    ``?``, ``|``, ``(...)``, ``[...]``, ``{n,m}``). ``\\/`` escapes a
+    literal slash."""
+
+    field: str = ""
+    pattern: str = ""
+
+
+@dataclass(frozen=True)
 class RangeQ(Node):
     """Term / point range query (``[a TO b]`` / ``{a TO b}`` in the
     classic DSL — QueryParser grammar, reachable through the
@@ -307,9 +323,10 @@ _DSL_TOKEN = re.compile(
     \s*(
         \( | \)
       | (?:[^\s():"]+:)?"(?:[^"\\]|\\.)*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?
+      | (?:[^\s():"]+:)?/(?:[^/\\]|\\.)*/(?:\^\d+(?:\.\d+)?)?
       | (?:[^\s():"]+:)?[\[\{][^\]\}]*[\]\}](?:\^\d+(?:\.\d+)?)?
-      | (?:AND|OR|NOT)\b
-      | [+\-]
+      | (?:AND|OR|NOT)\b | && | \|\|
+      | [+\-!]
       | [^\s()]+
     )
     """,
@@ -438,33 +455,48 @@ def parse_dsl(
     ``te*t`` / ``te?t`` / ``te*``  wildcard/prefix (constant-score);
     ``[a TO b]`` / ``{a TO b}``  term range on text/keyword,
     point range on long/double/instant fields (constant-score;
-    ``*`` endpoint = open); ``*:*``  match-all. Leading wildcards
-    raise unless ``allow_leading_wildcard=True`` (Lucene's
-    allowLeadingWildcard default)."""
+    ``*`` endpoint = open); ``*:*``  match-all; ``/pattern/``
+    regexp (verbatim, whole-term anchored, constant-score);
+    ``&&`` / ``||`` / ``!``  operator aliases; ``f:(a b c)``
+    field-scoped grouping. Leading wildcards raise unless
+    ``allow_leading_wildcard=True`` (Lucene's allowLeadingWildcard
+    default)."""
     default_field = str(default_field)
     raw = [m.group(1) for m in _DSL_TOKEN.finditer(dsl)]
     if not raw:
         return MatchNone()
     pos = 0
 
-    def term_node(tok: str) -> Node:
+    def term_node(tok: str, dfield: str) -> Node:
         boost = 1.0
         m = _BOOST.search(tok)
         if m:
             boost = float(m.group(1))
             tok = tok[: m.start()]
-        fname, value = default_field, tok
+        fname, value = dfield, tok
         if (
             ":" in tok
             and not tok.startswith('"')
             and not tok.startswith("[")
             and not tok.startswith("{")
+            and not tok.startswith("/")
         ):
             fname, value = tok.split(":", 1)
             m2 = _BOOST.search(value)
             if m2:
                 boost = float(m2.group(1))
                 value = value[: m2.start()]
+        if value.startswith("/") and value.endswith("/") and len(value) >= 2:
+            # /pattern/ -> RegexpQuery (verbatim pattern, whole-term
+            # anchored match, constant-score rewrite)
+            fs0 = specs.get(fname)
+            if fs0 is not None and fs0.type not in ("text", "keyword"):
+                raise ValueTypeError(
+                    f"regexp query against {fs0.type} field {fname!r} — "
+                    "regexp applies to text/keyword fields",
+                    {"field": fname, "value": value},
+                )
+            return RegexpQ(boost, fname, value[1:-1].replace("\\/", "/"))
         if value.startswith('"'):
             # "phrase" / "phrase"~slop (sloppy phrase)
             slop = 0
@@ -542,13 +574,28 @@ def parse_dsl(
         # to several terms becomes a phrase
         return PhraseQ(boost, fname, tuple(toks))
 
-    def parse_group(at_top: bool) -> Node:
+    def parse_group(at_top: bool, dfield: str) -> Node:
         """Recursive descent over one paren level — consumes tokens up
-        to the matching ')' (or end of input)."""
+        to the matching ')' (or end of input). ``dfield`` is the
+        default field for this level: ``f:(a b c)`` rebinds it for the
+        group's span, like QueryParser's field-scoped grouping."""
         nonlocal pos
         clauses: list[tuple[str, Node]] = []
         pending_occur: str | None = None
         connective: str | None = None
+
+        def group_boost(child: Node) -> Node:
+            # optional (...)^boost — the tokenizer emits '^N' as its
+            # own token right after the ')'
+            nonlocal pos
+            if pos < len(raw):
+                mb = _BOOST.fullmatch(raw[pos])
+                if mb:
+                    pos += 1
+                    return dc_replace(
+                        child, boost=child.boost * float(mb.group(1))
+                    )
+            return child
 
         def finish(node: Node):
             nonlocal pending_occur, connective
@@ -567,26 +614,31 @@ def parse_dsl(
         while pos < len(raw):
             tok = raw[pos]
             pos += 1
-            if tok in ("AND", "OR"):
-                connective = tok
+            if tok in ("AND", "OR", "&&", "||"):
+                connective = "AND" if tok in ("AND", "&&") else "OR"
                 continue
-            if tok == "NOT" or tok == "-":
+            if tok in ("NOT", "-", "!"):
                 pending_occur = "MUST_NOT"
                 continue
             if tok == "+":
                 pending_occur = MUST
                 continue
+            gfield = None
+            if (
+                tok.endswith(":")
+                and len(tok) > 1
+                and pos < len(raw)
+                and raw[pos] == "("
+            ):
+                # f:(a b c) — field-scoped group (QueryParser rebinds
+                # the default field for the group's span)
+                gfield = tok[:-1]
+                tok = raw[pos]
+                pos += 1
             if tok == "(":
-                child = parse_group(False)
-                # optional (...)^boost — the tokenizer emits '^N' as its
-                # own token right after the ')'
-                if pos < len(raw):
-                    mb = _BOOST.fullmatch(raw[pos])
-                    if mb:
-                        pos += 1
-                        child = dc_replace(
-                            child, boost=child.boost * float(mb.group(1))
-                        )
+                child = group_boost(
+                    parse_group(False, gfield if gfield else dfield)
+                )
                 if not isinstance(child, MatchNone):
                     finish(child)
                 else:
@@ -597,7 +649,7 @@ def parse_dsl(
                 if at_top:
                     continue  # unbalanced ')' — ignored like stray token
                 break
-            finish(term_node(tok))
+            finish(term_node(tok, dfield))
 
         if not clauses:
             return MatchNone()
@@ -605,7 +657,7 @@ def parse_dsl(
             return clauses[0][1]
         return BoolQ(1.0, tuple(clauses))
 
-    return parse_group(True)
+    return parse_group(True, default_field)
 
 
 def render(node: Node) -> str:
@@ -619,6 +671,8 @@ def render(node: Node) -> str:
             s += f"~{node.slop}"
     elif isinstance(node, WildcardQ):
         s = f"{node.field}:{node.pattern}"
+    elif isinstance(node, RegexpQ):
+        s = f"{node.field}:/{node.pattern.replace('/', chr(92) + '/')}/"
     elif isinstance(node, RangeQ):
         lo = "*" if node.lo is None else node.lo
         hi = "*" if node.hi is None else node.hi

@@ -50,6 +50,7 @@ from lucene_clj_spark.query import (
     Node,
     PhraseQ,
     RangeQ,
+    RegexpQ,
     TermQ,
     WildcardQ,
     combine_fuzzy,
@@ -881,6 +882,70 @@ def _scored_wildcard(index, node: WildcardQ) -> DataFrame:
     )
 
 
+_REGEX_META = set(".?*+(){}[]|\\^$")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix of a regex — the chars before the first
+    metacharacter (stopping one earlier if the metachar is a quantifier,
+    which binds the previous char). Lucene's CompiledAutomaton extracts
+    the same common prefix to seek the terms dict; we use it to bound
+    the postings scan with a sargable term range. A TOP-LEVEL
+    unparenthesized alternation (``small|slow``) voids the prefix —
+    each branch starts independently."""
+    depth = 0
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return ""
+        i += 1
+    out = []
+    for c in pattern:
+        if c in _REGEX_META:
+            if c in "?*+{" and out:
+                out.pop()  # quantifier applies to the previous literal
+            break
+        out.append(c)
+    return "".join(out)
+
+
+def _scored_regexp(index, node: RegexpQ) -> DataFrame:
+    """RegexpQuery — constant-score rewrite: every doc containing >=1
+    term fully matching the anchored pattern scores ``boost`` (DSL
+    surface reachable through the reference's parse-dsl,
+    query.clj:115-124). One distributed postings scan, JVM-side regex
+    (``rlike``, whole-stage codegen) — no driver-side term expansion.
+    The pattern's literal prefix (Lucene CompiledAutomaton-style)
+    becomes a sargable term range so parquet row-group min/max pruning
+    still applies when the pattern is anchored by literals."""
+    if node.field not in index.stats:
+        return _empty_scores(index)
+    post = index.postings.filter(F.col("field") == node.field)
+    prefix = _regex_literal_prefix(node.pattern)
+    if prefix:
+        # [prefix, prefix+MAXCHAR): sargable bound for min/max pruning
+        post = post.filter(
+            (F.col("term") >= F.lit(prefix))
+            & (F.col("term") < F.lit(prefix + "\U0010ffff"))
+        )
+    post = post.filter(
+        F.col("term").rlike("^(?:" + node.pattern + ")$")
+    )
+    return (
+        post.select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(float(node.boost)).alias("score"))
+    )
+
+
 def _scored_range(index, node: RangeQ) -> DataFrame:
     """Range query, constant score (Lucene TermRangeQuery on
     text/keyword — lexicographic over the term dictionary — and
@@ -1266,6 +1331,8 @@ def compile_node(index, node: Node) -> DataFrame:
         return _scored_fuzzy(index, node)
     if isinstance(node, WildcardQ):
         return _scored_wildcard(index, node)
+    if isinstance(node, RegexpQ):
+        return _scored_regexp(index, node)
     if isinstance(node, RangeQ):
         return _scored_range(index, node)
     if isinstance(node, MatchAll):

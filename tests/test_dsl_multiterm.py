@@ -313,3 +313,81 @@ def test_typed_long_range(spark):
     assert run("n:{10 TO 30}") == [(2, 1.0)]
     assert run("n:[* TO 10]") == [(0, 1.0), (1, 1.0)]
     assert run("n:[40 TO *]") == [(4, 1.0), (5, 1.0)]
+
+
+# --- QueryParser parity extras: && || !, f:(...), /regexp/ --------------
+
+def test_operator_aliases():
+    a, b = TermQ(1.0, "bio", "a"), TermQ(1.0, "bio", "b")
+    assert P("a && b") == BoolQ(1.0, ((MUST, a), (MUST, b)))
+    assert P("a || b") == BoolQ(1.0, ((SHOULD, a), (SHOULD, b)))
+    assert P("a !b") == BoolQ(1.0, ((SHOULD, a), ("MUST_NOT", b)))
+    assert P("a ! b") == P("a NOT b")
+
+
+def test_field_scoped_group():
+    # f:(a b c) rebinds the default field for the group's span
+    node = P("name:(ada OR bob)")
+    assert node == BoolQ(1.0, (
+        (SHOULD, TermQ(1.0, "name", "ada")),
+        (SHOULD, TermQ(1.0, "name", "bob")),
+    ))
+    # explicit field inside the group still overrides
+    node = P("name:(ada bio:x)")
+    assert node == BoolQ(1.0, (
+        (SHOULD, TermQ(1.0, "name", "ada")),
+        (SHOULD, TermQ(1.0, "bio", "x")),
+    ))
+    # boost applies to the whole group
+    assert P("name:(ada bob)^3").boost == 3.0
+    # nesting restores the outer default field after the group
+    node = P("name:(ada) merge")
+    assert node == BoolQ(1.0, (
+        (SHOULD, TermQ(1.0, "name", "ada")),
+        (SHOULD, TermQ(1.0, "bio", "merge")),
+    ))
+
+
+def test_parse_regexp():
+    from lucene_clj_spark.query import RegexpQ
+
+    assert P("/s(mall|low)/") == RegexpQ(1.0, "bio", "s(mall|low)")
+    assert P("name:/a[bc]+/^2") == RegexpQ(2.0, "name", "a[bc]+")
+    # escaped slash inside the pattern
+    assert P("/a\\/b/") == RegexpQ(1.0, "bio", "a/b")
+    with pytest.raises(ValueTypeError):
+        P("n:/4[0-9]/")
+    assert render(P("/ab+/")) == "bio:/ab+/"
+
+
+def test_regex_literal_prefix():
+    from lucene_clj_spark.search import _regex_literal_prefix as lp
+
+    assert lp("s(mall|low)") == "s"
+    assert lp("small|slow") == ""       # top-level alternation: no prefix
+    assert lp("ab*c") == "a"            # quantifier binds the previous char
+    assert lp("ab?c") == "a"
+    assert lp("ab{2}c") == "a"
+    assert lp("st.am") == "st"
+    assert lp("foo\\d") == "foo"
+    assert lp("(ab)c") == ""
+    assert lp("abc") == "abc"
+    assert lp("a\\|b") == "a"           # escaped pipe is literal
+
+
+def test_regexp_constant_score_and_bool(sample_index):
+    # /anti.*/ matches the term 'antics' -> same docs as the prefix
+    # wildcard antic*
+    via_re = ids_scores(
+        sample_index.search(P("bio:/anti.*/"), results_per_page=20,
+                            with_hit=False)
+    )
+    via_wild = ids_scores(
+        sample_index.search(P("bio:antic*"), results_per_page=20,
+                            with_hit=False)
+    )
+    assert via_re == via_wild and via_re
+    # anchored: /anti/ must NOT match 'antics' (whole-term semantics)
+    none = sample_index.search(P("bio:/anti/"), results_per_page=20,
+                               with_hit=False)
+    assert ids_scores(none) == []
