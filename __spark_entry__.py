@@ -924,6 +924,36 @@ def q_dsl_sloppy_phrase_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_bool_msm_topk(spark, sf_dir):
+    """BooleanQuery minimumNumberShouldMatch: OR of three terms with
+    min_should_match=2 — docs matching >=2 of {merge, dup, vector},
+    scored as the sum of their matched clauses (matched SHOULDs always
+    score). Executes on the same one-scan term-group plan as the plain
+    OR; the matched-clause tally rides in the existing aggregation."""
+    idx = _index(spark, sf_dir)
+    out = idx.search({"text": {"merge", "dup", "vector"}},
+                     min_should_match=2, results_per_page=10,
+                     with_hit=False)
+    return _round6(out, "score")
+
+
+def q_bool_filter_topk(spark, sf_dir):
+    """BooleanClause.Occur.FILTER: 'merge' MUST + an n_chars range as
+    a FILTER clause — the range restricts matches but contributes NO
+    score (compare dsl_typed_range_topk, where the same range as a
+    MUST adds its constant 1.0). The filter compiles to a semi join,
+    never entering the score expression."""
+    from lucene_clj_spark.query import FILTER, MUST, BoolQ, RangeQ, TermQ
+
+    idx = _index(spark, sf_dir)
+    node = BoolQ(1.0, (
+        (MUST, TermQ(1.0, "text", "merge")),
+        (FILTER, RangeQ(1.0, "n_chars", 100, 200, True, True, "long")),
+    ))
+    out = idx.search(node, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -993,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_matchall_not_topk": q_dsl_matchall_not_topk,
         "dsl_sloppy_phrase_topk": q_dsl_sloppy_phrase_topk,
         "dsl_regexp_topk": q_dsl_regexp_topk,
+        "bool_msm_topk": q_bool_msm_topk,
+        "bool_filter_topk": q_bool_filter_topk,
     }
 
 
@@ -1418,6 +1450,36 @@ SELECT doc_id, round(score, 6) AS score FROM (
           + COALESCE(sc.score, 0.0)) AS score
   FROM rng r FULL OUTER JOIN scores sc ON r.doc_id = sc.doc_id
   ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _bool_msm_sql() -> str:
+    # OR of 3 terms with minimumNumberShouldMatch=2: docs matching
+    # >=2 distinct clauses, score = ordered sum of matched clauses
+    return (
+        _multi_term_scores_sql(["merge", "dup", "vector"])
+        + """
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, sum(score ORDER BY term) AS score FROM scores
+  GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _bool_filter_sql() -> str:
+    # 'merge' MUST + n_chars range FILTER: restricted doc set, score
+    # UNCHANGED (no constant contribution — contrast the +1.0 in
+    # _dsl_typed_range_sql where the range is a MUST)
+    return (
+        _TERM_SCORES.replace("{term}", "merge")
+        + """
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT sc.doc_id AS doc_id, sc.score AS score
+  FROM scores sc JOIN documents dd ON sc.doc_id = dd.doc_id
+  WHERE dd.n_chars BETWEEN 100 AND 200
+  ORDER BY score DESC, sc.doc_id ASC LIMIT 10
 )"""
     )
 
@@ -2214,4 +2276,6 @@ FROM b""",
         "dsl_matchall_not_topk": _dsl_matchall_not_sql(),
         "dsl_sloppy_phrase_topk": _dsl_sloppy_sql("the", "merge", 2),
         "dsl_regexp_topk": _dsl_regexp_sql(),
+        "bool_msm_topk": _bool_msm_sql(),
+        "bool_filter_topk": _bool_filter_sql(),
     }

@@ -50,6 +50,11 @@ from lucene_clj_spark.values import (
 
 MUST = "MUST"
 SHOULD = "SHOULD"
+# Lucene BooleanClause.Occur.FILTER: the clause must match but
+# contributes NO score (constant-0, never even computed) — the
+# occur Lucene users reach for when a range/term restriction should
+# not perturb BM25 ranking
+FILTER = "FILTER"
 
 _WS = re.compile(r"\s")
 
@@ -155,6 +160,11 @@ class MatchAll(Node):
 @dataclass(frozen=True)
 class BoolQ(Node):
     clauses: tuple[tuple[str, Node], ...] = ()
+    # Lucene BooleanQuery.Builder.setMinimumNumberShouldMatch: at
+    # least this many SHOULD clauses must match (0 = Lucene's default:
+    # >=1 SHOULD required only when there are no MUST/FILTER clauses).
+    # Matched SHOULD clauses always contribute score, msm or not.
+    min_should_match: int = 0
 
     def musts(self) -> list[Node]:
         return [n for occ, n in self.clauses if occ == MUST]
@@ -689,13 +699,20 @@ def render(node: Node) -> str:
     elif isinstance(node, BoolQ):
         parts = []
         for occ, n in node.clauses:
-            prefix = "+" if occ == MUST else ("-" if occ == "MUST_NOT" else "")
+            prefix = (
+                "+" if occ == MUST
+                else "-" if occ == "MUST_NOT"
+                else "#" if occ == FILTER  # Lucene toString for FILTER
+                else ""
+            )
             inner = render(n)
             # Lucene wraps sub-BooleanQueries in parens in toString()
             if isinstance(n, BoolQ) and n.boost == 1.0:
                 inner = f"({inner})"
             parts.append(prefix + inner)
         s = " ".join(parts)
+        if node.min_should_match:
+            s = f"({s})~{node.min_should_match}"
     else:
         s = "MatchNone"
     if node.boost != 1.0:

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from lucene_clj_spark import bm25
 from lucene_clj_spark.errors import ValidationError
 from lucene_clj_spark.query import (
+    FILTER,
     MUST,
     SHOULD,
     BoolQ,
@@ -101,27 +102,39 @@ def _flatten(node: Node) -> Node:
     if not isinstance(node, BoolQ):
         return node
     clauses = [(occ, _flatten(n)) for occ, n in node.clauses]
-    if len(clauses) == 1 and clauses[0][0] in (MUST, SHOULD):
+    msm = node.min_should_match
+    if (
+        msm == 0
+        and len(clauses) == 1
+        and clauses[0][0] in (MUST, SHOULD)
+    ):
         occ, child = clauses[0]
         if node.boost == 1.0:
             return child
         if isinstance(child, BoolQ):
-            return BoolQ(node.boost * child.boost, child.clauses)
+            return BoolQ(
+                node.boost * child.boost, child.clauses,
+                child.min_should_match,
+            )
         return BoolQ(node.boost, ((occ, child),))
     out = []
     for occ, n in clauses:
         if (
             isinstance(n, BoolQ)
             and n.boost == 1.0
+            and n.min_should_match == 0  # msm groups are opaque
             and n.clauses
             and all(o == occ for o, _ in n.clauses)
             and occ in (MUST, SHOULD)
             and (occ == SHOULD or len(n.clauses) == 1)
+            # splicing SHOULD members into an msm parent would change
+            # the clause count msm is measured against
+            and not (occ == SHOULD and msm)
         ):
             out.extend(n.clauses)
         else:
             out.append((occ, n))
-    return BoolQ(node.boost, tuple(out))
+    return BoolQ(node.boost, tuple(out), msm)
 
 
 def _as_term(node: Node) -> TermQ | None:
@@ -134,7 +147,8 @@ def _as_term(node: Node) -> TermQ | None:
 
 
 def _scored_term_group(
-    index, term_clauses: list[tuple[str, TermQ]]
+    index, term_clauses: list[tuple[str, TermQ]],
+    min_should_match: int = 0,
 ) -> DataFrame:
     """ONE postings scan for a whole boolean of term clauses.
 
@@ -203,8 +217,15 @@ def _scored_term_group(
     agg = scored.groupBy("doc_id").agg(
         F.sum("score").alias("score"),
         F.sum(F.when(F.col("is_must"), 1).otherwise(0)).alias("__musts"),
+        F.sum(F.when(~F.col("is_must"), 1).otherwise(0)).alias("__opts"),
     )
-    return agg.filter(F.col("__musts") == n_musts).select("doc_id", "score")
+    cond = F.col("__musts") == n_musts
+    if min_should_match:
+        # minimumNumberShouldMatch: >= m SHOULD clauses matched (the
+        # caller guarantees SHOULD (field, term) pairs are distinct, so
+        # matched rows == matched clauses)
+        cond = cond & (F.col("__opts") >= min_should_match)
+    return agg.filter(cond).select("doc_id", "score")
 
 
 def _bucket_pruned(index, scan: DataFrame, terms: list[str]) -> DataFrame:
@@ -335,6 +356,8 @@ def _bool_tree_spec(node: BoolQ, allow_phrase: bool = False):
     leaves: list = []
 
     def build(b: BoolQ, wmul: float, scored: bool):
+        if b.min_should_match:
+            return None  # msm needs the counting compiler
         musts, shoulds, nots = [], [], []
         for occ, child in b.clauses:
             if occ not in (MUST, SHOULD, "MUST_NOT"):
@@ -538,7 +561,7 @@ def _group_tree_clauses(node: BoolQ, allow_phrase: bool = False) -> list | None:
             and c.slop == 0  # sloppy -> DataFrame matcher
         )
 
-    if node.boost != 1.0:
+    if node.boost != 1.0 or node.min_should_match:
         return None
     positive = False
     for occ, child in node.clauses:
@@ -550,6 +573,7 @@ def _group_tree_clauses(node: BoolQ, allow_phrase: bool = False) -> list | None:
         if not (
             isinstance(child, BoolQ)
             and child.clauses
+            and child.min_should_match == 0  # msm -> counting compiler
             and all(o == SHOULD and leaf_ok(c) for o, c in child.clauses)
         ):
             return None
@@ -1157,6 +1181,7 @@ def _expand_fuzzy_clauses(index, node: BoolQ) -> BoolQ | None:
         if (
             isinstance(child, BoolQ)
             and child.clauses
+            and child.min_should_match == 0  # msm groups stay opaque
             and all(o == SHOULD for o, _ in child.clauses)
             and any(isinstance(c, FuzzyQ) for _, c in child.clauses)
         ):
@@ -1179,7 +1204,7 @@ def _expand_fuzzy_clauses(index, node: BoolQ) -> BoolQ | None:
         out.append((occ, child))
     if not changed:
         return node
-    return BoolQ(node.boost, tuple(out))
+    return BoolQ(node.boost, tuple(out), node.min_should_match)
 
 
 def _expand_fuzzy_deep(index, node: BoolQ) -> BoolQ:
@@ -1210,7 +1235,7 @@ def _expand_fuzzy_deep(index, node: BoolQ) -> BoolQ:
                 out.append((occ, walk(child)))
             else:
                 out.append((occ, child))
-        return BoolQ(b.boost, tuple(out))
+        return BoolQ(b.boost, tuple(out), b.min_should_match)
 
     new = walk(node)
     return new if changed else node
@@ -1226,10 +1251,20 @@ def _scored_bool(index, node: BoolQ) -> DataFrame:
     musts = [n for occ, n in node.clauses if occ == MUST]
     shoulds = [n for occ, n in node.clauses if occ == SHOULD]
     must_nots = [n for occ, n in node.clauses if occ == "MUST_NOT"]
+    has_filter = any(occ == FILTER for occ, _ in node.clauses)
+    msm = node.min_should_match
 
     # fast path: every positive clause is a term (or keyword-exact)
-    # query -> single-scan single-shuffle plan (_scored_term_group)
-    if not must_nots and node.boost == 1.0 and (musts or shoulds):
+    # query -> single-scan single-shuffle plan (_scored_term_group).
+    # min_should_match rides into the same aggregation UNLESS two
+    # SHOULD clauses share a (field, term) — the scan merges them into
+    # one row, undercounting the matched-clause tally Lucene keeps
+    if (
+        not must_nots
+        and not has_filter
+        and node.boost == 1.0
+        and (musts or shoulds)
+    ):
         term_clauses = []
         ok = True
         for occ, n in node.clauses:
@@ -1238,8 +1273,19 @@ def _scored_bool(index, node: BoolQ) -> DataFrame:
                 ok = False
                 break
             term_clauses.append((occ, t))
+        if ok and msm:
+            # any shared (field, term) — SHOULD/SHOULD or MUST/SHOULD —
+            # merges into one scan row and breaks the clause tally
+            pairs = [(t.field, t.term) for _, t in term_clauses]
+            ok = len(pairs) == len(set(pairs))
         if ok:
-            return _scored_term_group(index, term_clauses)
+            return _scored_term_group(index, term_clauses, msm)
+
+    if msm or has_filter:
+        # the one-scan group/tree plans don't carry the matched-SHOULD
+        # tally or unscored-FILTER semantics; the recursive compiler
+        # does (and the kernel router rejects these shapes upstream)
+        return _scored_bool_joins(index, node)
 
     # one-level group trees ((a OR b) AND c NOT d, all term leaves) get
     # the single-scan two-agg plan instead of one join per clause
@@ -1274,9 +1320,39 @@ def _scored_bool_joins(index, node: BoolQ) -> DataFrame:
     musts = [n for occ, n in node.clauses if occ == MUST]
     shoulds = [n for occ, n in node.clauses if occ == SHOULD]
     must_nots = [n for occ, n in node.clauses if occ == "MUST_NOT"]
+    filters = [n for occ, n in node.clauses if occ == FILTER]
+    known = (MUST, SHOULD, "MUST_NOT", FILTER)
+    bad = [occ for occ, _ in node.clauses if occ not in known]
+    if bad:
+        raise ValidationError(
+            f"unknown boolean occur value(s) {sorted(set(bad))!r} — "
+            f"expected one of {list(known)}",
+            {"occurs": sorted(set(bad))},
+        )
+    msm = node.min_should_match
+    if msm and msm > len(shoulds):
+        # Lucene BooleanQuery.rewrite: minimumNumberShouldMatch larger
+        # than the SHOULD clause count -> MatchNoDocsQuery
+        return _empty_scores(index)
 
     def c(n: Node) -> DataFrame:
         return compile_node(index, n)
+
+    # minimumNumberShouldMatch: the SHOULD union carries a matched-
+    # clause tally; each clause emits <=1 row per doc so count == the
+    # number of matched clauses (Lucene's counting scorer)
+    opt: DataFrame | None = None
+    if shoulds:
+        opt = (
+            reduce(DataFrame.unionByName, [c(n) for n in shoulds])
+            .groupBy("doc_id")
+            .agg(
+                F.sum("score").alias("__opt"),
+                F.count(F.lit(1)).alias("__optn"),
+            )
+        )
+        if msm:
+            opt = opt.filter(F.col("__optn") >= msm)
 
     base: DataFrame | None = None
     if musts:
@@ -1288,26 +1364,29 @@ def _scored_bool_joins(index, node: BoolQ) -> DataFrame:
             F.col("__s0"),
         )
         base = base.select("doc_id", total.alias("score"))
-        if shoulds:
-            opt = (
-                reduce(DataFrame.unionByName, [c(n) for n in shoulds])
-                .groupBy("doc_id")
-                .agg(F.sum("score").alias("__opt"))
-            )
-            base = base.join(opt, "doc_id", "left").select(
+        if opt is not None:
+            join_type = "inner" if msm else "left"
+            base = base.join(opt, "doc_id", join_type).select(
                 "doc_id",
                 (F.col("score") + F.coalesce(F.col("__opt"), F.lit(0.0))).alias(
                     "score"
                 ),
             )
-    elif shoulds:
-        base = (
-            reduce(DataFrame.unionByName, [c(n) for n in shoulds])
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
+    elif opt is not None:
+        base = opt.select("doc_id", F.col("__opt").alias("score"))
+    elif filters:
+        # FILTER-only boolean: matches the filter intersection, score 0
+        # (Lucene's ConstantScoreQuery(0) over the filter clauses)
+        base = c(filters[0]).select(
+            "doc_id", F.lit(0.0).alias("score")
         )
+        filters = filters[1:]
     else:
         base = _empty_scores(index)
+    for fn in filters:
+        # required match, no score contribution: a semi join keeps the
+        # clause out of the score expression entirely
+        base = base.join(c(fn).select("doc_id"), "doc_id", "left_semi")
     if must_nots and base is not None:
         neg = reduce(DataFrame.unionByName, [c(n).select("doc_id") for n in must_nots])
         base = base.join(neg, "doc_id", "left_anti")
@@ -1404,6 +1483,10 @@ def _wand_route(
         return (node.field, node, "fuzzy", None)
     if not (isinstance(node, BoolQ) and node.boost > 0 and node.clauses):
         # non-positive root boosts invert the kernels' skip bounds
+        return None
+    if node.min_should_match:
+        # the kernels don't carry a matched-SHOULD tally; msm booleans
+        # execute on the DataFrame counting compiler
         return None
     # fuzzy clauses expand driver-side (memoized) into weighted OR
     # groups of terms, making booleans-with-fuzzy kernel-eligible;
@@ -1608,6 +1691,7 @@ def search(
     hit_fn_schema: str | None = None,
     with_hit: bool = True,
     strategy: str = "auto",
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Top-k search -> DataFrame (doc_id, score [, stored columns]),
     ordered by (score desc, doc_id asc). See module docstring.
@@ -1655,6 +1739,28 @@ def search(
         ast = combine_fuzzy(query, index.specs)  # (query.clj:132-147)
     else:
         ast = parse(query, index.specs, index.analyzers, field_name)
+    if min_should_match:
+        # Lucene BooleanQuery.Builder.setMinimumNumberShouldMatch on
+        # the query's root boolean (set/list/dict shapes and BoolQ
+        # ASTs all compile to one)
+        from dataclasses import replace as _dcr
+
+        if int(min_should_match) < 0:
+            raise ValidationError(
+                "min_should_match must be >= 0",
+                {"min_should_match": min_should_match},
+            )
+        # flatten first: shape parses wrap single-field queries in a
+        # one-MUST boolean ({"text": {...}} -> +(a b c)); msm belongs
+        # on the boolean that HOLDS the SHOULD clauses
+        ast = _flatten(ast)
+        if not isinstance(ast, BoolQ):
+            raise ValidationError(
+                "min_should_match applies to boolean queries "
+                "(set/list/dict shapes or a BoolQ AST)",
+                {"query": repr(query)},
+            )
+        ast = _dcr(ast, min_should_match=int(min_should_match))
 
     scores = None
     route = None

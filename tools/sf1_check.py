@@ -46,10 +46,23 @@ INDEX_QUERIES = [
     "wand_tree_phrase_topk", "wand_multi_field_topk",
     "wand_fuzzy_bool_topk",
     "token_stats", "fingerprint", "lang_id",
-    # round-4 batch family: a 4-query log in one job, the
+    # round-4 multi-term DSL family: wildcard/range/regexp/match-all
+    # constant-score rewrites and the sloppy-phrase greedy (its DuckDB
+    # twin is a recursive CTE — at sf1 that's 1.6M state machines, a
+    # stress test for the oracle as much as the engine)
+    "dsl_wildcard_topk", "dsl_typed_range_topk", "dsl_term_range_topk",
+    "dsl_matchall_not_topk", "dsl_sloppy_phrase_topk",
+    "dsl_regexp_topk",
+    # round-4 BooleanQuery extras: minimumNumberShouldMatch and the
+    # unscored FILTER occur
+    "bool_msm_topk", "bool_filter_topk",
+    # round-4 batch family LAST: a 4-query log in one job, the
     # DataFrame-shaped log variant, and MoreLikeThis (40 query docs x
-    # top-5 — included even though this corpus's 31-term vocabulary
-    # makes MLT near-all-pairs; the match column is the point here)
+    # top-5). MLT on THIS corpus is a by-construction worst case —
+    # 31-term vocab + 320 verbatim copies of every doc make the
+    # candidate set corpus-sized (it OOM-killed a 64g JVM once) — so
+    # it runs after everything else has reported, and the loop
+    # rebuilds the session if the JVM dies.
     "batch_topk", "batch_df_topk", "mlt_topk",
 ]
 
@@ -148,17 +161,46 @@ def main() -> None:
     oracles = entry.oracle_sql()
     print("\n| query | spark s | duckdb s | rows | match |\n|---|---|---|---|---|")
     failures = []
+    def run_spark(fn):
+        sdf = fn(spark, sf1)
+        return sdf.columns, [tuple(r) for r in sdf.collect()]
+
     for name in INDEX_QUERIES:
         fn = qs[name]
         t0 = time.time()
         try:
-            sdf = fn(spark, sf1)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols, s_rows = run_spark(fn)
         except Exception as e:  # pragma: no cover - report path
-            failures.append(name)
-            print(f"| {name} | SPARK ERROR: {e} | | | FAIL |")
-            continue
+            msg = str(e)
+            dead = (
+                "Connection refused" in msg
+                or "Py4JNetworkError" in type(e).__name__ + msg
+                or "Answer from Java side is empty" in msg
+            )
+            if dead:
+                # the JVM died (a query OOM'd it) — rebuild the
+                # session, drop the cached indexes bound to the dead
+                # JVM, and retry this query ONCE
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                entry._INDEX_CACHE.clear()
+                spark = bench.build_session(CPUS)
+                spark.sparkContext.setLogLevel("ERROR")
+                t0 = time.time()
+                try:
+                    s_cols, s_rows = run_spark(fn)
+                except Exception as e2:
+                    failures.append(name)
+                    print(f"| {name} | SPARK ERROR after session "
+                          f"rebuild: {e2} | | | FAIL |", flush=True)
+                    continue
+            else:
+                failures.append(name)
+                print(f"| {name} | SPARK ERROR: {e} | | | FAIL |",
+                      flush=True)
+                continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"| {name} | {t_spark:.2f} | — | {len(s_rows)} "
