@@ -110,6 +110,8 @@ def _group_members(node: BoolQ) -> list[TermQ] | None:
     """Term-like members of a one-level all-SHOULD group, else None."""
     if not isinstance(node, BoolQ) or not node.clauses:
         return None
+    if node.min_should_match:
+        return None  # msm groups need the counting compiler
     if any(occ != SHOULD for occ, _ in node.clauses):
         return None
     members = [_as_term(c) for _, c in node.clauses]
@@ -153,11 +155,25 @@ def _clause_groups(index, ast: Node):
                 "expansion", {"query_type": type(ast).__name__},
             )
         return [(SHOULD, [leaf])]
+    if ast.min_should_match:
+        # the batch plan's per-query aggregation has no matched-SHOULD
+        # tally; rejecting beats silently returning 1-of-N matches
+        raise ValidationError(
+            "search_batch does not support min_should_match; use "
+            "index.search for msm booleans",
+            {"min_should_match": ast.min_should_match},
+        )
     groups: list[tuple[str, list[TermQ]]] = []
     for occ, child in ast.clauses:
         if occ not in (MUST, SHOULD, MUST_NOT):
             raise ValidationError(
                 "search_batch: unknown boolean occur", {"occ": occ}
+            )
+        if isinstance(child, BoolQ) and child.min_should_match:
+            raise ValidationError(
+                "search_batch does not support min_should_match; use "
+                "index.search for msm booleans",
+                {"min_should_match": child.min_should_match},
             )
         if isinstance(child, MatchNone):
             if occ == MUST:

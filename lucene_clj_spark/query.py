@@ -332,7 +332,7 @@ _DSL_TOKEN = re.compile(
     r"""
     \s*(
         \( | \)
-      | (?:[^\s():"]+:)?"(?:[^"\\]|\\.)*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?
+      | (?:[^\s():"]+:)?"(?:[^"\\]|\\.)*"(?:~\d+(?:\.\d+)?)?(?:\^\d+(?:\.\d+)?)?
       | (?:[^\s():"]+:)?/(?:[^/\\]|\\.)*/(?:\^\d+(?:\.\d+)?)?
       | (?:[^\s():"]+:)?[\[\{][^\]\}]*[\]\}](?:\^\d+(?:\.\d+)?)?
       | (?:AND|OR|NOT)\b | && | \|\|
@@ -508,12 +508,15 @@ def parse_dsl(
                 )
             return RegexpQ(boost, fname, value[1:-1].replace("\\/", "/"))
         if value.startswith('"'):
-            # "phrase" / "phrase"~slop (sloppy phrase)
+            # "phrase" / "phrase"~slop (sloppy phrase; Lucene parses
+            # FUZZY_SLOP as a float and TRUNCATES — "a b"~2.5 = slop 2)
             slop = 0
             body = value
-            msl = re.fullmatch(r'("(?:[^"\\]|\\.)*")~(\d+)', value)
+            msl = re.fullmatch(
+                r'("(?:[^"\\]|\\.)*")~(\d+(?:\.\d+)?)', value
+            )
             if msl:
-                body, slop = msl.group(1), int(msl.group(2))
+                body, slop = msl.group(1), int(float(msl.group(2)))
             if body.endswith('"') and len(body) >= 2:
                 phrase = body[1:-1]
                 an = analyzers.get(fname) or analyzers.get(None)
@@ -533,6 +536,16 @@ def parse_dsl(
         if fname == "*" and value == "*":
             return MatchAll(boost)  # *:* -> MatchAllDocsQuery
         if _UNESCAPED_WILD.search(value):
+            # a trailing fuzzy slop on a wildcard token ('te*t~1') is
+            # stripped and ignored — Lucene's grammar tokenizes the
+            # FUZZY_SLOP separately from the WILDTERM and builds the
+            # wildcard from the bare pattern; keeping '~1' in the
+            # pattern would silently match nothing
+            mw = _FUZZY_SUFFIX.search(value)
+            if mw and value[: mw.start()]:
+                stripped = value[: mw.start()]
+                if _UNESCAPED_WILD.search(stripped):
+                    value = stripped
             return _wildcard_node(
                 fname, value, specs, analyzers, boost,
                 allow_leading_wildcard,
@@ -610,13 +623,15 @@ def parse_dsl(
         def finish(node: Node):
             nonlocal pending_occur, connective
             occ = SHOULD
-            if pending_occur:
-                occ = pending_occur
-            elif connective == "AND":
+            if connective == "AND":
                 occ = MUST
-                # retro-promote the previous clause to MUST (Lucene)
+                # retro-promote the previous clause to MUST — Lucene's
+                # addClause does this on CONJ_AND REGARDLESS of the new
+                # clause's own modifier, so 'a AND NOT b' = '+a -b'
                 if clauses and clauses[-1][0] == SHOULD:
                     clauses[-1] = (MUST, clauses[-1][1])
+            if pending_occur:
+                occ = pending_occur
             clauses.append((occ, node))
             pending_occur = None
             connective = None

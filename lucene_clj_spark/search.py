@@ -683,8 +683,14 @@ def _scored_sloppy_phrase(index, node: PhraseQ) -> DataFrame:
     conjunction-bounded) candidates only."""
     import numpy as np
 
-    st = index.field_stats(node.field)
     terms = list(node.terms)
+    if not terms:
+        return _empty_scores(index)
+    if len(terms) == 1:
+        # Lucene rewrites one-term phrases to TermQuery (slop is moot)
+        return _scored_term(index, TermQ(node.boost, node.field,
+                                         terms[0]))
+    st = index.field_stats(node.field)
     if len(set(terms)) != len(terms):
         raise ValidationError(
             "sloppy phrases with repeated terms are not supported "
@@ -955,11 +961,11 @@ def _scored_regexp(index, node: RegexpQ) -> DataFrame:
     post = index.postings.filter(F.col("field") == node.field)
     prefix = _regex_literal_prefix(node.pattern)
     if prefix:
-        # [prefix, prefix+MAXCHAR): sargable bound for min/max pruning
-        post = post.filter(
-            (F.col("term") >= F.lit(prefix))
-            & (F.col("term") < F.lit(prefix + "\U0010ffff"))
-        )
+        # exact "starts with prefix" predicate — plans as
+        # StringStartsWith (row-group min/max pruning on the sorted
+        # term column), and unlike a [prefix, prefix+MAXCHAR) range it
+        # cannot exclude terms that CONTAIN the max code point
+        post = post.filter(F.col("term").startswith(F.lit(prefix)))
     post = post.filter(
         F.col("term").rlike("^(?:" + node.pattern + ")$")
     )
@@ -1252,6 +1258,16 @@ def _scored_bool(index, node: BoolQ) -> DataFrame:
     shoulds = [n for occ, n in node.clauses if occ == SHOULD]
     must_nots = [n for occ, n in node.clauses if occ == "MUST_NOT"]
     has_filter = any(occ == FILTER for occ, _ in node.clauses)
+    known_occs = (MUST, SHOULD, "MUST_NOT", FILTER)
+    bad_occs = [occ for occ, _ in node.clauses if occ not in known_occs]
+    if bad_occs:
+        # validated HERE, before any fast path, so an unknown occur can
+        # never be silently scored as SHOULD by the term-group plan
+        raise ValidationError(
+            f"unknown boolean occur value(s) {sorted(set(bad_occs))!r}"
+            f" — expected one of {list(known_occs)}",
+            {"occurs": sorted(set(bad_occs))},
+        )
     msm = node.min_should_match
 
     # fast path: every positive clause is a term (or keyword-exact)
@@ -1372,15 +1388,24 @@ def _scored_bool_joins(index, node: BoolQ) -> DataFrame:
                     "score"
                 ),
             )
-    elif opt is not None:
-        base = opt.select("doc_id", F.col("__opt").alias("score"))
     elif filters:
-        # FILTER-only boolean: matches the filter intersection, score 0
-        # (Lucene's ConstantScoreQuery(0) over the filter clauses)
+        # FILTER counts as a required clause (Lucene: SHOULDs become
+        # optional whenever MUST or FILTER clauses exist) — the match
+        # set is the filter intersection, scored 0 plus any matched
+        # SHOULD scores
         base = c(filters[0]).select(
             "doc_id", F.lit(0.0).alias("score")
         )
         filters = filters[1:]
+        if opt is not None:
+            join_type = "inner" if msm else "left"
+            base = base.join(opt, "doc_id", join_type).select(
+                "doc_id",
+                (F.col("score")
+                 + F.coalesce(F.col("__opt"), F.lit(0.0))).alias("score"),
+            )
+    elif opt is not None:
+        base = opt.select("doc_id", F.col("__opt").alias("score"))
     else:
         base = _empty_scores(index)
     for fn in filters:

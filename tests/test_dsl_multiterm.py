@@ -391,3 +391,71 @@ def test_regexp_constant_score_and_bool(sample_index):
     none = sample_index.search(P("bio:/anti/"), results_per_page=20,
                                with_hit=False)
     assert ids_scores(none) == []
+
+
+# --- review regressions: parser edge cases -------------------------------
+
+def test_and_not_retro_promotes():
+    # Lucene addClause promotes the previous clause on CONJ_AND even
+    # when the incoming clause carries NOT: 'x a AND NOT b' = 'x +a -b'
+    node = P("x a AND NOT b")
+    assert node == BoolQ(1.0, (
+        (SHOULD, TermQ(1.0, "bio", "x")),
+        (MUST, TermQ(1.0, "bio", "a")),
+        ("MUST_NOT", TermQ(1.0, "bio", "b")),
+    ))
+    assert P("a && !b") == BoolQ(1.0, (
+        (MUST, TermQ(1.0, "bio", "a")),
+        ("MUST_NOT", TermQ(1.0, "bio", "b")),
+    ))
+
+
+def test_fractional_phrase_slop_truncates():
+    # Lucene parses FUZZY_SLOP as float and truncates: ~2.5 -> slop 2,
+    # and the '.5' must NOT leak out as a separate term clause
+    assert P('"love him"~2.5') == PhraseQ(1.0, "bio", ("love", "him"), 2)
+
+
+def test_wildcard_with_fuzzy_suffix_strips_slop():
+    # 'te*t~1': the fuzzy slop is tokenized apart from the WILDTERM in
+    # Lucene's grammar; the wildcard is built from the bare pattern
+    assert P("te*t~1") == WildcardQ(1.0, "bio", "te*t")
+    assert P("te*t~") == WildcardQ(1.0, "bio", "te*t")
+
+
+def test_sloppy_one_term_rewrites_to_term(sample_index):
+    one = _scored_sloppy_phrase(
+        sample_index, PhraseQ(1.0, "bio", ("love",), 2)
+    )
+    term = sample_index.search(TermQ(1.0, "bio", "love"),
+                               results_per_page=100, with_hit=False)
+    got = sorted((r["doc_id"], round(r["score"], 9))
+                 for r in one.collect())
+    exp = sorted((r["doc_id"], round(r["score"], 9))
+                 for r in term.collect())
+    assert got == exp and got
+    empty = _scored_sloppy_phrase(
+        sample_index, PhraseQ(1.0, "bio", (), 2)
+    )
+    assert empty.collect() == []
+
+
+def test_regexp_prefix_pushdown_plan(spark, tmp_path):
+    """The regexp literal prefix must plan as StringStartsWith (exact
+    'starts with' semantics — a [prefix, prefix+MAXCHAR) range could
+    exclude terms containing the max code point)."""
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.query import RegexpQ
+
+    rows = [(i, f"alpha{i} beta gamma") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    idx = create_index(
+        spark, df, {"t": "text"}, id_column="doc_id",
+        path=str(tmp_path / "idx"), index_type="disk", re_create=True,
+    )
+    out = idx.search(RegexpQ(1.0, "t", "alpha.*"), results_per_page=5,
+                     with_hit=False)
+    s = out._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(term,alpha)" in s
+    got = [(r["doc_id"], r["score"]) for r in out.collect()]
+    assert got == [(i, 1.0) for i in range(5)]

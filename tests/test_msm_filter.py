@@ -214,3 +214,38 @@ def test_msm_falls_off_wand_route(spark, tmp_path):
                        (FILTER, TermQ(1.0, "t", "beta"))))
     with pytest.raises(ValidationError):
         idx.search(node, strategy="wand", with_hit=False)
+
+
+def test_filter_with_should_no_must(sample_index):
+    # Lucene: SHOULDs are optional whenever FILTER/MUST clauses exist —
+    # every filter-matching doc matches, scored by its matched SHOULDs
+    node = BoolQ(1.0, ((FILTER, TermQ(1.0, "bio", "him")),
+                       (SHOULD, TermQ(1.0, "bio", "love"))))
+    got = dict(ids_scores(sample_index.search(
+        node, results_per_page=100, with_hit=False)))
+    him = {d for d, _ in ids_scores(sample_index.search(
+        TermQ(1.0, "bio", "him"), results_per_page=100,
+        with_hit=False))}
+    love = dict(ids_scores(sample_index.search(
+        TermQ(1.0, "bio", "love"), results_per_page=100,
+        with_hit=False)))
+    assert set(got) == him and him
+    for d, s in got.items():
+        assert s == pytest.approx(love.get(d, 0.0), abs=1e-9)
+
+
+def test_unknown_occ_raises_with_musts_too(sample_index):
+    # the fast term-group path must not silently score a bogus occur
+    # as SHOULD when MUST clauses are present
+    node = BoolQ(1.0, ((MUST, TermQ(1.0, "bio", "love")),
+                       ("BOGUS", TermQ(1.0, "bio", "gun"))))
+    with pytest.raises(ValidationError):
+        sample_index.search(node, results_per_page=5,
+                            with_hit=False).collect()
+
+
+def test_search_batch_rejects_msm(sample_index):
+    node = BoolQ(1.0, ((SHOULD, TermQ(1.0, "bio", "love")),
+                       (SHOULD, TermQ(1.0, "bio", "gun"))), 2)
+    with pytest.raises(ValidationError):
+        sample_index.search_batch({"q1": node})
