@@ -954,6 +954,55 @@ def q_bool_filter_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_count_hits_and(spark, sf_dir):
+    """IndexSearcher.count / TotalHitCountCollector analogue: total
+    docs matching merge AND window — a full-match-set aggregate, no
+    per-hit scores materialized (collectors.py:count_hits)."""
+    idx = _index(spark, sf_dir)
+    return idx.count_hits(["merge", "window"], field_name="text")
+
+
+def q_facet_lang_term(spark, sf_dir):
+    """FacetsCollector analogue: lang value counts over the FULL
+    'merge' match set (not the top-k page), count desc / value asc
+    (collectors.py:facets)."""
+    idx = _index(spark, sf_dir)
+    return idx.facets("merge", "lang", field_name="text", max_values=10)
+
+
+def q_sort_by_field_topk(spark, sf_dir):
+    """search(query, n, Sort(SortField)) analogue: 'merge' matches
+    ordered by the stored n_chars field desc (doc_id tie-break),
+    relevance not computed — compiles to TakeOrderedAndProject
+    (collectors.py:search_sorted)."""
+    idx = _index(spark, sf_dir)
+    return idx.search_sorted("merge", "n_chars", field_name="text",
+                             results_per_page=10)
+
+
+def q_explain_topdoc(spark, sf_dir):
+    """IndexSearcher.explain analogue: the per-term BM25 decomposition
+    (tf, dl, quantized dl, df, idf, contribution) for the top-1 doc of
+    merge AND window — the same arithmetic search() sums, decomposed
+    (collectors.py:explain_score)."""
+    idx = _index(spark, sf_dir)
+    top = idx.search(["merge", "window"], field_name="text",
+                     with_hit=False, results_per_page=1).collect()
+    return idx.explain_score(["merge", "window"], int(top[0]["doc_id"]),
+                             field_name="text")
+
+
+def q_highlight_topk(spark, sf_dir):
+    """Deterministic single-passage highlighting: OR top-5 with the
+    7-token window around the first matched token, matches wrapped in
+    <em> tags, snippet sliced from the ORIGINAL stored text
+    (highlight.py)."""
+    idx = _index(spark, sf_dir)
+    out = idx.highlight({"text": {"merge", "vector"}}, "text",
+                        results_per_page=5, window=3)
+    return _round6(out, "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -1025,6 +1074,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_regexp_topk": q_dsl_regexp_topk,
         "bool_msm_topk": q_bool_msm_topk,
         "bool_filter_topk": q_bool_filter_topk,
+        "count_hits_and": q_count_hits_and,
+        "facet_lang_term": q_facet_lang_term,
+        "sort_by_field_topk": q_sort_by_field_topk,
+        "explain_topdoc": q_explain_topdoc,
+        "highlight_topk": q_highlight_topk,
     }
 
 
@@ -2154,6 +2208,77 @@ SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim FROM (
 ORDER BY vec_a, vec_b"""
 
 
+def _explain_topdoc_sql() -> str:
+    """Per-term BM25 decomposition of the top-1 doc of merge AND
+    window — DuckDB twin of collectors.explain_score, selecting the
+    doc with the engine's (score desc, doc_id asc) canon and the
+    ordered score sum (see module NOTE on sum order)."""
+    qdl = bm25.quantized_dl_sql("d.dl")
+    idf = bm25.idf_sql("t.df", "s.n")
+    return (
+        _BASE
+        + f"""
+, top1 AS (
+  SELECT doc_id FROM (
+    SELECT p.doc_id, sum({_SCORE} ORDER BY p.term) AS score
+    FROM post p
+    JOIN dl d USING (doc_id)
+    JOIN tstat t USING (term)
+    CROSS JOIN stats s
+    WHERE p.term IN ('merge', 'window')
+    GROUP BY p.doc_id HAVING count(DISTINCT p.term) = 2
+    ORDER BY score DESC, doc_id ASC LIMIT 1
+  )
+)
+SELECT 'text' AS field, p.term,
+  CAST(p.doc_id AS BIGINT) AS doc_id,
+  CAST(p.tf AS BIGINT) AS tf,
+  CAST(d.dl AS BIGINT) AS dl,
+  CAST({qdl} AS BIGINT) AS qdl,
+  CAST(t.df AS BIGINT) AS df,
+  round({idf}, 6) AS idf,
+  round({_SCORE}, 6) AS contribution
+FROM post p
+JOIN dl d USING (doc_id)
+JOIN tstat t USING (term)
+CROSS JOIN stats s
+JOIN top1 USING (doc_id)
+WHERE p.term IN ('merge', 'window')
+ORDER BY field, term"""
+    )
+
+
+def _highlight_sql(terms: list[str], k: int, window: int) -> str:
+    """DuckDB twin of highlight.py on the synthetic corpus: tokens ==
+    whitespace split, so the original-text slice the engine returns ==
+    the space-joined token window; p0 is the 1-based first matched
+    position (list_position returns 0 for absent -> nullif)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    p0 = " , ".join(
+        f"coalesce(nullif(list_position(d.ts, '{t}'), 0), 1000000000)"
+        for t in terms
+    )
+    return (
+        _multi_term_scores_sql(terms)
+        + f"""
+, hits AS (
+  SELECT doc_id, sum(score ORDER BY term) AS score FROM scores
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT doc_id, round(score, 6) AS score,
+  array_to_string(list_transform(
+    ts[greatest(p0 - {window}, 1):least(p0 + {window}, len(ts))],
+    x -> CASE WHEN x IN ({tlist})
+         THEN '<em>' || x || '</em>' ELSE x END), ' ') AS snippet
+FROM (
+  SELECT h.doc_id, h.score, d.ts, least({p0}) AS p0
+  FROM hits h JOIN doc d USING (doc_id)
+)
+ORDER BY score DESC, doc_id ASC"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     qv = _query_vec("/root/testdata/sf0.01")
     return {
@@ -2278,4 +2403,24 @@ FROM b""",
         "dsl_regexp_topk": _dsl_regexp_sql(),
         "bool_msm_topk": _bool_msm_sql(),
         "bool_filter_topk": _bool_filter_sql(),
+        "count_hits_and": _multi_term_scores_sql(["merge", "window"])
+        + """
+SELECT CAST(count(*) AS BIGINT) AS n_hits FROM (
+  SELECT doc_id FROM scores
+  GROUP BY doc_id HAVING count(DISTINCT term) = 2
+)""",
+        "facet_lang_term": _BASE + """
+, m AS (SELECT DISTINCT doc_id FROM post WHERE term = 'merge')
+SELECT d.lang AS facet_value, CAST(count(*) AS BIGINT) AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY n_docs DESC, facet_value ASC LIMIT 10""",
+        "sort_by_field_topk": _BASE + """
+, m AS (SELECT DISTINCT doc_id FROM post WHERE term = 'merge')
+SELECT m.doc_id, d.n_chars
+FROM m JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
+        "explain_topdoc": _explain_topdoc_sql(),
+        "highlight_topk": _highlight_sql(["merge", "vector"], k=5,
+                                         window=3),
     }

@@ -15,6 +15,9 @@ A from-scratch re-expression of the capabilities of jaju/lucene-clj
 - top-k search, :page and :search-after pagination
                                                 -> lucene_clj_spark.search
 - prefix/fuzzy/context completion suggestions   -> lucene_clj_spark.suggest
+- count / facets / field-sort / explain collectors
+                                                -> lucene_clj_spark.collectors
+- deterministic hit highlighting (snippets)     -> lucene_clj_spark.highlight
 - block-max WAND scoring kernel                 -> lucene_clj_spark.wand
 - training-data pipeline ops (dedup, ANN, text quality)
                                                 -> lucene_clj_spark.functions

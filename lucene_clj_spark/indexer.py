@@ -206,6 +206,42 @@ class Index:
 
         return more_like_this(self, field, **opts)
 
+    def count_hits(self, query: Any, **opts) -> DataFrame:
+        """Total matching docs — IndexSearcher.count(query); see
+        collectors.py:count_hits."""
+        from lucene_clj_spark.collectors import count_hits
+
+        return count_hits(self, query, **opts)
+
+    def facets(self, query: Any, facet_field: str, **opts) -> DataFrame:
+        """Facet value counts over the FULL match set — Lucene
+        FacetsCollector analogue; see collectors.py:facets."""
+        from lucene_clj_spark.collectors import facets
+
+        return facets(self, query, facet_field, **opts)
+
+    def search_sorted(self, query: Any, sort_field: str, **opts
+                      ) -> DataFrame:
+        """Top-k by a stored field (Lucene Sort(SortField)); see
+        collectors.py:search_sorted."""
+        from lucene_clj_spark.collectors import search_sorted
+
+        return search_sorted(self, query, sort_field, **opts)
+
+    def explain_score(self, query: Any, doc_id: int, **opts) -> DataFrame:
+        """Per-term BM25 decomposition for one doc —
+        IndexSearcher.explain; see collectors.py:explain_score."""
+        from lucene_clj_spark.collectors import explain_score
+
+        return explain_score(self, query, doc_id, **opts)
+
+    def highlight(self, query: Any, field: str, **opts) -> DataFrame:
+        """Top-k with a deterministic snippet per hit; see
+        highlight.py."""
+        from lucene_clj_spark.highlight import highlight
+
+        return highlight(self, query, field, **opts)
+
     def suggest_(self, field: str, prefix: str, **opts) -> DataFrame:
         from lucene_clj_spark.suggest import suggest
 
