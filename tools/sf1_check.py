@@ -56,6 +56,10 @@ INDEX_QUERIES = [
     # round-4 BooleanQuery extras: minimumNumberShouldMatch and the
     # unscored FILTER occur
     "bool_msm_topk", "bool_filter_topk",
+    # round-4 collector family: full-match-set count/facets, stored-
+    # field sort, per-term BM25 explain, deterministic highlighting
+    "count_hits_and", "facet_lang_term", "sort_by_field_topk",
+    "explain_topdoc", "highlight_topk",
     # round-4 batch family LAST: a 4-query log in one job, the
     # DataFrame-shaped log variant, and MoreLikeThis (40 query docs x
     # top-5). MLT on THIS corpus is a by-construction worst case —
