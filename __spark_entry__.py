@@ -1003,6 +1003,48 @@ def q_highlight_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_dismax_topk(spark, sf_dir):
+    """DisjunctionMaxQuery: max over (term merge) and (dup OR vector)
+    plus tie_breaker=0.3 times the other matching disjunct — the
+    one-scan term fast path (search.py:_scored_dismax_terms)."""
+    from lucene_clj_spark.query import SHOULD, BoolQ, DisMaxQ, TermQ
+
+    idx = _index(spark, sf_dir)
+    node = DisMaxQ(
+        1.0,
+        (TermQ(1.0, "text", "merge"),
+         BoolQ(1.0, ((SHOULD, TermQ(1.0, "text", "dup")),
+                     (SHOULD, TermQ(1.0, "text", "vector"))))),
+        0.3,
+    )
+    out = idx.search(node, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_span_first_topk(spark, sf_dir):
+    """SpanFirstQuery(SpanTermQuery('merge'), 5): docs whose first 5
+    tokens contain 'merge', freq = qualifying positions, BM25 with the
+    term's full df (search.py:_scored_span_first)."""
+    from lucene_clj_spark.query import SpanFirstQ
+
+    idx = _index(spark, sf_dir)
+    node = SpanFirstQ(1.0, "text", "merge", 5)
+    out = idx.search(node, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_collapse_lang_topk(spark, sf_dir):
+    """Field collapse (Lucene grouping / CollapsingTopDocsCollector):
+    top-10 for merge OR dup OR vector keeping at most 2 hits per lang
+    (collectors.py:search_collapsed)."""
+    idx = _index(spark, sf_dir)
+    out = idx.search_collapsed(
+        {"text": {"merge", "dup", "vector"}}, "lang",
+        results_per_page=10, hits_per_group=2,
+    )
+    return _round6(out, "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -1077,6 +1119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_hits_and": q_count_hits_and,
         "facet_lang_term": q_facet_lang_term,
         "sort_by_field_topk": q_sort_by_field_topk,
+        "dismax_topk": q_dismax_topk,
+        "span_first_topk": q_span_first_topk,
+        "collapse_lang_topk": q_collapse_lang_topk,
         "explain_topdoc": q_explain_topdoc,
         "highlight_topk": q_highlight_topk,
     }
@@ -1111,6 +1156,87 @@ def _bool_or_sql() -> str:
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT doc_id, sum(score ORDER BY term) AS score FROM scores
   GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _dismax_sql() -> str:
+    # DisjunctionMaxQuery twin: gid 0 = term 'merge', gid 1 = the
+    # (dup OR vector) SHOULD-group; per-doc score = max(group scores)
+    # + 0.3 * (sum - max) — DisjunctionMaxQuery's documented formula
+    return (
+        _multi_term_scores_sql(["merge", "dup", "vector"])
+        + """
+, g AS (
+  SELECT doc_id,
+         CASE WHEN term = 'merge' THEN 0 ELSE 1 END AS gid,
+         sum(score ORDER BY term) AS g_score
+  FROM scores
+  GROUP BY doc_id, CASE WHEN term = 'merge' THEN 0 ELSE 1 END
+),
+agg AS (
+  SELECT doc_id, max(g_score) AS mx, sum(g_score) AS sm
+  FROM g GROUP BY doc_id
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, mx + 0.3 * (sm - mx) AS score FROM agg
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _span_first_sql(term: str, end: int, k: int = 10) -> str:
+    # SpanFirstQuery twin: freq = occurrences of the term among the
+    # first `end` tokens (DuckDB list indices are 1-based: i <= end
+    # <=> 0-based position < end); BM25 uses the term's FULL df
+    idf = bm25.idf_sql("t.df", "s.n")
+    qdl = bm25.quantized_dl_sql("d.dl")
+    return (
+        _BASE
+        + f"""
+, freqs AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(ts) + 1),
+             i -> ts[i] = '{term}' AND i <= {end})) AS freq
+  FROM doc
+),
+scores AS (
+  SELECT f.doc_id,
+         {idf} * CAST(f.freq AS DOUBLE) /
+         (CAST(f.freq AS DOUBLE) + {K1!r} * ({1.0 - B!r} + {B!r} *
+          CAST({qdl} AS DOUBLE) / CAST(s.avgdl AS DOUBLE))) AS score
+  FROM freqs f
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{term}') t
+  WHERE f.freq > 0
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
+    )
+
+
+def _collapse_lang_sql() -> str:
+    # field-collapse twin: OR-sum scores, rank within each lang by
+    # (score desc, doc_id asc), keep <= 2 per lang, then global top-10
+    return (
+        _multi_term_scores_sql(["merge", "dup", "vector"])
+        + """
+, agg AS (
+  SELECT doc_id, sum(score ORDER BY term) AS score
+  FROM scores GROUP BY doc_id
+),
+ranked AS (
+  SELECT a.doc_id, d.lang, a.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY a.score DESC, a.doc_id ASC) AS rn
+  FROM agg a JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, round(score, 6) AS score FROM (
+  SELECT doc_id, lang, score FROM ranked WHERE rn <= 2
   ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
     )
@@ -2423,4 +2549,7 @@ ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
         "explain_topdoc": _explain_topdoc_sql(),
         "highlight_topk": _highlight_sql(["merge", "vector"], k=5,
                                          window=3),
+        "dismax_topk": _dismax_sql(),
+        "span_first_topk": _span_first_sql("merge", 5),
+        "collapse_lang_topk": _collapse_lang_sql(),
     }

@@ -20,6 +20,10 @@ the same query ASTs ``search()`` compiles:
                       per-term BM25 decomposition (tf, dl, quantized
                       dl, df, idf, contribution) for one document,
                       arithmetic-identical to what ``search`` sums.
+- ``search_collapsed`` — the grouping module's
+                      ``CollapsingTopDocsCollector``: top-k hits
+                      keeping at most n docs per distinct value of a
+                      stored field ("one result per site").
 
 Scale notes (100 TB): count and facets are full-match-set operators,
 so the exhaustive DataFrame compiler (``search.compile_node``) is the
@@ -41,7 +45,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lucene_clj_spark import bm25
@@ -141,6 +145,64 @@ def search_sorted(
     return (
         matches.join(vals, "doc_id")
         .orderBy(key, F.asc("doc_id"))
+        .limit(results_per_page)
+    )
+
+
+def search_collapsed(
+    index,
+    query: Any,
+    collapse_field: str,
+    *,
+    field_name: str | None = None,
+    results_per_page: int = 10,
+    hits_per_group: int = 1,
+) -> DataFrame:
+    """Field collapsing — Lucene's grouping module
+    (``CollapsingTopDocsCollector`` / grouping ``TopGroups``): the
+    top-k hits by relevance keeping at most ``hits_per_group``
+    documents per distinct value of a stored field. The classic
+    "one result per site" search page.
+
+    Plan shape (scale notes): the scored match set joins the stored
+    table pruned to exactly ``(doc_id, collapse_field)``; the per-group
+    rank is a ``row_number`` window partitioned on the collapse key —
+    Spark's ``WindowGroupLimit`` pushes the ``rank <= n`` bound into a
+    per-partition bounded heap BEFORE the window shuffle, so only ~n
+    candidate rows per (partition, group) cross the wire, not the full
+    match set. The final top-k is TakeOrderedAndProject. Group-key
+    skew (one giant site) is absorbed by that same pre-shuffle bound.
+
+    Returns ``(doc_id, <collapse_field>, score)`` ordered by
+    (score desc, doc_id asc), ties within a group broken the same way
+    (Lucene's implicit docID tie-break)."""
+    if collapse_field not in index.docs.columns:
+        raise ValidationError(
+            f"collapse field {collapse_field!r} is not a stored field",
+            {"collapse_field": collapse_field},
+        )
+    if not isinstance(results_per_page, int) or results_per_page <= 0:
+        raise ValidationError(
+            "results_per_page must be a positive int",
+            {"results_per_page": results_per_page},
+        )
+    if not isinstance(hits_per_group, int) or hits_per_group <= 0:
+        raise ValidationError(
+            "hits_per_group must be a positive int",
+            {"hits_per_group": hits_per_group},
+        )
+    scores = _compile(index, query, field_name)
+    vals = index.docs.select("doc_id", collapse_field)
+    joined = scores.join(vals, "doc_id")
+    w = (
+        Window.partitionBy(collapse_field)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= hits_per_group)
+        .select("doc_id", collapse_field, "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(results_per_page)
     )
 

@@ -228,6 +228,15 @@ class Index:
 
         return search_sorted(self, query, sort_field, **opts)
 
+    def search_collapsed(self, query: Any, collapse_field: str, **opts
+                         ) -> DataFrame:
+        """Top-k keeping at most n hits per distinct stored-field
+        value (Lucene grouping / CollapsingTopDocsCollector); see
+        collectors.py:search_collapsed."""
+        from lucene_clj_spark.collectors import search_collapsed
+
+        return search_collapsed(self, query, collapse_field, **opts)
+
     def explain_score(self, query: Any, doc_id: int, **opts) -> DataFrame:
         """Per-term BM25 decomposition for one doc —
         IndexSearcher.explain; see collectors.py:explain_score."""

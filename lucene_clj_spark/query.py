@@ -174,6 +174,42 @@ class BoolQ(Node):
 
 
 @dataclass(frozen=True)
+class DisMaxQ(Node):
+    """Lucene ``DisjunctionMaxQuery`` — not reachable through the
+    reference's parse shapes (query.clj:79-124 builds only boolean /
+    term / phrase / typed queries), but part of the Lucene query
+    surface every deployment of the reference can hand in PREBUILT
+    (query.clj:50-52 passes ``Query`` instances through untouched —
+    the same passthrough this engine gives ``Node`` instances). A
+    document matches when ANY disjunct matches; its score is the
+    maximum matching disjunct score plus ``tie_breaker`` times the sum
+    of the other matching disjuncts' scores, scaled by ``boost``
+    (DisjunctionMaxQuery's documented formula). Lucene enforces
+    ``0 <= tie_breaker <= 1``; so does the compiler."""
+
+    disjuncts: tuple[Node, ...] = ()
+    tie_breaker: float = 0.0
+
+
+@dataclass(frozen=True)
+class SpanFirstQ(Node):
+    """Lucene ``SpanFirstQuery(SpanTermQuery(field, term), end)`` —
+    matches documents where ``term`` occurs at a token position
+    strictly below ``end`` (Lucene keeps spans with ``span.end() <=
+    end``; a single-term span at position p ends at p+1). Scored like
+    Lucene's SpanScorer over BM25: freq = the number of qualifying
+    positions (the sloppyFreq of a zero-length single-term span is 1
+    per match), idf/df from the term's FULL document frequency (the
+    SpanWeight uses the underlying term's statistics), same length
+    norm as a term query. Prebuilt-only, like :class:`DisMaxQ` — the
+    query.clj:50-52 passthrough surface."""
+
+    field: str = ""
+    term: str = ""
+    end: int = 1
+
+
+@dataclass(frozen=True)
 class MatchNone(Node):
     pass
 
@@ -711,6 +747,14 @@ def render(node: Node) -> str:
         s = f"{node.field}:{node.value}"
     elif isinstance(node, FuzzyQ):
         s = f"{node.field}:{node.term}~{node.max_edits}"
+    elif isinstance(node, DisMaxQ):
+        # Lucene DisjunctionMaxQuery.toString: (a | b | c)~tie
+        s = "(" + " | ".join(render(d) for d in node.disjuncts) + ")"
+        if node.tie_breaker:
+            s += f"~{node.tie_breaker}"
+    elif isinstance(node, SpanFirstQ):
+        # Lucene SpanFirstQuery.toString: spanFirst(field:term, end)
+        s = f"spanFirst({node.field}:{node.term}, {node.end})"
     elif isinstance(node, BoolQ):
         parts = []
         for occ, n in node.clauses:

@@ -44,6 +44,7 @@ from lucene_clj_spark.query import (
     MUST,
     SHOULD,
     BoolQ,
+    DisMaxQ,
     ExactQ,
     FuzzyQ,
     MatchAll,
@@ -52,6 +53,7 @@ from lucene_clj_spark.query import (
     PhraseQ,
     RangeQ,
     RegexpQ,
+    SpanFirstQ,
     TermQ,
     WildcardQ,
     combine_fuzzy,
@@ -331,6 +333,137 @@ def _scored_group_tree(
     return agg.filter(
         (F.col("__musts") == len(must_ids)) & (F.col("__hit_not") == 0)
     ).select("doc_id", "score")
+
+
+def _dismax_term_groups(node: DisMaxQ):
+    """``[(field, term, eff_boost), ...]`` per disjunct when EVERY
+    disjunct is term-like (TermQ / keyword-exact via ``_as_term``, or
+    an unboosted-occur all-SHOULD boolean of those) — the shapes the
+    one-scan dismax plan can serve. ``None`` otherwise."""
+    groups: list[list[tuple[str, str, float]]] = []
+    for d in node.disjuncts:
+        t = _as_term(d)
+        if t is not None:
+            groups.append([(t.field, t.term, t.boost)])
+            continue
+        if (
+            isinstance(d, BoolQ)
+            and d.min_should_match == 0
+            and d.clauses
+            and all(occ == SHOULD for occ, _ in d.clauses)
+        ):
+            members = []
+            for _, ch in d.clauses:
+                ct = _as_term(ch)
+                if ct is None:
+                    return None
+                members.append((ct.field, ct.term, ct.boost * d.boost))
+            groups.append(members)
+            continue
+        return None
+    return groups
+
+
+def _dismax_combine(node: DisMaxQ, mx, sm):
+    """DisjunctionMaxQuery score expression: boost * (max +
+    tie_breaker * (sum - max)) over the matching disjuncts' scores."""
+    tie = float(node.tie_breaker)
+    out = mx + F.lit(tie) * (sm - mx) if tie else mx
+    if node.boost != 1.0:
+        out = F.lit(node.boost) * out
+    return out
+
+
+def _scored_dismax(index, node: DisMaxQ) -> DataFrame:
+    """Lucene DisjunctionMaxQuery: per-doc ``max`` over the matching
+    disjuncts' scores plus ``tie_breaker`` times the rest.
+
+    Scale shape: when every disjunct is term-like this is ONE
+    bucket-pruned postings scan joined to a broadcast (field, term,
+    gid, boost) relation, a per-(doc, disjunct) partial sum, and a
+    per-doc max/sum aggregate — one scan and two vocab-keyed shuffles
+    regardless of disjunct count, the same skeleton as
+    ``_scored_group_tree``. General disjuncts (phrases, fuzzies,
+    subtrees) compile independently and union before the same
+    aggregate — still no joins between disjuncts, because dismax
+    needs no per-doc intersection."""
+    if not (0.0 <= float(node.tie_breaker) <= 1.0):
+        raise ValidationError(
+            "tie_breaker must be within 0 <= t <= 1 "
+            f"(got {node.tie_breaker!r})",
+            {"tie_breaker": node.tie_breaker},
+        )
+    if not node.disjuncts:
+        return _empty_scores(index)
+    groups = _dismax_term_groups(node)
+    if groups is not None:
+        return _scored_dismax_terms(index, node, groups)
+    parts = [
+        compile_node(index, d)
+        .select("doc_id", "score")
+        for d in node.disjuncts
+    ]
+    u = reduce(DataFrame.unionByName, parts)
+    agg = u.groupBy("doc_id").agg(
+        F.max("score").alias("__mx"), F.sum("score").alias("__sm")
+    )
+    return agg.select(
+        "doc_id",
+        _dismax_combine(node, F.col("__mx"), F.col("__sm")).alias("score"),
+    )
+
+
+def _scored_dismax_terms(
+    index, node: DisMaxQ, groups: list[list[tuple[str, str, float]]]
+) -> DataFrame:
+    """One-scan dismax over term-like disjuncts — the
+    ``_scored_group_tree`` skeleton with the dismax combine."""
+    spark = index.spark
+    pairs = [(f, t) for ms in groups for f, t, _ in ms]
+    stats = _lookup_term_stats(index, pairs)
+    rows = []
+    for gid, members in enumerate(groups):
+        for f, t, b in members:
+            if (f, t) not in stats:
+                continue  # absent term: the member never matches
+            st = index.field_stats(f)
+            rows.append(
+                (f, t, gid, float(b), stats[(f, t)],
+                 int(st["N"]), float(st["avgdl"]))
+            )
+    if not rows:
+        return _empty_scores(index)
+    local = spark.createDataFrame(
+        rows,
+        "field string, term string, gid int, boost double, "
+        "df long, n_docs long, avgdl double",
+    )
+    fields = sorted({r[0] for r in rows})
+    terms_ = sorted({r[1] for r in rows})
+    scan = index.postings.filter(
+        F.col("field").isin(fields) & F.col("term").isin(terms_)
+    )
+    scan = _bucket_pruned(index, scan, terms_)
+    scored = scan.join(F.broadcast(local), ["field", "term"]).select(
+        "doc_id", "gid",
+        (
+            F.col("boost")
+            * bm25.score_col(
+                F.col("tf"), F.col("dl"), F.col("df"),
+                F.col("n_docs"), F.col("avgdl"),
+            )
+        ).alias("score"),
+    )
+    per_group = scored.groupBy("doc_id", "gid").agg(
+        F.sum("score").alias("g_score")
+    )
+    agg = per_group.groupBy("doc_id").agg(
+        F.max("g_score").alias("__mx"), F.sum("g_score").alias("__sm")
+    )
+    return agg.select(
+        "doc_id",
+        _dismax_combine(node, F.col("__mx"), F.col("__sm")).alias("score"),
+    )
 
 
 def _bool_tree_spec(node: BoolQ, allow_phrase: bool = False):
@@ -615,6 +748,47 @@ def _scored_term(index, node: TermQ) -> DataFrame:
         ).alias("score"),
     )
     return scored
+
+
+def _scored_span_first(index, node: SpanFirstQ) -> DataFrame:
+    """SpanFirstQuery(SpanTermQuery, end): one bucket-pruned postings
+    seek — identical scan shape to ``_scored_term`` — with freq
+    recomputed JVM-side as the count of positions < end (a span at
+    position p ends at p+1; Lucene keeps span.end() <= end). BM25 uses
+    the term's FULL df (SpanWeight builds its SimWeight from the
+    underlying term statistics) and the same quantized length norm."""
+    if not isinstance(node.end, int) or node.end < 0:
+        raise ValidationError(
+            f"span_first end must be a non-negative int (got "
+            f"{node.end!r})",
+            {"end": node.end},
+        )
+    st = index.field_stats(node.field)
+    stats = _lookup_term_stats(index, [(node.field, node.term)])
+    df_ = stats.get((node.field, node.term))
+    if df_ is None or node.end == 0:
+        return _empty_scores(index)
+    post = _term_postings(index, node.field, node.term)
+    freq = F.size(
+        F.filter("positions", lambda p: p < F.lit(node.end))
+    )
+    qdl = bm25.quantized_dl_col(F.col("dl"))
+    denom = F.col("__freq").cast("double") + F.lit(bm25.K1) * (
+        F.lit(1.0 - bm25.B)
+        + F.lit(bm25.B) * qdl.cast("double") / F.lit(st["avgdl"])
+    )
+    idf = bm25.idf_col(F.lit(df_), F.lit(st["N"]))
+    return (
+        post.withColumn("__freq", freq)
+        .filter(F.col("__freq") > 0)
+        .select(
+            "doc_id",
+            (
+                F.lit(node.boost) * idf
+                * F.col("__freq").cast("double") / denom
+            ).alias("score"),
+        )
+    )
 
 
 def _shift(offset):
@@ -1443,6 +1617,10 @@ def compile_node(index, node: Node) -> DataFrame:
         return _scored_matchall(index, node)
     if isinstance(node, BoolQ):
         return _scored_bool(index, node)
+    if isinstance(node, DisMaxQ):
+        return _scored_dismax(index, node)
+    if isinstance(node, SpanFirstQ):
+        return _scored_span_first(index, node)
     if isinstance(node, MatchNone):
         return _empty_scores(index)
     raise ValidationError(f"cannot compile node {node!r}", {})

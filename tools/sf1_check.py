@@ -60,6 +60,9 @@ INDEX_QUERIES = [
     # field sort, per-term BM25 explain, deterministic highlighting
     "count_hits_and", "facet_lang_term", "sort_by_field_topk",
     "explain_topdoc", "highlight_topk",
+    # round-4 continuation: DisjunctionMaxQuery, SpanFirstQuery,
+    # field collapse (grouping module)
+    "dismax_topk", "span_first_topk", "collapse_lang_topk",
     # round-4 batch family LAST: a 4-query log in one job, the
     # DataFrame-shaped log variant, and MoreLikeThis (40 query docs x
     # top-5). MLT on THIS corpus is a by-construction worst case —
