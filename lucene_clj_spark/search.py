@@ -1684,6 +1684,25 @@ def _wand_route(
         if node.field not in index.stats or node.boost <= 0:
             return None
         return (node.field, node, "fuzzy", None)
+    if isinstance(node, DisMaxQ):
+        if not (0.0 <= float(node.tie_breaker) <= 1.0):
+            return None  # the DataFrame compiler raises the error
+        groups = _dismax_term_groups(node)
+        if not groups:
+            return None
+        members = []
+        for g in groups:
+            ms = []
+            for f_, t_, b_ in g:
+                eb = b_ * node.boost
+                if eb <= 0 or f_ not in index.stats:
+                    # non-positive effective weights invert the
+                    # kernel's skip bounds — fall back (same hazard as
+                    # term boosts above)
+                    return None
+                ms.append((f_, t_, eb))
+            members.append((SHOULD, ms))
+        return (None, (members, float(node.tie_breaker)), "dismax", None)
     if not (isinstance(node, BoolQ) and node.boost > 0 and node.clauses):
         # non-positive root boosts invert the kernels' skip bounds
         return None
@@ -1911,9 +1930,10 @@ def search(
     ``strategy``: 'auto' (default) routes eligible queries — term /
     phrase / flat AND/OR booleans over ANY mix of fields, including
     map queries {title: ..., body: ...} (boosts ride as kernel
-    weights) / fuzzy on a segment-backed disk index, any page, keyset
-    pagination included for every kernel shape — through the
-    segment kernels
+    weights) / fuzzy / term-like DisMaxQ (the group kernel with the
+    max + tie * rest combine) on a segment-backed disk index, any
+    page, keyset pagination included for every kernel shape — through
+    the segment kernels
     (block-max WAND for term sets, the positions-decoding phrase
     kernel for phrases; result-identical, pinned by test — the
     compressed-segment scan + bounded heaps are the 100 TB path);
@@ -2046,6 +2066,12 @@ def search(
                 # inside wand_group_topk (empty result)
                 scores = wand_group_topk(
                     index, terms_, k=kernel_k, search_after=sa_key
+                )
+            elif mode_ == "dismax":
+                groups_, tie_ = terms_
+                scores = wand_group_topk(
+                    index, groups_, k=kernel_k, search_after=sa_key,
+                    dismax_tie=tie_,
                 )
             elif mode_ == "tree":
                 # arbitrary-depth trees; absent leaves prune inside

@@ -1300,6 +1300,7 @@ def _group_kernel_factory(
     search_after: tuple[float, int] | None = None,
     phrases: list | None = None,
     phrase_fkeys: frozenset = frozenset(),
+    dismax_tie: float | None = None,
 ):
     """Per-partition streaming kernel for one-level boolean GROUP
     trees — the segment analogue of search._scored_group_tree. Lucene
@@ -1334,7 +1335,15 @@ def _group_kernel_factory(
     range, so no doc of this chunk can satisfy that group elsewhere.
     Skipping a term block (own max + others < θ) may also drop that
     block's MUST marks — sound, because any such doc's total score is
-    below θ and it could not enter the heap anyway."""
+    below θ and it could not enter the heap anyway.
+
+    ``dismax_tie`` switches the per-doc combine from the boolean SUM
+    of group scores to DisjunctionMaxQuery's ``max + tie * (sum -
+    max)`` (caller guarantees all-SHOULD groups with positive weights
+    and 0 <= tie <= 1). Every chunk/block bound in this kernel is an
+    upper bound of the SUM of group scores, and for tie <= 1 the
+    dismax combine is <= that sum, so all skip decisions stay sound —
+    merely conservative by the (1 - tie) * (sum - max) slack."""
     phrases = phrases or []
     n_must = len(must_gids)
     all_gids = [g for occs in key_occs.values() for g, _ in occs] + [
@@ -1454,8 +1463,24 @@ def _group_kernel_factory(
             scores = np.concatenate(score_parts)
             gids = np.concatenate(gid_parts)
             uniq, inv = np.unique(docs, return_inverse=True)
-            agg = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(agg, inv, scores)
+            if dismax_tie is None:
+                agg = np.zeros(uniq.size, dtype=np.float64)
+                np.add.at(agg, inv, scores)
+            else:
+                # per-(doc, group) partial sums in canonical fkey
+                # order, then the dismax combine per doc; group scores
+                # are strictly positive (positive weights over BM25 >
+                # 0), so the zero-initialized max is safe
+                pair = inv.astype(np.int64) * max_gid + gids
+                up, pinv = np.unique(pair, return_inverse=True)
+                psum = np.zeros(up.size, dtype=np.float64)
+                np.add.at(psum, pinv, scores)
+                pdoc = up // max_gid
+                ssum = np.zeros(uniq.size, dtype=np.float64)
+                np.add.at(ssum, pdoc, psum)
+                smax = np.zeros(uniq.size, dtype=np.float64)
+                np.maximum.at(smax, pdoc, psum)
+                agg = smax + dismax_tie * (ssum - smax)
             keep = np.ones(uniq.size, dtype=bool)
             if n_must:
                 mm = is_must_gid[gids]
@@ -1485,6 +1510,7 @@ def wand_group_topk(
     k: int = 10,
     n_partitions: int | None = None,
     search_after: tuple[float, int] | None = None,
+    dismax_tie: float | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a one-level boolean GROUP tree over
     the compressed segments — ``groups`` is a list of
@@ -1511,7 +1537,13 @@ def wand_group_topk(
     members, no pair shared between a phrase constituent and anything
     else, and no pair with both a scored and a MUST_NOT occurrence
     (a MUST_NOT pair excludes every matching doc, so its scored
-    occurrences are dead weight — search._wand_route drops them)."""
+    occurrences are dead weight — search._wand_route drops them).
+
+    ``dismax_tie`` runs DisjunctionMaxQuery semantics instead: each
+    group is one disjunct (caller passes all-SHOULD groups, boosts
+    pre-folded), per-doc score = max(group scores) + tie * (sum -
+    max). Bounds stay the sum-combine bounds — sound for tie <= 1
+    (see _group_kernel_factory)."""
     empty = lambda: index.spark.createDataFrame(  # noqa: E731
         [], "doc_id long, score double"
     )
@@ -1629,6 +1661,7 @@ def wand_group_topk(
         search_after=search_after,
         phrases=phrases,
         phrase_fkeys=phrase_fkeys,
+        dismax_tie=dismax_tie,
     )
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

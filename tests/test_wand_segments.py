@@ -2245,3 +2245,88 @@ def test_seg_idf_cache_warm_repeat_and_invalidation(spark, tmp_path):
     assert ("text", "merge") not in idx._seg_term_cache
     post = wand_topk(idx, "text", ["merge", "window"], k=5).collect()
     assert len(post) == 5  # re-resolved idfs serve the grown index
+
+
+# --- DisjunctionMaxQuery on the group kernel ---------------------------
+
+
+def _dismax_node(tie, boost=1.0, disjuncts=None):
+    from lucene_clj_spark.query import SHOULD, BoolQ, DisMaxQ, TermQ
+
+    disjuncts = disjuncts or (
+        TermQ(1.0, "text", "merge"),
+        BoolQ(1.0, ((SHOULD, TermQ(1.0, "text", "dup")),
+                    (SHOULD, TermQ(2.0, "text", "vector")))),
+    )
+    return DisMaxQ(boost, tuple(disjuncts), tie)
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+def test_dismax_kernel_routes_and_matches(disk_index, tie):
+    """Term-like DisMaxQ auto-routes through the group kernel with the
+    dismax combine; results identical to the DataFrame compiler. The
+    kernel's sum-combine bounds stay sound for tie <= 1 (dismax <=
+    sum), so pruning can never drop a true top-k doc."""
+    node = _dismax_node(tie)
+    auto = disk_index.search(node, results_per_page=10, with_hit=False)
+    s = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in s  # the kernel served it
+    want = disk_index.search(node, results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = auto.collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_dismax_kernel_boosted_and_multi_field(disk_index):
+    from lucene_clj_spark.query import DisMaxQ, ExactQ, TermQ
+
+    # root boost folds into member weights; disjuncts span an analyzed
+    # and a keyword field (fkeys carry the field)
+    node = DisMaxQ(2.5, (TermQ(1.0, "text", "merge"),
+                         ExactQ(1.0, "lang", "de", "keyword")), 0.4)
+    auto = disk_index.search(node, results_per_page=10, with_hit=False,
+                             strategy="wand")
+    want = disk_index.search(node, results_per_page=10, with_hit=False,
+                             strategy="dataframe").collect()
+    got = auto.collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_dismax_kernel_search_after(disk_index):
+    node = _dismax_node(0.3)
+    first = disk_index.search(node, results_per_page=5,
+                              with_hit=False).collect()
+    got = disk_index.search(node, results_per_page=5, with_hit=False,
+                            search_after=first[-1]).collect()
+    want = disk_index.search(node, results_per_page=5, with_hit=False,
+                             search_after=first[-1],
+                             strategy="dataframe").collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == [
+        (r["doc_id"], round(r["score"], 9)) for r in want
+    ]
+
+
+def test_dismax_ineligible_falls_back(disk_index):
+    from lucene_clj_spark.errors import ValidationError
+    from lucene_clj_spark.query import DisMaxQ, PhraseQ, TermQ
+    from lucene_clj_spark.search import _wand_route
+
+    # a phrase disjunct is not term-like -> no kernel route
+    node = DisMaxQ(1.0, (PhraseQ(1.0, "text", ("the", "merge")),
+                         TermQ(1.0, "text", "dup")), 0.2)
+    assert _wand_route(disk_index, node) is None
+    with pytest.raises(ValidationError):
+        disk_index.search(node, strategy="wand", with_hit=False)
+    # a negative disjunct boost would invert the skip bounds
+    neg = DisMaxQ(1.0, (TermQ(-1.0, "text", "merge"),
+                        TermQ(1.0, "text", "dup")), 0.2)
+    assert _wand_route(disk_index, neg) is None
+    # out-of-range tie falls to the DataFrame path, which raises
+    bad = _dismax_node(1.5)
+    assert _wand_route(disk_index, bad) is None
+    with pytest.raises(ValidationError):
+        disk_index.search(bad, with_hit=False).collect()
