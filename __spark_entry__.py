@@ -1045,6 +1045,34 @@ def q_collapse_lang_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_constant_score_topk(spark, sf_dir):
+    """ConstantScoreQuery inside a boolean: BM25 on 'merge' plus a
+    flat +2.0 bonus when the doc also contains 'dup' — the inner
+    query's scores are never computed (search.py ConstantScoreQ)."""
+    from lucene_clj_spark.query import (
+        MUST, SHOULD, BoolQ, ConstantScoreQ, TermQ,
+    )
+
+    idx = _index(spark, sf_dir)
+    node = BoolQ(1.0, ((MUST, TermQ(1.0, "text", "merge")),
+                       (SHOULD, ConstantScoreQ(
+                           2.0, TermQ(1.0, "text", "dup")))))
+    out = idx.search(node, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_facet_ranges_nchars(spark, sf_dir):
+    """LongRangeFacetCounts analogue: per-range doc counts of the
+    stored n_chars field over the FULL 'merge' match set, one
+    aggregation pass for all ranges (collectors.py:facet_ranges)."""
+    idx = _index(spark, sf_dir)
+    return idx.facet_ranges(
+        "merge", "n_chars",
+        [("short", None, 200), ("mid", 200, 500), ("long", 500, None)],
+        field_name="text",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -1122,6 +1150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dismax_topk": q_dismax_topk,
         "span_first_topk": q_span_first_topk,
         "collapse_lang_topk": q_collapse_lang_topk,
+        "constant_score_topk": q_constant_score_topk,
+        "facet_ranges_nchars": q_facet_ranges_nchars,
         "explain_topdoc": q_explain_topdoc,
         "highlight_topk": q_highlight_topk,
     }
@@ -1239,6 +1269,45 @@ SELECT doc_id, lang, round(score, 6) AS score FROM (
   SELECT doc_id, lang, score FROM ranked WHERE rn <= 2
   ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
+    )
+
+
+def _constant_score_sql() -> str:
+    # ConstantScoreQuery twin: BM25 on 'merge' + flat 2.0 when the doc
+    # also contains 'dup' (the inner query never scores)
+    return (
+        _TERM_SCORES.replace("{term}", "merge")
+        + """
+, dup AS (SELECT DISTINCT doc_id FROM post WHERE term = 'dup')
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT s.doc_id,
+         s.score + CASE WHEN d.doc_id IS NOT NULL THEN 2.0
+                        ELSE 0.0 END AS score
+  FROM scores s LEFT JOIN dup d USING (doc_id)
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _facet_ranges_sql() -> str:
+    # LongRangeFacetCounts twin: lo inclusive, hi exclusive, every
+    # requested range reported (0 when empty), caller's range order
+    return (
+        _BASE
+        + """
+, m AS (SELECT DISTINCT doc_id FROM post WHERE term = 'merge'),
+j AS (SELECT d.n_chars FROM m JOIN documents d USING (doc_id))
+SELECT 'short' AS facet_value,
+       CAST(count(CASE WHEN n_chars < 200 THEN 1 END) AS BIGINT)
+       AS n_docs FROM j
+UNION ALL
+SELECT 'mid',
+       CAST(count(CASE WHEN n_chars >= 200 AND n_chars < 500 THEN 1
+                  END) AS BIGINT) FROM j
+UNION ALL
+SELECT 'long',
+       CAST(count(CASE WHEN n_chars >= 500 THEN 1 END) AS BIGINT)
+FROM j"""
     )
 
 
@@ -2552,4 +2621,6 @@ ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
         "dismax_topk": _dismax_sql(),
         "span_first_topk": _span_first_sql("merge", 5),
         "collapse_lang_topk": _collapse_lang_sql(),
+        "constant_score_topk": _constant_score_sql(),
+        "facet_ranges_nchars": _facet_ranges_sql(),
     }

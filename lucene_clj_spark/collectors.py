@@ -24,6 +24,9 @@ the same query ASTs ``search()`` compiles:
                       ``CollapsingTopDocsCollector``: top-k hits
                       keeping at most n docs per distinct value of a
                       stored field ("one result per site").
+- ``facet_ranges``  — the facet module's ``LongRangeFacetCounts``:
+                      per-range document counts over the FULL match
+                      set, one aggregation pass for all ranges.
 
 Scale notes (100 TB): count and facets are full-match-set operators,
 so the exhaustive DataFrame compiler (``search.compile_node``) is the
@@ -106,6 +109,68 @@ def facets(
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy(F.desc("n_docs"), F.asc("facet_value"))
         .limit(max_values)
+    )
+
+
+def facet_ranges(
+    index,
+    query: Any,
+    facet_field: str,
+    ranges: list[tuple[str, Any, Any]],
+    *,
+    field_name: str | None = None,
+) -> DataFrame:
+    """Numeric range facet counts over the FULL match set — Lucene's
+    facet-module ``LongRangeFacetCounts`` / ``DoubleRangeFacetCounts``.
+
+    ``ranges`` is ``[(label, lo, hi), ...]`` with Lucene LongRange
+    default bounds: lo inclusive, hi EXCLUSIVE; ``None`` = open end.
+    Ranges may overlap (a doc counts once per range it falls in,
+    exactly like Lucene); a range nothing matches still appears with
+    count 0 (``getTopChildren`` reports every requested range).
+
+    Plan shape: same as ``facets`` — the match set joins the stored
+    table pruned to (doc_id, field); each range is one conditional
+    partial-count in a SINGLE aggregation pass (no per-range scans),
+    so only len(ranges) longs cross the wire per map partition.
+
+    Returns ``(facet_value, n_docs)`` in the caller's range order."""
+    if facet_field not in index.docs.columns:
+        raise ValidationError(
+            f"facet field {facet_field!r} is not a stored field",
+            {"facet_field": facet_field},
+        )
+    if not ranges:
+        raise ValidationError("ranges must be non-empty", {})
+    labels = [lbl for lbl, _, _ in ranges]
+    if len(set(labels)) != len(labels):
+        raise ValidationError(
+            "range labels must be unique", {"labels": labels}
+        )
+    matches = _compile(index, query, field_name).select("doc_id")
+    vals = index.docs.select("doc_id", facet_field)
+    joined = matches.join(vals, "doc_id")
+    col = F.col(facet_field)
+    aggs = []
+    for lbl, lo, hi in ranges:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (col >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (col < F.lit(hi))
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).cast("long"))
+    aggs = [a.alias(f"__r{i}") for i, a in enumerate(aggs)]
+    wide = joined.agg(*aggs)
+    # one row per range, caller order (Lucene reports ranges as given)
+    kvs = [
+        F.struct(
+            F.lit(lbl).alias("facet_value"),
+            F.coalesce(F.col(f"__r{i}"), F.lit(0)).alias("n_docs"),
+        )
+        for i, lbl in enumerate(labels)
+    ]
+    return wide.select(F.explode(F.array(*kvs)).alias("kv")).select(
+        "kv.facet_value", "kv.n_docs"
     )
 
 

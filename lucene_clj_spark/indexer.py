@@ -228,6 +228,14 @@ class Index:
 
         return search_sorted(self, query, sort_field, **opts)
 
+    def facet_ranges(self, query: Any, facet_field: str, ranges, **opts
+                     ) -> DataFrame:
+        """Numeric range facet counts over the full match set (Lucene
+        LongRangeFacetCounts); see collectors.py:facet_ranges."""
+        from lucene_clj_spark.collectors import facet_ranges
+
+        return facet_ranges(self, query, facet_field, ranges, **opts)
+
     def search_collapsed(self, query: Any, collapse_field: str, **opts
                          ) -> DataFrame:
         """Top-k keeping at most n hits per distinct stored-field

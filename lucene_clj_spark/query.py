@@ -192,6 +192,20 @@ class DisMaxQ(Node):
 
 
 @dataclass(frozen=True)
+class ConstantScoreQ(Node):
+    """Lucene ``ConstantScoreQuery``: wraps any query; every matching
+    document scores exactly ``boost``, the inner scores are never
+    computed. Prebuilt-only, like :class:`DisMaxQ` — the
+    query.clj:50-52 passthrough surface. (The multi-term queries —
+    wildcard/regexp/range — already use the constant-score rewrite
+    internally; this node exposes the wrapper for arbitrary inner
+    queries, e.g. an unscored term restriction that should contribute
+    a fixed bonus instead of BM25.)"""
+
+    inner: Node | None = None
+
+
+@dataclass(frozen=True)
 class SpanFirstQ(Node):
     """Lucene ``SpanFirstQuery(SpanTermQuery(field, term), end)`` —
     matches documents where ``term`` occurs at a token position
@@ -755,6 +769,10 @@ def render(node: Node) -> str:
     elif isinstance(node, SpanFirstQ):
         # Lucene SpanFirstQuery.toString: spanFirst(field:term, end)
         s = f"spanFirst({node.field}:{node.term}, {node.end})"
+    elif isinstance(node, ConstantScoreQ):
+        # Lucene ConstantScoreQuery.toString
+        inner = render(node.inner) if node.inner is not None else ""
+        s = f"ConstantScore({inner})"
     elif isinstance(node, BoolQ):
         parts = []
         for occ, n in node.clauses:

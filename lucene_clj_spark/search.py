@@ -44,6 +44,7 @@ from lucene_clj_spark.query import (
     MUST,
     SHOULD,
     BoolQ,
+    ConstantScoreQ,
     DisMaxQ,
     ExactQ,
     FuzzyQ,
@@ -1621,6 +1622,18 @@ def compile_node(index, node: Node) -> DataFrame:
         return _scored_dismax(index, node)
     if isinstance(node, SpanFirstQ):
         return _scored_span_first(index, node)
+    if isinstance(node, ConstantScoreQ):
+        # Lucene ConstantScoreQuery: every matching doc scores boost;
+        # the inner query contributes its MATCH SET only (its scoring
+        # columns are projected away, so Catalyst prunes any scoring
+        # arithmetic the inner plan doesn't need for matching)
+        if node.inner is None:
+            return _empty_scores(index)
+        # compile_node's contract is <=1 row per doc (the boolean join
+        # compiler counts on it), so no dedup shuffle is needed here
+        return compile_node(index, node.inner).select(
+            "doc_id", F.lit(float(node.boost)).alias("score")
+        )
     if isinstance(node, MatchNone):
         return _empty_scores(index)
     raise ValidationError(f"cannot compile node {node!r}", {})

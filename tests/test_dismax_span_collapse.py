@@ -257,3 +257,83 @@ def test_collapse_plan_pushes_group_limit(idx):
     out = idx.search_collapsed("alpha", "lang", field_name="text")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+# --- ConstantScoreQuery -------------------------------------------------
+
+
+def test_constant_score_basic(idx):
+    from lucene_clj_spark.query import ConstantScoreQ
+
+    node = ConstantScoreQ(2.5, TermQ(1.0, "text", "alpha"))
+    got = _node_scores(idx, node)
+    want_docs = set(_node_scores(idx, TermQ(1.0, "text", "alpha")))
+    assert got == {d: 2.5 for d in want_docs}
+    # inner boosts don't leak: wrapping a boosted inner scores the same
+    node_b = ConstantScoreQ(2.5, TermQ(7.0, "text", "alpha"))
+    assert _node_scores(idx, node_b) == got
+
+
+def test_constant_score_inside_boolean(idx):
+    from lucene_clj_spark.query import ConstantScoreQ
+
+    # merge-style bonus: BM25 on alpha, +2.0 flat if the doc has beta
+    node = BoolQ(1.0, ((MUST, TermQ(1.0, "text", "alpha")),
+                       (SHOULD, ConstantScoreQ(2.0, TermQ(1.0, "text",
+                                                          "beta")))))
+    got = _node_scores(idx, node)
+    alpha = _node_scores(idx, TermQ(1.0, "text", "alpha"))
+    beta = set(_node_scores(idx, TermQ(1.0, "text", "beta")))
+    want = {d: s + (2.0 if d in beta else 0.0) for d, s in alpha.items()}
+    assert set(got) == set(want)
+    for d in got:
+        assert got[d] == pytest.approx(want[d], abs=1e-12)
+
+
+def test_constant_score_wraps_boolean_and_empty(idx):
+    from lucene_clj_spark.query import ConstantScoreQ
+
+    inner = BoolQ(1.0, ((MUST, TermQ(1.0, "text", "alpha")),
+                        (MUST, TermQ(1.0, "text", "gamma"))))
+    got = _node_scores(idx, ConstantScoreQ(1.0, inner))
+    assert got == {d: 1.0 for d in _node_scores(idx, inner)}
+    assert _node_scores(idx, ConstantScoreQ(1.0, None)) == {}
+
+
+# --- numeric range facets ----------------------------------------------
+
+
+def test_facet_ranges_counts_and_order(idx):
+    # alpha matches docs 0 (n_chars 10), 1 (20), 3 (40), 5 (60)
+    rows = idx.facet_ranges(
+        "alpha", "n_chars",
+        [("small", None, 25), ("mid", 25, 50), ("big", 50, None)],
+        field_name="text",
+    ).collect()
+    assert [(r["facet_value"], r["n_docs"]) for r in rows] == [
+        ("small", 2), ("mid", 1), ("big", 1),
+    ]
+
+
+def test_facet_ranges_overlap_open_and_empty(idx):
+    rows = idx.facet_ranges(
+        "alpha", "n_chars",
+        [("all", None, None), ("le20", None, 21), ("ge20", 20, None),
+         ("none", 1000, None)],
+        field_name="text",
+    ).collect()
+    got = {r["facet_value"]: r["n_docs"] for r in rows}
+    # overlapping ranges each count the doc (Lucene range semantics);
+    # hi is exclusive, lo inclusive; empty ranges still reported
+    assert got == {"all": 4, "le20": 2, "ge20": 3, "none": 0}
+
+
+def test_facet_ranges_validation(idx):
+    with pytest.raises(ValidationError):
+        idx.facet_ranges("alpha", "nosuch", [("a", 0, 1)],
+                         field_name="text")
+    with pytest.raises(ValidationError):
+        idx.facet_ranges("alpha", "n_chars", [], field_name="text")
+    with pytest.raises(ValidationError):
+        idx.facet_ranges("alpha", "n_chars", [("a", 0, 1), ("a", 1, 2)],
+                         field_name="text")

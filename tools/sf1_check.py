@@ -63,6 +63,7 @@ INDEX_QUERIES = [
     # round-4 continuation: DisjunctionMaxQuery, SpanFirstQuery,
     # field collapse (grouping module)
     "dismax_topk", "span_first_topk", "collapse_lang_topk",
+    "constant_score_topk", "facet_ranges_nchars",
     # round-4 batch family LAST: a 4-query log in one job, the
     # DataFrame-shaped log variant, and MoreLikeThis (40 query docs x
     # top-5). MLT on THIS corpus is a by-construction worst case —
