@@ -224,6 +224,52 @@ class SpanFirstQ(Node):
 
 
 @dataclass(frozen=True)
+class TermInSetQ(Node):
+    """Lucene ``TermInSetQuery`` (the successor of ``TermsQuery``) —
+    matches documents containing AT LEAST ONE of ``terms`` in
+    ``field``, constant-score rewrite: every matching doc scores
+    exactly ``boost``, no BM25 (TermInSetQuery extends MultiTermQuery
+    with CONSTANT_SCORE_REWRITE). Terms are taken VERBATIM, exactly
+    like Lucene's BytesRef terms — no analyzer normalization (the
+    caller is expected to pass already-analyzed terms, same contract
+    as building the Lucene query from ``new Term(field, text)``).
+    Prebuilt-only, like :class:`DisMaxQ` — the query.clj:50-52
+    passthrough surface.
+
+    Scale shape: ONE bucket-pruned postings scan with an IN predicate
+    (the term set's bucket directories are constant-folded into
+    PartitionFilters, and the IN pushes into the parquet reader for
+    row-group min/max pruning on the sorted term column), then a
+    distinct over the matching doc_ids only — never a per-term scan
+    or a driver-side loop, so a 10^4-term set at web scale still
+    costs one scan of the touched buckets."""
+
+    field: str = ""
+    terms: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class MultiPhraseQ(Node):
+    """Lucene ``MultiPhraseQuery`` — an exact-adjacency phrase where
+    each position accepts ANY of a SET of terms (the classic synonym
+    phrase: ``(app OR application) store``). ``positions`` is a tuple
+    of per-slot term tuples. Matching: a phrase occurrence starts at
+    token position p when for every slot i some term of slot i occurs
+    at p + i. Scoring follows Lucene's MultiPhraseWeight: freq = the
+    number of phrase occurrences (a slot matched by several of its
+    alternatives still contributes ONE occurrence — the union of the
+    alternatives' position lists is deduplicated), idf = the SUM of
+    per-term idfs over every (slot, term) entry (MultiPhraseQuery's
+    getTerms() flattens all slots into the Similarity's term
+    statistics), BM25 over that freq with the standard quantized
+    length norm. Terms are verbatim, like :class:`TermInSetQ`.
+    Prebuilt-only — the query.clj:50-52 passthrough surface."""
+
+    field: str = ""
+    positions: tuple[tuple[str, ...], ...] = ()
+
+
+@dataclass(frozen=True)
 class MatchNone(Node):
     pass
 
@@ -773,6 +819,16 @@ def render(node: Node) -> str:
         # Lucene ConstantScoreQuery.toString
         inner = render(node.inner) if node.inner is not None else ""
         s = f"ConstantScore({inner})"
+    elif isinstance(node, TermInSetQ):
+        # Lucene TermInSetQuery.toString: field:(a b c)
+        s = f"{node.field}:({' '.join(node.terms)})"
+    elif isinstance(node, MultiPhraseQ):
+        # Lucene MultiPhraseQuery.toString: field:"(a app) store"
+        slots = " ".join(
+            ts[0] if len(ts) == 1 else "(" + " ".join(ts) + ")"
+            for ts in node.positions
+        )
+        s = f'{node.field}:"{slots}"'
     elif isinstance(node, BoolQ):
         parts = []
         for occ, n in node.clauses:

@@ -50,11 +50,13 @@ from lucene_clj_spark.query import (
     FuzzyQ,
     MatchAll,
     MatchNone,
+    MultiPhraseQ,
     Node,
     PhraseQ,
     RangeQ,
     RegexpQ,
     SpanFirstQ,
+    TermInSetQ,
     TermQ,
     WildcardQ,
     combine_fuzzy,
@@ -1087,6 +1089,123 @@ def _scored_wildcard(index, node: WildcardQ) -> DataFrame:
     )
 
 
+def _scored_term_in_set(index, node: TermInSetQ) -> DataFrame:
+    """TermInSetQuery — constant-score rewrite: every doc containing
+    >=1 of the set's terms in ``field`` scores ``boost`` (Lucene
+    TermInSetQuery / MultiTermQuery CONSTANT_SCORE_REWRITE). ONE
+    postings scan: the IN predicate pushes into the parquet reader
+    (row-group min/max pruning on the sorted term column) and the
+    terms' bucket directories constant-fold into PartitionFilters
+    (``_bucket_pruned``), then a distinct bounded by the matching
+    docs. No per-term scans, no driver-side expansion."""
+    if not node.terms or node.field not in index.stats:
+        return _empty_scores(index)
+    terms = list(dict.fromkeys(node.terms))
+    post = index.postings.filter(
+        (F.col("field") == node.field) & F.col("term").isin(terms)
+    )
+    post = _bucket_pruned(index, post, terms)
+    return (
+        post.select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(float(node.boost)).alias("score"))
+    )
+
+
+def _scored_multi_phrase(index, node: MultiPhraseQ) -> DataFrame:
+    """MultiPhraseQuery — exact-adjacency phrase with per-slot term
+    ALTERNATIVES (synonym phrase). Same join shape as
+    ``_scored_phrase``: one bucket-pruned postings scan per SLOT (the
+    slot's alternatives share a scan via an IN predicate), positions
+    shifted by slot offset and UNIONED across alternatives
+    (deduplicated — a slot matched by two alternatives at one
+    position is still one occurrence, Lucene's UnionPostingsEnum),
+    rarest-slot-first join chain, freq = |intersection|. idf = sum of
+    per-(slot, term) idfs over every PRESENT term (Lucene
+    IndexSearcher.termStatistics returns null at docFreq 0, so absent
+    alternatives drop out of both matching and the weight); a slot
+    with NO present alternative can never match — empty result."""
+    st = index.field_stats(node.field)
+    if not node.positions:
+        return _empty_scores(index)
+    for ts in node.positions:
+        if not ts:
+            raise ValidationError(
+                "multi_phrase slot with no terms (Lucene "
+                "MultiPhraseQuery.Builder.add rejects empty term "
+                "arrays)",
+                {"positions": node.positions},
+            )
+    slots = [list(dict.fromkeys(ts)) for ts in node.positions]
+    stats = _lookup_term_stats(
+        index, [(node.field, t) for ts in slots for t in ts]
+    )
+    present = [
+        [t for t in ts if (node.field, t) in stats] for ts in slots
+    ]
+    if any(not ts for ts in present):
+        return _empty_scores(index)
+
+    parts = []
+    slot_df = []
+    for i, ts in enumerate(present):
+        post = index.postings.filter(
+            (F.col("field") == node.field) & F.col("term").isin(ts)
+        )
+        post = _bucket_pruned(index, post, ts)
+        p = post.select(
+            "doc_id",
+            F.col("dl").alias(f"__dl_{i}"),
+            F.transform(F.col("positions"), _shift(i)).alias(f"__pos_{i}"),
+        )
+        if len(ts) > 1:
+            # union the alternatives' (shifted) position lists per doc
+            p = p.groupBy("doc_id").agg(
+                F.min(f"__dl_{i}").alias(f"__dl_{i}"),
+                F.array_distinct(
+                    F.flatten(F.collect_list(f"__pos_{i}"))
+                ).alias(f"__pos_{i}"),
+            )
+        parts.append(p)
+        slot_df.append(sum(stats[(node.field, t)] for t in ts))
+
+    # rarest-slot-first join order: the slot with the smallest summed
+    # df (an upper bound on its matching-doc count) drives the chain
+    order = sorted(range(len(parts)), key=lambda i: (slot_df[i], i))
+    joined = reduce(
+        lambda a, b: a.join(b, "doc_id"), [parts[i] for i in order]
+    )
+    inter = reduce(
+        lambda acc, i: F.array_intersect(acc, F.col(f"__pos_{i}")),
+        range(1, len(parts)),
+        F.col("__pos_0"),
+    )
+    freq = F.size(inter)
+    idf_sum = None
+    for ts in present:
+        for t in ts:
+            e = bm25.idf_col(
+                F.lit(stats[(node.field, t)]), F.lit(st["N"])
+            )
+            idf_sum = e if idf_sum is None else (idf_sum + e)
+    qdl = bm25.quantized_dl_col(F.col("__dl_0"))
+    denom = freq.cast("double") + F.lit(bm25.K1) * (
+        F.lit(1.0 - bm25.B)
+        + F.lit(bm25.B) * qdl.cast("double") / F.lit(st["avgdl"])
+    )
+    return (
+        joined.withColumn("__freq", freq)
+        .filter(F.col("__freq") > 0)
+        .select(
+            "doc_id",
+            (
+                F.lit(node.boost) * idf_sum
+                * F.col("__freq").cast("double") / denom
+            ).alias("score"),
+        )
+    )
+
+
 _REGEX_META = set(".?*+(){}[]|\\^$")
 
 
@@ -1622,6 +1741,10 @@ def compile_node(index, node: Node) -> DataFrame:
         return _scored_dismax(index, node)
     if isinstance(node, SpanFirstQ):
         return _scored_span_first(index, node)
+    if isinstance(node, TermInSetQ):
+        return _scored_term_in_set(index, node)
+    if isinstance(node, MultiPhraseQ):
+        return _scored_multi_phrase(index, node)
     if isinstance(node, ConstantScoreQ):
         # Lucene ConstantScoreQuery: every matching doc scores boost;
         # the inner query contributes its MATCH SET only (its scoring
