@@ -1073,6 +1073,39 @@ def q_facet_ranges_nchars(spark, sf_dir):
     )
 
 
+def q_term_in_set_topk(spark, sf_dir):
+    """TermInSetQuery (constant-score set membership) inside a
+    boolean: BM25 on 'merge' plus a flat +2.0 when the doc contains
+    ANY of {dup, vector, compact} — the whole set is ONE bucket-pruned
+    postings scan, not one scan per term
+    (search.py:_scored_term_in_set)."""
+    from lucene_clj_spark.query import (
+        MUST, SHOULD, BoolQ, TermInSetQ, TermQ,
+    )
+
+    idx = _index(spark, sf_dir)
+    node = BoolQ(1.0, ((MUST, TermQ(1.0, "text", "merge")),
+                       (SHOULD, TermInSetQ(
+                           2.0, "text", ("dup", "vector", "compact")))))
+    out = idx.search(node, results_per_page=10, with_hit=False)
+    return _round6(out, "score")
+
+
+def q_multi_phrase_topk(spark, sf_dir):
+    """MultiPhraseQuery: synonym phrase "(merge|dup) window" — freq
+    counts union-deduplicated adjacency occurrences, idf sums every
+    present (slot, term) entry, BM25 over the quantized length norm
+    (search.py:_scored_multi_phrase)."""
+    from lucene_clj_spark.query import MultiPhraseQ
+
+    idx = _index(spark, sf_dir)
+    out = idx.search(
+        MultiPhraseQ(1.0, "text", (("merge", "dup"), ("window",))),
+        results_per_page=10, with_hit=False,
+    )
+    return _round6(out, "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -1154,6 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_ranges_nchars": q_facet_ranges_nchars,
         "explain_topdoc": q_explain_topdoc,
         "highlight_topk": q_highlight_topk,
+        "term_in_set_topk": q_term_in_set_topk,
+        "multi_phrase_topk": q_multi_phrase_topk,
     }
 
 
@@ -1284,6 +1319,63 @@ SELECT doc_id, round(score, 6) AS score FROM (
          s.score + CASE WHEN d.doc_id IS NOT NULL THEN 2.0
                         ELSE 0.0 END AS score
   FROM scores s LEFT JOIN dup d USING (doc_id)
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _term_in_set_sql() -> str:
+    # TermInSetQuery twin: BM25 on 'merge' + flat 2.0 when the doc
+    # contains ANY of the set (constant-score — matching several set
+    # terms is not worth more)
+    return (
+        _TERM_SCORES.replace("{term}", "merge")
+        + """
+, inset AS (SELECT DISTINCT doc_id FROM post
+            WHERE term IN ('dup', 'vector', 'compact'))
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT s.doc_id,
+         s.score + CASE WHEN i.doc_id IS NOT NULL THEN 2.0
+                        ELSE 0.0 END AS score
+  FROM scores s LEFT JOIN inset i USING (doc_id)
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _multi_phrase_sql() -> str:
+    # MultiPhraseQuery twin: "(merge|dup) window" — a position matched
+    # by either alternative counts once (the OR inside list_filter IS
+    # the union-dedup); idf sums all three (slot, term) entries
+    idf1 = bm25.idf_sql("t1.df", "s.n")
+    idf2 = bm25.idf_sql("t2.df", "s.n")
+    idf3 = bm25.idf_sql("t3.df", "s.n")
+    qdl = bm25.quantized_dl_sql("d.dl")
+    return (
+        _BASE
+        + f"""
+, freqs AS (
+  SELECT doc_id,
+         len(list_filter(range(1, len(ts)),
+             i -> (ts[i] = 'merge' OR ts[i] = 'dup')
+                  AND ts[i+1] = 'window')) AS freq
+  FROM doc
+),
+scores AS (
+  SELECT f.doc_id,
+         ({idf1} + {idf2} + {idf3}) * CAST(f.freq AS DOUBLE) /
+         (CAST(f.freq AS DOUBLE) + {K1!r} * ({1.0 - B!r} + {B!r} *
+          CAST({qdl} AS DOUBLE) / CAST(s.avgdl AS DOUBLE))) AS score
+  FROM freqs f
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  CROSS JOIN (SELECT df FROM tstat WHERE term = 'merge') t1
+  CROSS JOIN (SELECT df FROM tstat WHERE term = 'dup') t2
+  CROSS JOIN (SELECT df FROM tstat WHERE term = 'window') t3
+  WHERE f.freq > 0
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score FROM scores
   ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
     )
@@ -2623,4 +2715,6 @@ ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
         "collapse_lang_topk": _collapse_lang_sql(),
         "constant_score_topk": _constant_score_sql(),
         "facet_ranges_nchars": _facet_ranges_sql(),
+        "term_in_set_topk": _term_in_set_sql(),
+        "multi_phrase_topk": _multi_phrase_sql(),
     }
