@@ -1106,6 +1106,56 @@ def q_multi_phrase_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_delete_search_topk(spark, sf_dir):
+    """Tombstoned search (beyond-reference deletes): delete every doc
+    with doc_id % 7 == 0, then BM25 top-10 for 'merge'. Deleted docs
+    are masked on every query path while statistics stay STALE — the
+    Lucene live-docs contract (docFreq/avgdl count deleted docs until
+    merge) — so the oracle computes full-corpus stats and excludes the
+    victims only from the final match set
+    (indexer.delete_documents)."""
+    key = f"{sf_dir}/deleted"
+    if key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir)
+        idx = create_index(spark, docs, DOC_FIELDS, id_column="doc_id")
+        victims = [
+            r[0]
+            for r in docs.select("doc_id")
+            .filter(F.col("doc_id") % 7 == 0)
+            .collect()
+        ]
+        idx.delete_documents(victims)
+        _INDEX_CACHE[key] = idx
+    out = _INDEX_CACHE[key].search(
+        "merge", field_name="text", results_per_page=10, with_hit=False
+    )
+    return _round6(out, "score")
+
+
+def q_purge_search_topk(spark, sf_dir):
+    """Physical purge (Lucene forceMergeDeletes): after
+    purge_deletes() the same query scores as a from-scratch build over
+    the live docs — the oracle recomputes stats over the filtered
+    corpus (indexer.purge_deletes, marker-exact stats arithmetic)."""
+    key = f"{sf_dir}/purged"
+    if key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir)
+        idx = create_index(spark, docs, DOC_FIELDS, id_column="doc_id")
+        victims = [
+            r[0]
+            for r in docs.select("doc_id")
+            .filter(F.col("doc_id") % 7 == 0)
+            .collect()
+        ]
+        idx.delete_documents(victims)
+        idx.purge_deletes()
+        _INDEX_CACHE[key] = idx
+    out = _INDEX_CACHE[key].search(
+        "merge", field_name="text", results_per_page=10, with_hit=False
+    )
+    return _round6(out, "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -1189,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight_topk": q_highlight_topk,
         "term_in_set_topk": q_term_in_set_topk,
         "multi_phrase_topk": q_multi_phrase_topk,
+        "delete_search_topk": q_delete_search_topk,
+        "purge_search_topk": q_purge_search_topk,
     }
 
 
@@ -1374,6 +1426,36 @@ scores AS (
   CROSS JOIN (SELECT df FROM tstat WHERE term = 'window') t3
   WHERE f.freq > 0
 )
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _delete_stale_sql() -> str:
+    # tombstoned search twin: stats over the FULL corpus (stale until
+    # purge, Lucene live-docs contract), victims excluded only from
+    # the final match set
+    return (
+        _TERM_SCORES.replace("{term}", "merge")
+        + """
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score FROM scores
+  WHERE doc_id % 7 <> 0
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _purge_sql() -> str:
+    # post-purge twin: the corpus IS the live docs — stats, term
+    # dictionary, and matching all computed over the filtered set
+    return (
+        _TERM_SCORES.replace(
+            "FROM documents", "FROM documents WHERE doc_id % 7 <> 0"
+        ).replace("{term}", "merge")
+        + """
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT doc_id, score FROM scores
   ORDER BY score DESC, doc_id ASC LIMIT 10
@@ -2717,4 +2799,6 @@ ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
         "facet_ranges_nchars": _facet_ranges_sql(),
         "term_in_set_topk": _term_in_set_sql(),
         "multi_phrase_topk": _multi_phrase_sql(),
+        "delete_search_topk": _delete_stale_sql(),
+        "purge_search_topk": _purge_sql(),
     }

@@ -74,6 +74,20 @@ DEFAULT_BUCKETS = 32
 #: interrupted mid-way — the tables may be partially written
 APPEND_PENDING = "_append_pending.json"
 
+#: presence of this file means a purge_deletes table rewrite was
+#: interrupted mid-swap — the tables may mix purged and unpurged state
+PURGE_PENDING = "_purge_pending.json"
+
+#: the persisted tombstone set (one ``doc_id: long`` column) — a
+#: single parquet FILE (not a directory) so each delete_documents call
+#: can replace it atomically with os.replace
+TOMBSTONES_FILE = "tombstones.parquet"
+
+#: below this many tombstones the live-view filter is a literal
+#: NOT IN predicate (pushed into the parquet reader); above it, a
+#: broadcast anti-join (a literal list that large bloats every plan)
+TOMBSTONE_LITERAL_MAX = 4096
+
 
 def _write_postings(postings: DataFrame, path: str, n_buckets: int,
                     mode: str) -> None:
@@ -91,6 +105,50 @@ def _write_postings(postings: DataFrame, path: str, n_buckets: int,
         .write.mode(mode)
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
+    )
+
+
+def _tombstone_view(df: DataFrame, tomb: frozenset) -> DataFrame:
+    """A live-rows view of a doc_id-carrying table: small tombstone
+    sets fold into a literal NOT-IN predicate (pushed into the parquet
+    reader's row-group pruning); large sets use a broadcast anti-join
+    so the plan stays bounded. Either way: no shuffle of the big
+    side."""
+    if not tomb:
+        return df
+    if len(tomb) <= TOMBSTONE_LITERAL_MAX:
+        return df.filter(~F.col("doc_id").isin(sorted(tomb)))
+    spark = df.sparkSession
+    tomb_df = spark.createDataFrame(
+        [(int(d),) for d in sorted(tomb)], "doc_id long"
+    )
+    return df.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+
+
+def _write_tombstones_file(path: str, tomb: frozenset) -> None:
+    """Atomically replace the persisted tombstone set (single parquet
+    file, driver-side pyarrow write + os.replace — no Spark job for a
+    bounded id list)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = os.path.join(path, TOMBSTONES_FILE)
+    tmp = target + ".tmp"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(tomb), type=pa.int64())}),
+        tmp,
+    )
+    os.replace(tmp, target)
+
+
+def _read_tombstones_file(path: str) -> frozenset:
+    import pyarrow.parquet as pq
+
+    f = os.path.join(path, TOMBSTONES_FILE)
+    if not os.path.isfile(f):
+        return frozenset()
+    return frozenset(
+        pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
     )
 
 
@@ -172,6 +230,13 @@ class Index:
     suggest: DataFrame | None = None
     path: str | None = None
     buckets: int | None = None
+    #: doc_ids deleted but not yet physically purged (Lucene's live-docs
+    #: bitset analogue). While non-empty: docs/postings are FILTERED
+    #: views (every DataFrame query path inherits the exclusion), the
+    #: segment kernels mask candidates pre-heap, and — exactly like
+    #: Lucene — corpus/term statistics stay STALE until purge_deletes()
+    #: (deleted docs keep counting in df/avgdl until merged away).
+    tombstones: frozenset = frozenset()
 
     def n_buckets(self) -> int:
         return self.buckets or DEFAULT_BUCKETS
@@ -325,13 +390,19 @@ class Index:
         n_docs_files = max(
             2, self.spark.sparkContext.defaultParallelism
         )
+        # persist the FULL tables: tombstoned rows travel with the
+        # index (masked again by load()) and are only removed by
+        # purge_deletes — writing the filtered view here would purge
+        # rows while leaving statistics stale, a state no Lucene index
+        # can be in
         (
-            self.docs.repartitionByRange(n_docs_files, "doc_id")
+            self.all_docs().repartitionByRange(n_docs_files, "doc_id")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(f"{path}/docs")
         )
-        _write_postings(self.postings, path, n_buckets, "overwrite")
+        _write_postings(self.all_postings(), path, n_buckets,
+                        "overwrite")
         self.terms.write.mode("overwrite").parquet(f"{path}/terms")
         if self.suggest is not None:
             # range-partitioned on the lookup key: prefix queries prune
@@ -386,6 +457,8 @@ class Index:
                 f,
                 indent=1,
             )
+        if self.tombstones:
+            _write_tombstones_file(path, self.tombstones)
         self.path = path
         # record the layout so a later add_documents on THIS object
         # appends under the same bucket count the directories were
@@ -415,6 +488,14 @@ class Index:
                 f"index at {path} has an interrupted append "
                 f"({APPEND_PENDING} present) — its tables may be "
                 "partial; rebuild the index or restore from source",
+                {"path": path},
+            )
+        if os.path.exists(os.path.join(path, PURGE_PENDING)):
+            raise ValidationError(
+                f"index at {path} has an interrupted purge "
+                f"({PURGE_PENDING} present) — its tables may mix "
+                "purged and unpurged state; rebuild the index or "
+                "restore from source",
                 {"path": path},
             )
         with open(f"{path}/_field_specs.json") as f:
@@ -474,7 +555,7 @@ class Index:
                 )
             return reader.parquet(f"{path}/{sub}")
 
-        return Index(
+        idx = Index(
             spark=spark,
             specs=specs,
             analyzers=analyzers,
@@ -486,6 +567,14 @@ class Index:
             path=path,
             buckets=meta.get("n_buckets"),
         )
+        tomb = _read_tombstones_file(path)
+        if tomb:
+            idx._docs_all = idx.docs
+            idx._post_all = idx.postings
+            idx.tombstones = tomb
+            idx.docs = _tombstone_view(idx._docs_all, tomb)
+            idx.postings = _tombstone_view(idx._post_all, tomb)
+        return idx
 
     def truncate(self) -> None:
         """``clear!`` analogue (reference indexer.clj:68-77 —
@@ -555,6 +644,351 @@ class Index:
             self._fuzzy_exp_cache.clear()
         if hasattr(self, "_seg_term_cache"):
             self._seg_term_cache.clear()
+        # deleteAll clears pending deletes with everything else
+        self.tombstones = frozenset()
+        for attr in ("_docs_all", "_post_all"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        if self.path:
+            tf = os.path.join(self.path, TOMBSTONES_FILE)
+            if os.path.isfile(tf):
+                os.remove(tf)
+
+    # --- deletes: Lucene's tombstone model on parquet ------------------
+    #
+    # ``delete_documents`` is cheap (a sidecar write — no table touch):
+    # deleted docs are masked at query time everywhere, while corpus and
+    # term statistics stay STALE until a physical purge — exactly
+    # Lucene's live-docs contract (deleted docs keep counting in
+    # docFreq/avgdl until their segments merge). ``purge_deletes`` is
+    # the forceMergeDeletes analogue: a per-table staged rewrite (the
+    # compaction-grade job), after which scores are bit-identical to a
+    # from-scratch build over the live docs. Re-adding a tombstoned
+    # doc_id is REFUSED until purge: doc_ids are user keys here, and
+    # appending fresh postings under a tombstoned id would either
+    # resurrect the old rows (unmask) or hide the new ones (keep mask).
+    #
+    # Scale contract: the tombstone set is bounded by the purge cadence,
+    # exactly as Lucene's deleted-doc count is bounded by the merge
+    # policy. The set lives driver-side and ships to kernels as an int64
+    # array (10^7 tombstones = 80 MB — purge long before that); the
+    # DataFrame mask is a literal NOT-IN below TOMBSTONE_LITERAL_MAX
+    # ids (parquet reader pushdown) and a broadcast anti-join above it.
+
+    def all_docs(self) -> DataFrame:
+        """The docs table INCLUDING tombstoned rows (persistence and
+        collision checks); ``self.docs`` is the live view."""
+        return getattr(self, "_docs_all", self.docs)
+
+    def all_postings(self) -> DataFrame:
+        return getattr(self, "_post_all", self.postings)
+
+    def delete_documents(self, doc_ids) -> "Index":
+        """Tombstone documents by id (Lucene
+        ``IndexWriter.deleteDocuments`` + live-docs masking). Takes
+        effect immediately on every query path — DataFrame plans get a
+        filtered view of docs/postings, segment kernels mask candidates
+        pre-heap — without touching any table. BM25 statistics stay
+        stale until :meth:`purge_deletes` (Lucene parity: deleted docs
+        count in docFreq/avgdl until merged away). Ids absent from the
+        index are accepted and ignored, like Lucene's
+        delete-by-nonexistent-term."""
+        ids = frozenset(int(d) for d in doc_ids)
+        if not ids or ids <= self.tombstones:
+            return self
+        if self.path:
+            self._check_no_pending_mutation()
+        new_tomb = self.tombstones | ids
+        if self.path:
+            # persist FIRST (atomic file replace): a failed sidecar
+            # write must not leave the in-memory view ahead of disk
+            _write_tombstones_file(self.path, new_tomb)
+        if not hasattr(self, "_docs_all"):
+            self._docs_all = self.docs
+            self._post_all = self.postings
+        self.tombstones = new_tomb
+        self.docs = _tombstone_view(self._docs_all, new_tomb)
+        self.postings = _tombstone_view(self._post_all, new_tomb)
+        return self
+
+    def delete_by_terms(self, field: str, *terms: str) -> "Index":
+        """Lucene ``deleteDocuments(Term...)`` — tombstone every LIVE
+        doc containing any of ``terms`` (verbatim) in ``field``. The
+        recrawl update-key pattern: delete by url keyword before
+        re-adding. One bucket-pruned postings scan; the collected id
+        list is bounded by the terms' summed docFreq (a delete key is
+        near-unique by design — do not use a stop-word-frequency
+        term)."""
+        if not terms:
+            return self
+        from lucene_clj_spark.search import _bucket_pruned
+
+        tset = list(dict.fromkeys(terms))
+        post = self.postings.filter(
+            (F.col("field") == field) & F.col("term").isin(tset)
+        )
+        post = _bucket_pruned(self, post, tset)
+        ids = [
+            r["doc_id"]
+            for r in post.select("doc_id").distinct().collect()
+        ]
+        return self.delete_documents(ids)
+
+    def update_documents(
+        self,
+        docs_df: DataFrame,
+        *,
+        id_column: str = "doc_id",
+        ignore_extra_columns: bool = False,
+    ) -> "Index":
+        """Lucene ``updateDocument``: replace documents by id (absent
+        ids are plain adds). doc_ids are USER keys here, so replacing
+        requires physically purging the old postings before the re-add
+        — this is delete + :meth:`purge_deletes` + add in one call, a
+        compaction-grade operation. Batch recrawl updates and call it
+        once per cadence, not per document."""
+        ids = [
+            int(r[0])
+            for r in docs_df.select(id_column).distinct().collect()
+        ]
+        existing: set[int] = set()
+        if ids:
+            id_df = self.spark.createDataFrame(
+                [(i,) for i in ids], "doc_id long"
+            )
+            existing = {
+                int(r[0])
+                for r in self.all_docs()
+                .select("doc_id")
+                .join(F.broadcast(id_df), "doc_id", "left_semi")
+                .collect()
+            }
+        if existing:
+            self.delete_documents(existing)
+        if self.tombstones:
+            self.purge_deletes()
+        return self.add_documents(
+            docs_df,
+            id_column=id_column,
+            ignore_extra_columns=ignore_extra_columns,
+        )
+
+    def _check_no_pending_mutation(self) -> None:
+        for marker, what in (
+            (APPEND_PENDING, "append"),
+            (PURGE_PENDING, "purge"),
+        ):
+            if os.path.exists(os.path.join(self.path, marker)):
+                raise ValidationError(
+                    f"index at {self.path} has an interrupted {what} "
+                    f"({marker} present) — its tables may be partial; "
+                    "rebuild the index or restore from source",
+                    {"path": self.path},
+                )
+
+    def purge_deletes(self, *, log=None) -> "Index":
+        """Physically remove tombstoned documents — Lucene
+        ``forceMergeDeletes``. Docs/postings are rewritten without the
+        tombstoned rows, the term dictionary and corpus statistics are
+        recomputed EXACTLY (marker-accurate N arithmetic, so scores
+        after purge are identical to a from-scratch build over the
+        live docs), the suggest table is rebuilt from the live stored
+        docs, and existing segments are re-encoded. Disk rewrites are
+        staged under ``__purge_stage`` and swapped per table, fenced by
+        a ``_purge_pending.json`` journal that ``Index.load`` and every
+        segment operation refuse to cross.
+
+        Cost: one full rewrite of the index tables (+ a segment
+        rebuild when segments exist) — the same bill Lucene pays to
+        merge deletes away. Run it on a cadence, not per delete."""
+        if not self.tombstones:
+            return self
+        spark = self.spark
+        tomb = self.tombstones
+        live_docs, live_post = self.docs, self.postings
+        if len(tomb) <= TOMBSTONE_LITERAL_MAX:
+            lit = sorted(tomb)
+            rem_docs = self.all_docs().filter(F.col("doc_id").isin(lit))
+            rem_post = self.all_postings().filter(
+                F.col("doc_id").isin(lit)
+            )
+        else:
+            tomb_df = spark.createDataFrame(
+                [(int(d),) for d in sorted(tomb)], "doc_id long"
+            )
+            rem_docs = self.all_docs().join(
+                F.broadcast(tomb_df), "doc_id", "left_semi"
+            )
+            rem_post = self.all_postings().join(
+                F.broadcast(tomb_df), "doc_id", "left_semi"
+            )
+        default_an = self.analyzers.get(None, STANDARD)
+        # build the suggest plan FIRST: a cold-loaded "<fn>"
+        # contexts_from marker must raise BEFORE any journal/mutation
+        sug_new = (
+            _suggest_union(live_docs, self.specs, self.analyzers,
+                           default_an)
+            if self.suggest is not None
+            else None
+        )
+        # exact stats arithmetic: every stored doc contributed one
+        # marker row per text field at build time (zero-token fields
+        # included), so N decrements by the count of removed DOCS; a
+        # removed doc's per-field dl comes off its postings rows
+        # (zero-token fields contributed dl=0 — nothing to remove)
+        n_removed = rem_docs.count()
+        rem_dl = {
+            r["field"]: int(r["sdl"])
+            for r in rem_post.select("field", "doc_id", "dl")
+            .distinct()
+            .groupBy("field")
+            .agg(F.sum("dl").alias("sdl"))
+            .collect()
+        }
+        new_stats: dict[str, dict[str, float]] = {}
+        n_total_live = None
+        for fname, st in self.stats.items():
+            fs = self.specs.get(fname)
+            if fs is not None and fs.type == "keyword":
+                continue
+            N = int(st["N"]) - n_removed
+            sd = int(st["sum_dl"]) - rem_dl.get(fname, 0)
+            new_stats[fname] = {
+                "N": N, "sum_dl": sd, "avgdl": (sd / N) if N else 0.0,
+            }
+            n_total_live = N
+        if n_total_live is None:
+            n_total_live = live_docs.count()
+        for fname, fs in self.specs.items():
+            if fs.indexed and fs.type == "keyword":
+                new_stats[fname] = {
+                    "N": n_total_live,
+                    "sum_dl": n_total_live,
+                    "avgdl": 1.0,
+                }
+        term_cols = ["field", "term", "df", "ctf"]
+        new_terms = live_post.groupBy("field", "term").agg(
+            F.count("*").alias("df"), F.sum("tf").alias("ctf")
+        ).select(*term_cols)
+
+        if not self.path:
+            self.docs = live_docs
+            self.postings = live_post
+            self.terms = new_terms.persist(StorageLevel.MEMORY_AND_DISK)
+            if sug_new is not None:
+                self.suggest = sug_new
+        else:
+            import shutil
+
+            self._check_no_pending_mutation()
+            marker = os.path.join(self.path, PURGE_PENDING)
+            with open(marker, "w") as f:
+                json.dump({"n_tombstones": len(tomb)}, f)
+            stage = os.path.join(self.path, "__purge_stage")
+            shutil.rmtree(stage, ignore_errors=True)
+            os.makedirs(stage)
+            nb = self.n_buckets()
+            n_docs_files = max(
+                2, spark.sparkContext.defaultParallelism
+            )
+            (
+                live_docs.repartitionByRange(n_docs_files, "doc_id")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .parquet(f"{stage}/docs")
+            )
+            _write_postings(live_post, stage, nb, "overwrite")
+            new_terms.write.mode("overwrite").parquet(f"{stage}/terms")
+            subs = ["docs", "postings", "terms"]
+            if sug_new is not None and os.path.isdir(
+                    f"{self.path}/suggest"):
+                n_sug = max(
+                    2, spark.sparkContext.defaultParallelism // 2
+                )
+                (
+                    sug_new.repartitionByRange(
+                        n_sug, "field", "completion_key"
+                    )
+                    .sortWithinPartitions("field", "completion_key")
+                    .write.mode("overwrite")
+                    .parquet(f"{stage}/suggest")
+                )
+                subs.append("suggest")
+            # all staged — swap each table (the journal fences a crash
+            # that lands between two swaps)
+            for sub in subs:
+                old = os.path.join(self.path, sub)
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(os.path.join(stage, sub), old)
+            shutil.rmtree(stage, ignore_errors=True)
+            stats_file = os.path.join(self.path, "_stats.json")
+            if os.path.isfile(stats_file):
+                with open(stats_file) as f:
+                    meta = json.load(f)
+                meta["stats"] = new_stats
+                with open(stats_file, "w") as f:
+                    json.dump(meta, f, indent=1)
+            # re-point at the rewritten tables
+            self.docs = spark.read.parquet(f"{self.path}/docs")
+            self.postings = spark.read.parquet(f"{self.path}/postings")
+            self.terms = spark.read.parquet(f"{self.path}/terms")
+            if sug_new is not None and "suggest" in subs:
+                self.suggest = spark.read.parquet(
+                    f"{self.path}/suggest"
+                )
+        self.stats = new_stats
+        self.tombstones = frozenset()
+        for attr in ("_docs_all", "_post_all"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        for cache in ("_term_stats_cache", "_fuzzy_exp_cache",
+                      "_seg_term_cache"):
+            if hasattr(self, cache):
+                getattr(self, cache).clear()
+        if self.path:
+            import shutil
+
+            tf = os.path.join(self.path, TOMBSTONES_FILE)
+            if os.path.isfile(tf):
+                os.remove(tf)
+            # the TABLES are consistent from here — clear the journal
+            # BEFORE the segment rebuild: a crash during the rebuild
+            # leaves a half-built segment set, which the manifest
+            # machinery already fences (missing_buckets + resume;
+            # add_documents refuses under a partial build), while the
+            # journal staying up would wrongly condemn good tables
+            smeta = None
+            seg_meta_p = os.path.join(
+                self.path, "manifests", "_segments_meta.json"
+            )
+            if os.path.isfile(seg_meta_p):
+                from lucene_clj_spark.segments import (
+                    _all_gen_dirs,
+                    segments_meta,
+                )
+
+                smeta = segments_meta(self.path)
+                # segments encode the PRE-purge postings — drop them
+                # while the journal still fences readers
+                for d in _all_gen_dirs(self.path).values():
+                    shutil.rmtree(d, ignore_errors=True)
+                shutil.rmtree(
+                    os.path.join(self.path, "manifests"),
+                    ignore_errors=True,
+                )
+            os.remove(os.path.join(self.path, PURGE_PENDING))
+            if smeta is not None:
+                from lucene_clj_spark.segments import build_segments
+
+                build_segments(
+                    self,
+                    n_buckets=int(smeta.get("n_buckets", 16)),
+                    chunk_span=int(smeta["chunk_span"]),
+                    block_size=int(smeta["block_size"]),
+                    resume=False,
+                    log=log,
+                )
+        return self
 
     def add_documents(
         self,
@@ -606,13 +1040,28 @@ class Index:
                 {"columns": missing_stored},
             )
         # id-collision guard: one tiny semi-join action (Lucene would
-        # happily create duplicate docs; this engine keys on doc_id)
-        if (
-            docs.select("doc_id")
-            .join(self.docs.select("doc_id"), "doc_id", "left_semi")
-            .limit(1)
-            .count()
-        ):
+        # happily create duplicate docs; this engine keys on doc_id).
+        # Checked against ALL docs INCLUDING tombstoned ones — fresh
+        # postings under a tombstoned id would either resurrect the old
+        # rows or stay hidden behind the mask; purge first, then re-add
+        # (update_documents does both).
+        coll = [
+            int(r[0])
+            for r in docs.select("doc_id")
+            .join(self.all_docs().select("doc_id"), "doc_id",
+                  "left_semi")
+            .limit(5)
+            .collect()
+        ]
+        if coll:
+            if any(c in self.tombstones for c in coll):
+                raise ValidationError(
+                    "add_documents: doc_id values collide with "
+                    "TOMBSTONED documents — run purge_deletes() (or "
+                    "use update_documents) before re-adding a deleted "
+                    "id",
+                    {"doc_ids": coll},
+                )
             raise ValidationError(
                 "add_documents: doc_id values collide with existing "
                 "documents",
@@ -706,6 +1155,14 @@ class Index:
                     "restore from source before appending again",
                     {"path": self.path},
                 )
+            if os.path.exists(os.path.join(self.path, PURGE_PENDING)):
+                raise ValidationError(
+                    f"index at {self.path} has an interrupted purge "
+                    f"({PURGE_PENDING} present) — its tables may mix "
+                    "purged and unpurged state; rebuild the index or "
+                    "restore from source before appending",
+                    {"path": self.path},
+                )
             with open(pending, "w") as f:
                 json.dump({"n_new_docs": n_new}, f)
             # the sidecar is the authority on the on-disk bucket layout
@@ -784,9 +1241,24 @@ class Index:
             self.postings = fresh.postings
             self.terms = fresh.terms
             self.suggest = fresh.suggest
+            # load() already applied any persisted tombstone view —
+            # carry its full-table stash over so all_docs()/write()
+            # keep seeing the unfiltered tables
+            self.tombstones = fresh.tombstones
+            for attr in ("_docs_all", "_post_all"):
+                if hasattr(fresh, attr):
+                    setattr(self, attr, getattr(fresh, attr))
+                elif hasattr(self, attr):
+                    delattr(self, attr)
         else:
             self.postings = self.postings.unionByName(post_new)
             self.docs = self.docs.unionByName(docs_out)
+            # the batch's ids were collision-checked against ALL docs,
+            # so the live views above stay correct — but the stashed
+            # full tables must grow with the batch too
+            if hasattr(self, "_post_all"):
+                self._post_all = self._post_all.unionByName(post_new)
+                self._docs_all = self._docs_all.unionByName(docs_out)
             self.terms = merged_terms
             if self.suggest is not None and sug_new is not None:
                 self.suggest = self.suggest.unionByName(sug_new)

@@ -87,7 +87,7 @@ def _check_no_pending_append(root: str | None) -> None:
     delta segment files may be partial — encoding or merging from them
     would bake the partial state into committed segment files that the
     load-time refusal can no longer protect."""
-    from lucene_clj_spark.indexer import APPEND_PENDING
+    from lucene_clj_spark.indexer import APPEND_PENDING, PURGE_PENDING
     from lucene_clj_spark.errors import ValidationError
 
     if root and os.path.exists(os.path.join(root, APPEND_PENDING)):
@@ -95,6 +95,19 @@ def _check_no_pending_append(root: str | None) -> None:
             f"index at {root} has an interrupted append "
             f"({APPEND_PENDING} present) — its tables and delta "
             "segments may be partial; rebuild the index or restore "
+            "from source before (re)building or merging segments",
+            {"path": root},
+        )
+    if root and os.path.exists(os.path.join(root, PURGE_PENDING)):
+        # purge_deletes clears this marker once the TABLES are
+        # consistent and only then rebuilds segments (a crash during
+        # that rebuild leaves a half-built segment set, which the
+        # manifest machinery already fences) — so a visible marker
+        # always means a crashed table rewrite
+        raise ValidationError(
+            f"index at {root} has an interrupted purge "
+            f"({PURGE_PENDING} present) — its tables may mix "
+            "purged and unpurged state; rebuild the index or restore "
             "from source before (re)building or merging segments",
             {"path": root},
         )

@@ -37,6 +37,14 @@ only that slice. If fuzzy-suggest latency matters at the top end,
 bucket the suggest table by first char on write (Index.write already
 range-partitions on completion_key, which clusters first chars into
 few files — parquet min/max stats give the prune for free).
+
+Deletes: suggestions from tombstoned docs stay visible until
+``Index.purge_deletes`` rebuilds the suggest table — the same
+staleness Lucene's suggesters have (an AnalyzingInfixSuggester needs
+an explicit rebuild after deletes). Completion rows are weight
+aggregates, not per-doc rows, so there is nothing cheaper to mask at
+query time (indexer.delete_documents docstring has the full
+contract).
 """
 
 from __future__ import annotations

@@ -115,12 +115,24 @@ class TreeNode(NamedTuple):
     nots: tuple
 
 
+def _excluded_ids(index) -> np.ndarray | None:
+    """The index's tombstoned doc_ids as a sorted int64 array for the
+    kernels' pre-heap mask (None when there are none). Ships in the
+    kernel closure — bounded by the purge cadence, same contract as
+    Lucene's live-docs bitset (see indexer.delete_documents)."""
+    tomb = getattr(index, "tombstones", None)
+    if not tomb:
+        return None
+    return np.array(sorted(tomb), dtype=np.int64)
+
+
 def _push_topk(
     heap: list,
     k: int,
     uniq: np.ndarray,
     agg: np.ndarray,
     search_after: tuple[float, int] | None = None,
+    excluded: np.ndarray | None = None,
 ) -> None:
     """Push one chunk's candidate ``(doc_id, score)`` arrays into the
     bounded ``(score, -doc_id)`` min-heap — vectorized preselection so
@@ -134,6 +146,14 @@ def _push_topk(
       (score desc, doc_id asc) can possibly enter ANY global top-k —
       an item outside it has k chunk-mates ahead of it in the total
       order — so a lexsort selection bounds the loop at k."""
+    if excluded is not None and excluded.size and uniq.size:
+        # tombstone mask BEFORE any heap interaction: a deleted doc
+        # must neither take a top-k slot nor raise θ (``excluded`` is
+        # sorted, so searchsorted beats np.isin's internal sort)
+        at = np.searchsorted(excluded, uniq)
+        at[at == excluded.size] = 0
+        m = excluded[at] != uniq
+        uniq, agg = uniq[m], agg[m]
     if search_after is not None:
         sa_s, sa_d = search_after
         m = (agg < sa_s) | ((agg == sa_s) & (uniq > sa_d))
@@ -210,7 +230,8 @@ def _stream_chunks(batches: Iterator[pd.DataFrame], process) -> None:
 
 def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
                     k: int, mode: str,
-                    search_after: tuple[float, int] | None = None):
+                    search_after: tuple[float, int] | None = None,
+                    excluded: np.ndarray | None = None):
     """Per-partition streaming WAND kernel for mapInPandas.
 
     ``key_idfs`` maps fkey -> idf and ``key_ws`` -> its boost weight,
@@ -289,7 +310,7 @@ def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
             if mode == "and":
                 keep = counts >= n_keys
                 uniq, agg = uniq[keep], agg[keep]
-            _push_topk(heap, k, uniq, agg, search_after)
+            _push_topk(heap, k, uniq, agg, search_after, excluded)
 
         _stream_chunks(batches, process)
         yield _heap_frame(heap)
@@ -744,6 +765,7 @@ def _eval_phrase_chunk(
 def _phrase_kernel_factory(
     offsets: dict, term_idfs: dict, idf_sum: float, avgdl: float, k: int,
     search_after: tuple[float, int] | None = None,
+    excluded: np.ndarray | None = None,
 ):
     """Per-partition exact-adjacency phrase kernel over compressed
     segments, streaming chunk by chunk. ``offsets`` maps term -> list
@@ -775,7 +797,7 @@ def _phrase_kernel_factory(
             ids_a, sc_a = _eval_phrase_chunk(
                 cpdf, ident, offsets, idf_sum, denom_cache, key_col="term"
             )
-            _push_topk(heap, k, ids_a, sc_a, search_after)
+            _push_topk(heap, k, ids_a, sc_a, search_after, excluded)
 
         _stream_chunks(batches, process)
         yield _heap_frame(heap)
@@ -829,7 +851,8 @@ def phrase_topk(
         npart,
     )
     kernel = _phrase_kernel_factory(offsets, term_idfs, idf_sum, avgdl, k,
-                                    search_after=search_after)
+                                    search_after=search_after,
+                                    excluded=_excluded_ids(index))
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -861,6 +884,7 @@ def wand_pairs_topk(
     kernel = _kernel_factory(
         key_idfs, key_ws, _key_denoms(index, key_idfs), k, mode,
         search_after=search_after,
+        excluded=_excluded_ids(index),
     )
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -900,6 +924,7 @@ def _tree_kernel_factory(
     never_skip: frozenset,
     k: int,
     search_after: tuple[float, int] | None = None,
+    excluded: np.ndarray | None = None,
     phrases: list | None = None,
     phrase_fkeys: frozenset = frozenset(),
 ):
@@ -1139,7 +1164,7 @@ def _tree_kernel_factory(
             if not m_root.any():
                 return
             cand, cscore = uids[m_root], s_root[m_root]
-            _push_topk(heap, k, cand, cscore, search_after)
+            _push_topk(heap, k, cand, cscore, search_after, excluded)
 
         _stream_chunks(batches, process)
         yield _heap_frame(heap)
@@ -1283,6 +1308,7 @@ def wand_tree_topk(
         never_skip,
         k,
         search_after=search_after,
+        excluded=_excluded_ids(index),
         phrases=phrases,
         phrase_fkeys=phrase_fkeys,
     )
@@ -1298,6 +1324,7 @@ def _group_kernel_factory(
     not_keys: frozenset,
     k: int,
     search_after: tuple[float, int] | None = None,
+    excluded: np.ndarray | None = None,
     phrases: list | None = None,
     phrase_fkeys: frozenset = frozenset(),
     dismax_tie: float | None = None,
@@ -1496,7 +1523,7 @@ def _group_kernel_factory(
             if ex_parts:
                 keep &= ~np.isin(uniq, np.concatenate(ex_parts))
             uniq, agg = uniq[keep], agg[keep]
-            _push_topk(heap, k, uniq, agg, search_after)
+            _push_topk(heap, k, uniq, agg, search_after, excluded)
 
         _stream_chunks(batches, process)
         yield _heap_frame(heap)
@@ -1659,6 +1686,7 @@ def wand_group_topk(
         frozenset(not_keys),
         k,
         search_after=search_after,
+        excluded=_excluded_ids(index),
         phrases=phrases,
         phrase_fkeys=phrase_fkeys,
         dismax_tie=dismax_tie,
