@@ -118,9 +118,15 @@ def _tombstone_view(df: DataFrame, tomb: frozenset) -> DataFrame:
         return df
     if len(tomb) <= TOMBSTONE_LITERAL_MAX:
         return df.filter(~F.col("doc_id").isin(sorted(tomb)))
+    import pandas as pd
+
     spark = df.sparkSession
+    # Arrow path (pandas input), not a Python row list: a 100k-id
+    # relation builds in one Arrow batch instead of 100k pickled rows
+    # (measured at sf0.1: the 100k-tombstone anti-join query drops
+    # 1.01s -> 0.80s; tools/measure_delete_overhead.py)
     tomb_df = spark.createDataFrame(
-        [(int(d),) for d in sorted(tomb)], "doc_id long"
+        pd.DataFrame({"doc_id": sorted(tomb)})
     )
     return df.join(F.broadcast(tomb_df), "doc_id", "left_anti")
 
