@@ -1051,23 +1051,44 @@ class Index:
         # postings under a tombstoned id would either resurrect the old
         # rows or stay hidden behind the mask; purge first, then re-add
         # (update_documents does both).
-        coll = [
-            int(r[0])
-            for r in docs.select("doc_id")
-            .join(self.all_docs().select("doc_id"), "doc_id",
-                  "left_semi")
-            .limit(5)
-            .collect()
-        ]
-        if coll:
-            if any(c in self.tombstones for c in coll):
+        if self.tombstones:
+            # a tombstoned id is refused even if the doc never existed
+            # (delete-then-add of an unseen id): rows appended AFTER
+            # the filtered views were built would leak past the mask,
+            # and a tombstoned id needs purge_deletes before re-use
+            # regardless
+            ids_only = docs.select("doc_id")
+            if len(self.tombstones) <= TOMBSTONE_LITERAL_MAX:
+                probe = ids_only.filter(
+                    F.col("doc_id").isin(sorted(self.tombstones))
+                )
+            else:
+                import pandas as pd
+
+                probe = ids_only.join(
+                    F.broadcast(self.spark.createDataFrame(
+                        pd.DataFrame(
+                            {"doc_id": sorted(self.tombstones)}
+                        )
+                    )),
+                    "doc_id",
+                    "left_semi",
+                )
+            tomb_hit = [int(r[0]) for r in probe.limit(5).collect()]
+            if tomb_hit:
                 raise ValidationError(
                     "add_documents: doc_id values collide with "
-                    "TOMBSTONED documents — run purge_deletes() (or "
-                    "use update_documents) before re-adding a deleted "
-                    "id",
-                    {"doc_ids": coll},
+                    "TOMBSTONED ids — run purge_deletes() (or use "
+                    "update_documents) before re-adding a deleted id",
+                    {"doc_ids": tomb_hit},
                 )
+        if (
+            docs.select("doc_id")
+            .join(self.all_docs().select("doc_id"), "doc_id",
+                  "left_semi")
+            .limit(1)
+            .count()
+        ):
             raise ValidationError(
                 "add_documents: doc_id values collide with existing "
                 "documents",

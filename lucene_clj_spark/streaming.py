@@ -50,6 +50,7 @@ def ingest_batch(
     *,
     id_column: str = "doc_id",
     ignore_extra_columns: bool = False,
+    op_column: str | None = None,
 ) -> bool:
     """Apply one micro-batch to ``index`` idempotently. Returns True if
     the batch was appended, False if it was recognized as a fully
@@ -57,7 +58,40 @@ def ingest_batch(
     doc_id collision) AND on a full-overlap batch whose CONTENT differs
     from what is stored — same ids with different documents is a
     conflicting re-ingest, not a crash replay, and silently dropping it
-    would lose data."""
+    would lose data.
+
+    ``op_column``: CDC-lite mode. Rows whose ``op_column`` value is
+    ``'delete'`` tombstone their doc_id (indexer.delete_documents — a
+    sidecar write, naturally replay-idempotent: re-deleting is a set
+    union no-op); every other row is an add (the op column is dropped
+    before indexing). Deletes apply BEFORE adds within a batch, so a
+    recrawl batch can retire url A and introduce url B in one epoch.
+    Re-adding an id the SAME batch deleted is refused by the add-side
+    guard — per the engine's delete contract, a tombstoned id needs
+    ``purge_deletes`` before re-use (use batch update_documents for
+    in-place replacement; streaming upsert would hide a compaction
+    inside every epoch)."""
+    if op_column is not None:
+        if op_column not in batch_df.columns:
+            raise ValidationError(
+                f"op_column {op_column!r} not in the batch",
+                {"columns": batch_df.columns},
+            )
+        del_ids = [
+            int(r[0])
+            for r in batch_df.filter(F.col(op_column) == "delete")
+            .select(F.col(id_column).cast("long"))
+            .distinct()
+            .collect()
+        ]
+        if del_ids:
+            index.delete_documents(del_ids)
+        batch_df = batch_df.filter(
+            (F.col(op_column) != "delete")
+            | F.col(op_column).isNull()
+        ).drop(op_column)
+        if batch_df.isEmpty():
+            return bool(del_ids)
     ids = batch_df.select(
         F.col(id_column).cast("long").alias("doc_id")
     ).distinct()
@@ -127,9 +161,15 @@ def stream_index(
     trigger: dict | None = None,
     query_name: str = "lucene_clj_spark_ingest",
     merge_every_deltas: int | None = None,
+    op_column: str | None = None,
 ):
     """Start a streaming query that appends every micro-batch of
     ``stream_df`` (a streaming DataFrame) into ``index``.
+
+    ``op_column``: enable CDC-lite delete rows — see ``ingest_batch``
+    (rows marked ``'delete'`` tombstone their id, the rest are adds;
+    schedule ``Index.purge_deletes`` on a cadence alongside
+    ``merge_every_deltas``, the two compactions of this engine).
 
     ``trigger``: kwargs for ``DataStreamWriter.trigger`` — defaults to
     ``{"availableNow": True}`` (drain what exists, then stop), use
@@ -158,6 +198,7 @@ def stream_index(
             index, batch_df,
             id_column=id_column,
             ignore_extra_columns=ignore_extra_columns,
+            op_column=op_column,
         )
         if applied and merge_every_deltas:
             from lucene_clj_spark.segments import maybe_merge

@@ -181,3 +181,113 @@ def test_stream_merge_policy_compacts_deltas(spark, tmp_path):
                                 with_hit=False,
                                 strategy="dataframe").collect()]
     assert got == want and len(got) == 4
+
+
+# --- CDC-lite delete rows (op_column) -----------------------------------
+
+OP_SCHEMA = "doc_id long, body string, op string"
+
+
+def _write_op_batch(spark, path, rows):
+    spark.createDataFrame(rows, OP_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_stream_delete_rows_tombstone(spark, tmp_path):
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    # epoch 1: three adds; epoch 2: retire doc 0, introduce doc 3.
+    # maxFilesPerTrigger=1 pins one file per epoch — availableNow
+    # would otherwise fold both files into ONE batch, making this a
+    # same-epoch delete+re-add of doc 0 (an upsert, refused by design
+    # — covered below)
+    _write_op_batch(spark, src, [
+        (0, "alpha beta", "add"),
+        (1, "beta gamma", "add"),
+        (2, "gamma delta", None),   # null op = add
+    ])
+    import time as _time
+
+    _time.sleep(1.05)  # distinct mtimes: file-source epoch order
+    _write_op_batch(spark, src, [
+        (0, None, "delete"),
+        (3, "beta epsilon", "add"),
+    ])
+    idx = create_index(
+        spark, spark.createDataFrame([], SCHEMA), {"body": "text"},
+        id_column="doc_id",
+    )
+    stream = (
+        spark.readStream.schema(OP_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_index(stream, idx, checkpoint=ckpt, op_column="op")
+    q.awaitTermination(120)
+
+    assert idx.tombstones == frozenset({0})
+    got = {r["doc_id"] for r in idx.search(
+        "beta", field_name="body", with_hit=False).collect()}
+    assert got == {1, 3}
+    # stats stay stale until purge (delete contract); after purge the
+    # index equals a batch build over the live rows
+    idx.purge_deletes()
+    ref = create_index(
+        spark,
+        spark.createDataFrame(
+            [(1, "beta gamma"), (2, "gamma delta"),
+             (3, "beta epsilon")], SCHEMA),
+        {"body": "text"}, id_column="doc_id",
+    )
+    a = [(r["doc_id"], round(r["score"], 12)) for r in idx.search(
+        "beta", field_name="body", with_hit=False).collect()]
+    b = [(r["doc_id"], round(r["score"], 12)) for r in ref.search(
+        "beta", field_name="body", with_hit=False).collect()]
+    assert a == b
+
+
+def test_stream_delete_only_batch_and_replay(spark, tmp_path):
+    from lucene_clj_spark.streaming import ingest_batch
+
+    idx = create_index(
+        spark,
+        spark.createDataFrame(
+            [(0, "alpha beta"), (1, "beta gamma")], SCHEMA),
+        {"body": "text"}, id_column="doc_id",
+    )
+    batch = spark.createDataFrame(
+        [(0, None, "delete")], OP_SCHEMA)
+    assert ingest_batch(idx, batch, op_column="op") is True
+    assert idx.tombstones == frozenset({0})
+    # replay: re-deleting is a set-union no-op, adds side is empty
+    assert ingest_batch(idx, batch, op_column="op") is True
+    assert idx.tombstones == frozenset({0})
+    # missing op column fails loudly
+    with pytest.raises(ValidationError, match="op_column"):
+        ingest_batch(
+            idx, spark.createDataFrame([(9, "x")], SCHEMA),
+            op_column="op",
+        )
+
+
+def test_stream_same_epoch_upsert_refused(spark):
+    # delete + re-add of the same id in ONE batch is an upsert —
+    # refused (a tombstoned id needs purge_deletes before re-use),
+    # even when the id never existed before the batch
+    from lucene_clj_spark.streaming import ingest_batch
+
+    idx = create_index(
+        spark,
+        spark.createDataFrame([(5, "old text")], SCHEMA),
+        {"body": "text"}, id_column="doc_id",
+    )
+    batch = spark.createDataFrame(
+        [(5, None, "delete"), (5, "new text", "add")], OP_SCHEMA)
+    with pytest.raises(ValidationError, match="TOMBSTONED"):
+        ingest_batch(idx, batch, op_column="op")
+    # never-existed variant: the guard still refuses (rows appended
+    # after the filtered views were built would leak past the mask)
+    batch2 = spark.createDataFrame(
+        [(9, None, "delete"), (9, "fresh", "add")], OP_SCHEMA)
+    with pytest.raises(ValidationError, match="TOMBSTONED"):
+        ingest_batch(idx, batch2, op_column="op")

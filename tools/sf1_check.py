@@ -64,6 +64,12 @@ INDEX_QUERIES = [
     # field collapse (grouping module)
     "dismax_topk", "span_first_topk", "collapse_lang_topk",
     "constant_score_topk", "facet_ranges_nchars",
+    # round-4 continuation: TermInSetQuery, MultiPhraseQuery, and the
+    # delete family (stale-stats tombstone search at 1.6M docs with
+    # ~229k tombstones — well past the broadcast anti-join threshold —
+    # and the post-purge rebuild: a full-table rewrite at sf1)
+    "term_in_set_topk", "multi_phrase_topk",
+    "delete_search_topk", "purge_search_topk",
     # round-4 batch family LAST: a 4-query log in one job, the
     # DataFrame-shaped log variant, and MoreLikeThis (40 query docs x
     # top-5). MLT on THIS corpus is a by-construction worst case —
