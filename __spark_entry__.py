@@ -1156,6 +1156,17 @@ def q_purge_search_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_spell_suggest(spark, sf_dir):
+    """DirectSpellChecker "did you mean": top-5 dictionary corrections
+    for the typo 'sark' — Damerau candidates sharing the first char,
+    similarity 1 - d/min(len) with the 0.5 accuracy floor, ranked
+    (score desc, df desc, term asc); one pruned vocab scan, postings
+    never touched (spell.py)."""
+    idx = _index(spark, sf_dir)
+    out = idx.spell_suggest("text", "sark", k=5)
+    return _round6(out, "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -1241,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_phrase_topk": q_multi_phrase_topk,
         "delete_search_topk": q_delete_search_topk,
         "purge_search_topk": q_purge_search_topk,
+        "spell_suggest": q_spell_suggest,
     }
 
 
@@ -1459,6 +1471,31 @@ def _purge_sql() -> str:
 SELECT doc_id, round(score, 6) AS score FROM (
   SELECT doc_id, score FROM scores
   ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+    )
+
+
+def _spell_sql() -> str:
+    # DirectSpellChecker twin: pruned vocab scan, Damerau similarity,
+    # accuracy floor, (score desc, df desc, term asc). 'sark' is
+    # absent from the corpus vocabulary, so neither the common-term
+    # gate nor the more-frequent-than-the-typo rule binds; it yields
+    # spark (d=1) plus a scan/sort tie at d=2 broken by df.
+    d = "damerau_levenshtein(term, 'sark')"
+    sc = (f"1.0 - CAST({d} AS DOUBLE) / "
+          "CAST(least(length(term), 4) AS DOUBLE)")
+    return (
+        _BASE
+        + f"""
+SELECT suggestion, df, round(score, 6) AS score FROM (
+  SELECT term AS suggestion, df, {sc} AS score
+  FROM tstat
+  WHERE abs(length(term) - 4) <= 2
+    AND term <> 'sark'
+    AND substr(term, 1, 1) = 's'
+    AND {d} <= 2
+    AND {sc} >= 0.5
+  ORDER BY score DESC, df DESC, suggestion ASC LIMIT 5
 )"""
     )
 
@@ -2801,4 +2838,5 @@ ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
         "multi_phrase_topk": _multi_phrase_sql(),
         "delete_search_topk": _delete_stale_sql(),
         "purge_search_topk": _purge_sql(),
+        "spell_suggest": _spell_sql(),
     }

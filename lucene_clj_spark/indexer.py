@@ -335,6 +335,13 @@ class Index:
 
         return suggest(self, field, prefix, **opts)
 
+    def spell_suggest(self, field: str, term: str, **opts) -> DataFrame:
+        """Dictionary spell correction ("did you mean") — Lucene
+        DirectSpellChecker; see spell.py."""
+        from lucene_clj_spark.spell import spell_suggest
+
+        return spell_suggest(self, field, term, **opts)
+
     def analyzer_for(self, field: str) -> Analyzer:
         return self.analyzers.get(field, self.analyzers.get(None, STANDARD))
 

@@ -68,7 +68,7 @@ INDEX_QUERIES = [
     # delete family (stale-stats tombstone search at 1.6M docs with
     # ~229k tombstones — well past the broadcast anti-join threshold —
     # and the post-purge rebuild: a full-table rewrite at sf1)
-    "term_in_set_topk", "multi_phrase_topk",
+    "term_in_set_topk", "multi_phrase_topk", "spell_suggest",
     "delete_search_topk", "purge_search_topk",
     # round-4 batch family LAST: a 4-query log in one job, the
     # DataFrame-shaped log variant, and MoreLikeThis (40 query docs x
