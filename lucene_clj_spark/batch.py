@@ -74,6 +74,7 @@ from lucene_clj_spark.search import (
     DEFAULT_RESULTS_PER_PAGE,
     _as_term,
     _bucket_pruned,
+    _canonical_score_sum,
     _expand_fuzzy_clauses,
     _flatten,
     _lookup_term_stats,
@@ -82,28 +83,10 @@ from lucene_clj_spark.search import (
 MUST_NOT = "MUST_NOT"
 
 
-def _canonical_score_sum() -> "F.Column":
-    """Order-canonical per-doc score sum: collect the (field, term,
-    score) triples, sort, and left-fold the add — bit-identical
-    regardless of aggregation arrival order.
-
-    Plain ``F.sum`` adds in partition-arrival order, and IEEE addition
-    is commutative but NOT associative: with >= 3 clause scores, two
-    IDENTICAL documents can sum 1 ulp apart, and the top-k tie rule
-    (doc_id asc among equal scores) then selects copies
-    nondeterministically — the sf1 validation run (1.6M docs = 320
-    verbatim copies each) caught more_like_this doing exactly that
-    (the same failure mode the segment kernels fixed with canonical
-    fkey-order accumulation, wand.py). Groups are clause-count-sized
-    (a handful of elements), so the collect+sort+fold costs O(clauses
-    log clauses) per (query, doc) — noise next to the shared scan.
-    Matches the DuckDB oracles' ``sum(score ORDER BY term)``.
-    """
-    return F.aggregate(
-        F.array_sort(F.collect_list(F.struct("field", "term", "score"))),
-        F.lit(0.0),
-        lambda acc, x: acc + x["score"],
-    )
+# _canonical_score_sum (imported from search.py): order-canonical
+# per-doc score fold — see its docstring; the sf1 320x-duplication run
+# caught both more_like_this (r04 earlier) and field collapse (r04
+# later) selecting copy-dependent tie winners under plain F.sum.
 
 
 def _group_members(node: BoolQ) -> list[TermQ] | None:

@@ -151,6 +151,45 @@ def _as_term(node: Node) -> TermQ | None:
     return None
 
 
+def _canonical_score_sum(field_col: str = "field",
+                         term_col: str = "term",
+                         score_col: str = "score"):
+    """Aggregate expression: the per-doc score sum folded in sorted
+    (field, term, score) order — bit-stable across partition layouts,
+    unlike a bare ``F.sum`` over doubles (see _scored_term_group's
+    tie-precision note). The collected list is clause-bounded (one
+    entry per matched clause), so the per-doc sort is O(k log k) tiny
+    work inside the same single aggregation."""
+    return F.aggregate(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(field_col), F.col(term_col),
+                         F.col(score_col))
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x[score_col],
+    )
+
+
+def _canonical_sum_by(key_col: str, score_col: str = "score",
+                      cond=None):
+    """Like _canonical_score_sum but keyed by a single id column
+    (clause/group id); ``cond`` optionally zeroes non-qualifying rows
+    INSIDE the fold so the addition order still includes them
+    deterministically."""
+    sc = F.col(score_col)
+    if cond is not None:
+        sc = F.when(cond, sc).otherwise(F.lit(0.0))
+    return F.aggregate(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(key_col), sc.alias("__v")))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["__v"],
+    )
+
+
 def _scored_term_group(
     index, term_clauses: list[tuple[str, TermQ]],
     min_should_match: int = 0,
@@ -164,16 +203,16 @@ def _scored_term_group(
     the same aggregation that sums scores. One scan, one shuffle,
     regardless of clause count — this is what survives a 100x scale-up.
 
-    Tie-precision note: the per-doc ``F.sum`` adds term scores in
-    Spark's aggregation order, which is not canonical — two docs with
-    identical term sets can in principle differ by 1 ulp under an
-    adversarial partition layout (the segment KERNELS, the scale path,
-    accumulate in canonical fkey order precisely for this reason —
-    wand.py). Both correctness gates (sf0.01 and the 1.6M-doc sf1 run)
-    pass on this path; canonicalizing here would cost a per-doc
-    collect+sort on the hot fallback, which isn't warranted for a
-    last-bit-of-a-tie hazard.
-    """
+    Tie-precision note: the per-doc score is folded in CANONICAL
+    (field, term) order — collect the per-clause contributions,
+    array_sort, then a fixed-order aggregate fold — NOT a bare
+    ``F.sum``, whose aggregation order varies with partition layout.
+    This is the DataFrame twin of the segment kernels' fkey-sorted
+    accumulation (wand.py): without it, identical docs in different
+    partitions score 1 ulp apart, and a per-group rank under heavy
+    duplication picks copy-dependent winners (surfaced by the sf1
+    320x-duplication run's field-collapse query, where the zh/fr tie
+    groups came out partition-dependent)."""
     spark = index.spark
     merged: dict[tuple[str, str], dict] = {}
     for occ, tq in term_clauses:
@@ -210,6 +249,8 @@ def _scored_term_group(
     scan = _bucket_pruned(index, scan, terms_)
     scored = scan.join(F.broadcast(local), ["field", "term"]).select(
         "doc_id",
+        "field",
+        "term",
         (
             F.col("boost")
             * bm25.score_col(
@@ -220,7 +261,7 @@ def _scored_term_group(
         F.col("is_must"),
     )
     agg = scored.groupBy("doc_id").agg(
-        F.sum("score").alias("score"),
+        _canonical_score_sum().alias("score"),
         F.sum(F.when(F.col("is_must"), 1).otherwise(0)).alias("__musts"),
         F.sum(F.when(~F.col("is_must"), 1).otherwise(0)).alias("__opts"),
     )
@@ -312,7 +353,7 @@ def _scored_group_tree(
     )
     scan = _bucket_pruned(index, scan, terms_)
     scored = scan.join(F.broadcast(local), ["field", "term"]).select(
-        "doc_id", "gid", "is_not", "is_must",
+        "doc_id", "gid", "is_not", "is_must", "field", "term",
         (
             F.col("boost")
             * bm25.score_col(
@@ -322,14 +363,13 @@ def _scored_group_tree(
         ).alias("score"),
     )
     per_group = scored.groupBy("doc_id", "gid").agg(
-        F.sum("score").alias("g_score"),
+        _canonical_score_sum().alias("g_score"),
         F.first("is_not").alias("is_not"),
         F.first("is_must").alias("is_must"),
     )
     agg = per_group.groupBy("doc_id").agg(
-        F.sum(
-            F.when(~F.col("is_not"), F.col("g_score")).otherwise(0.0)
-        ).alias("score"),
+        _canonical_sum_by("gid", "g_score",
+                          cond=~F.col("is_not")).alias("score"),
         F.sum(F.when(F.col("is_must"), 1).otherwise(0)).alias("__musts"),
         F.max(F.when(F.col("is_not"), 1).otherwise(0)).alias("__hit_not"),
     )
@@ -404,11 +444,13 @@ def _scored_dismax(index, node: DisMaxQ) -> DataFrame:
     parts = [
         compile_node(index, d)
         .select("doc_id", "score")
-        for d in node.disjuncts
+        .withColumn("__did", F.lit(i))
+        for i, d in enumerate(node.disjuncts)
     ]
     u = reduce(DataFrame.unionByName, parts)
     agg = u.groupBy("doc_id").agg(
-        F.max("score").alias("__mx"), F.sum("score").alias("__sm")
+        F.max("score").alias("__mx"),
+        _canonical_sum_by("__did").alias("__sm"),
     )
     return agg.select(
         "doc_id",
@@ -448,7 +490,7 @@ def _scored_dismax_terms(
     )
     scan = _bucket_pruned(index, scan, terms_)
     scored = scan.join(F.broadcast(local), ["field", "term"]).select(
-        "doc_id", "gid",
+        "doc_id", "gid", "field", "term",
         (
             F.col("boost")
             * bm25.score_col(
@@ -458,10 +500,11 @@ def _scored_dismax_terms(
         ).alias("score"),
     )
     per_group = scored.groupBy("doc_id", "gid").agg(
-        F.sum("score").alias("g_score")
+        _canonical_score_sum().alias("g_score")
     )
     agg = per_group.groupBy("doc_id").agg(
-        F.max("g_score").alias("__mx"), F.sum("g_score").alias("__sm")
+        F.max("g_score").alias("__mx"),
+        _canonical_sum_by("gid", "g_score").alias("__sm"),
     )
     return agg.select(
         "doc_id",
@@ -604,7 +647,7 @@ def _scored_tree(index, leaves: list, root) -> DataFrame:
     )
     scan = _bucket_pruned(index, scan, terms_)
     scored = scan.join(F.broadcast(local), ["field", "term"]).select(
-        "doc_id", "lid", "gid",
+        "doc_id", "lid", "gid", "field", "term",
         (
             F.col("weight")
             * bm25.score_col(
@@ -615,6 +658,27 @@ def _scored_tree(index, leaves: list, root) -> DataFrame:
     )
     solo_lids = sorted(le for le in present if le not in leaf_gid)
     gids = sorted({g for le, g in leaf_gid.items() if le in present})
+
+    def _gid_fold(j: int):
+        # canonical-order group sum, NULL when no member matched (the
+        # tree evaluator reads nullness as the group's match flag) —
+        # collect_list drops the non-member NULLs, array_sort fixes
+        # the fold order (same 1-ulp tie hazard as _scored_term_group)
+        lst = F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("gid") == j,
+                    F.struct(F.col("field"), F.col("term"),
+                             F.col("score")),
+                )
+            )
+        )
+        return F.when(
+            F.size(lst) > 0,
+            F.aggregate(lst, F.lit(0.0),
+                        lambda acc, x: acc + x["score"]),
+        )
+
     agg = scored.groupBy("doc_id").agg(
         *(
             [
@@ -622,11 +686,7 @@ def _scored_tree(index, leaves: list, root) -> DataFrame:
                 .alias(f"__l{i}")
                 for i in solo_lids
             ]
-            + [
-                F.sum(F.when(F.col("gid") == j, F.col("score")))
-                .alias(f"__g{j}")
-                for j in gids
-            ]
+            + [_gid_fold(j).alias(f"__g{j}") for j in gids]
         )
     )
     present_gids = set(gids)
@@ -1426,6 +1486,8 @@ def _scored_fuzzy(index, node: FuzzyQ) -> DataFrame:
     )
     scored = post.select(
         "doc_id",
+        "field",
+        "term",
         (
             F.lit(node.boost)
             * F.col("__fboost")
@@ -1438,7 +1500,9 @@ def _scored_fuzzy(index, node: FuzzyQ) -> DataFrame:
             )
         ).alias("score"),
     )
-    return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+    return scored.groupBy("doc_id").agg(
+        _canonical_score_sum().alias("score")
+    )
 
 
 def _empty_scores(index) -> DataFrame:
@@ -1654,10 +1718,17 @@ def _scored_bool_joins(index, node: BoolQ) -> DataFrame:
     opt: DataFrame | None = None
     if shoulds:
         opt = (
-            reduce(DataFrame.unionByName, [c(n) for n in shoulds])
+            reduce(
+                DataFrame.unionByName,
+                [
+                    c(n).select("doc_id", "score")
+                    .withColumn("__cid", F.lit(i))
+                    for i, n in enumerate(shoulds)
+                ],
+            )
             .groupBy("doc_id")
             .agg(
-                F.sum("score").alias("__opt"),
+                _canonical_sum_by("__cid").alias("__opt"),
                 F.count(F.lit(1)).alias("__optn"),
             )
         )
