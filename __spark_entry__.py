@@ -1167,6 +1167,35 @@ def q_spell_suggest(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_span_near_ordered_topk(spark, sf_dir):
+    """SpanNearQuery(inOrder=true): 'merge' then 'window' within 3
+    intervening gaps; freq accumulates 1/(1+matchSlop) per
+    minimal-completion match, BM25 over the float freq with summed
+    idfs (search._scored_span_near / _span_near_ordered_freq)."""
+    from lucene_clj_spark.query import SpanNearQ
+
+    idx = _index(spark, sf_dir)
+    out = idx.search(
+        SpanNearQ(1.0, "text", ("merge", "window"), 3, True),
+        results_per_page=10, with_hit=False,
+    )
+    return _round6(out, "score")
+
+
+def q_span_near_unordered_topk(spark, sf_dir):
+    """SpanNearQuery(inOrder=false): same clauses either direction —
+    the sloppy greedy over unshifted positions with the span bias
+    (search._sloppy_freq_py(bias=k-1))."""
+    from lucene_clj_spark.query import SpanNearQ
+
+    idx = _index(spark, sf_dir)
+    out = idx.search(
+        SpanNearQ(1.0, "text", ("merge", "window"), 3, False),
+        results_per_page=10, with_hit=False,
+    )
+    return _round6(out, "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -1253,6 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_search_topk": q_delete_search_topk,
         "purge_search_topk": q_purge_search_topk,
         "spell_suggest": q_spell_suggest,
+        "span_near_ordered_topk": q_span_near_ordered_topk,
+        "span_near_unordered_topk": q_span_near_unordered_topk,
     }
 
 
@@ -1497,6 +1528,83 @@ SELECT suggestion, df, round(score, 6) AS score FROM (
     AND {sc} >= 0.5
   ORDER BY score DESC, df DESC, suggestion ASC LIMIT 5
 )"""
+    )
+
+
+def _span_near_score_tail(t1: str, t2: str) -> str:
+    # shared BM25-over-float-freq tail for the span-near twins
+    idf1 = bm25.idf_sql("t1.df", "s.n")
+    idf2 = bm25.idf_sql("t2.df", "s.n")
+    qdl = bm25.quantized_dl_sql("d.dl")
+    return f"""
+, scores AS (
+  SELECT f.doc_id,
+         ({idf1} + {idf2}) * f.freq /
+         (f.freq + {K1!r} * ({1.0 - B!r} + {B!r} *
+          CAST({qdl} AS DOUBLE) / CAST(s.avgdl AS DOUBLE))) AS score
+  FROM freqs f
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{t1}') t1
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{t2}') t2
+  WHERE f.freq > 0
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
+
+
+def _span_near_ordered_sql(t1: str, t2: str, slop: int) -> str:
+    # NearSpansOrdered twin: per first-clause position, the minimal
+    # completing second-clause position; ms = b - a - 1; weight
+    # 1/(1+ms) = 1/(b-a)
+    return (
+        _BASE
+        + f"""
+, pos AS (
+  SELECT doc_id,
+    list_filter(range(1, len(ts)+1), i -> ts[i] = '{t1}') AS ap,
+    list_filter(range(1, len(ts)+1), i -> ts[i] = '{t2}') AS bp
+  FROM doc
+),
+freqs AS (
+  SELECT doc_id,
+    list_sum(list_transform(ap, a ->
+      CASE WHEN len(list_filter(bp, b -> b > a)) > 0
+           AND list_min(list_filter(bp, b -> b > a)) - a - 1 <= {slop}
+        THEN 1.0 / (list_min(list_filter(bp, b -> b > a)) - a)
+        ELSE 0.0 END)) AS freq
+  FROM pos
+)"""
+        + _span_near_score_tail(t1, t2)
+    )
+
+
+def _span_near_unordered_sql(t1: str, t2: str, slop: int) -> str:
+    # NearSpansUnordered twin (2 clauses): the greedy's matches are
+    # exactly the consecutive CROSS-term pairs of the merged position
+    # sequence; ms = gap - 1, weight 1/gap
+    return (
+        _BASE
+        + f"""
+, seq AS (
+  SELECT doc_id, u.i AS pos, ts[u.i] AS term
+  FROM doc, LATERAL unnest(list_filter(range(1, len(ts)+1),
+        i -> ts[i] IN ('{t1}', '{t2}'))) AS u(i)
+),
+pairs AS (
+  SELECT doc_id, pos, term,
+         lead(pos) OVER w AS npos, lead(term) OVER w AS nterm
+  FROM seq WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+freqs AS (
+  SELECT doc_id, sum(CASE WHEN nterm IS NOT NULL AND term <> nterm
+                          AND npos - pos - 1 <= {slop}
+                     THEN 1.0/(npos - pos) ELSE 0 END) AS freq
+  FROM pairs GROUP BY doc_id
+)"""
+        + _span_near_score_tail(t1, t2)
     )
 
 
@@ -2839,4 +2947,8 @@ ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
         "delete_search_topk": _delete_stale_sql(),
         "purge_search_topk": _purge_sql(),
         "spell_suggest": _spell_sql(),
+        "span_near_ordered_topk": _span_near_ordered_sql(
+            "merge", "window", 3),
+        "span_near_unordered_topk": _span_near_unordered_sql(
+            "merge", "window", 3),
     }

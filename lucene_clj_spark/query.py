@@ -270,6 +270,34 @@ class MultiPhraseQ(Node):
 
 
 @dataclass(frozen=True)
+class SpanNearQ(Node):
+    """Lucene ``SpanNearQuery`` over single-term clauses: all ``terms``
+    must occur within a covering interval of at most ``slop``
+    intervening gaps — ``matchSlop = (interval length) - k <= slop``
+    — in clause order when ``in_order`` (NearSpansOrdered) or any
+    order otherwise (NearSpansUnordered). Scoring follows the sloppy
+    family: freq accumulates ``1/(1 + matchSlop)`` per enumerated
+    match (ordered: one minimal-completion match per first-clause
+    position; unordered: the sloppy-phrase greedy over unshifted
+    positions), idf = sum of per-term idfs, BM25 over the float freq
+    with the quantized length norm. Terms are verbatim and must be
+    distinct (the repeat-group matcher variant is unsupported, like
+    sloppy phrases). Prebuilt-only — the query.clj:50-52 passthrough
+    surface.
+
+    vs PhraseQ(slop=N): a sloppy phrase weighs matches by the
+    OFFSET-ADJUSTED edit distance (transposed adjacent terms cost 2),
+    while span-near only measures the covering interval — ``"a b"``
+    appearing as ``b a`` scores 1.0 under unordered span-near (gap 0)
+    but 1/3 under slop-2 sloppy phrase."""
+
+    field: str = ""
+    terms: tuple[str, ...] = ()
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass(frozen=True)
 class MatchNone(Node):
     pass
 
@@ -822,6 +850,12 @@ def render(node: Node) -> str:
     elif isinstance(node, TermInSetQ):
         # Lucene TermInSetQuery.toString: field:(a b c)
         s = f"{node.field}:({' '.join(node.terms)})"
+    elif isinstance(node, SpanNearQ):
+        # Lucene SpanNearQuery.toString:
+        # spanNear([f:a, f:b], slop, inOrder)
+        clauses = ", ".join(f"{node.field}:{t}" for t in node.terms)
+        s = (f"spanNear([{clauses}], {node.slop}, "
+             f"{str(node.in_order).lower()})")
     elif isinstance(node, MultiPhraseQ):
         # Lucene MultiPhraseQuery.toString: field:"(a app) store"
         slots = " ".join(

@@ -56,6 +56,7 @@ from lucene_clj_spark.query import (
     RangeQ,
     RegexpQ,
     SpanFirstQ,
+    SpanNearQ,
     TermInSetQ,
     TermQ,
     WildcardQ,
@@ -860,7 +861,7 @@ def _shift(offset):
     return lambda x: x - F.lit(offset)
 
 
-def _sloppy_freq_py(pos_lists, slop: int) -> float:
+def _sloppy_freq_py(pos_lists, slop: int, bias: int = 0) -> float:
     """Sloppy-phrase frequency for ONE doc — Lucene's
     SloppyPhraseScorer.phraseFreq() greedy (public algorithm: pop the
     min phrase-adjusted position, minimize the current match length
@@ -869,7 +870,11 @@ def _sloppy_freq_py(pos_lists, slop: int) -> float:
     final pending match at exhaustion). ``pos_lists``: one SORTED int
     array of offset-adjusted positions (pos - slot) per phrase slot;
     requires >= 2 slots and phrase terms all distinct (the repeat-group
-    variant is unsupported — _scored_sloppy_phrase rejects repeats)."""
+    variant is unsupported — _scored_sloppy_phrase rejects repeats).
+    ``bias`` shifts the slop arithmetic: the effective match slop is
+    ``match_len - bias`` (0 = phrase semantics; k-1 over UNSHIFTED
+    positions = unordered span-near, where the covering interval of k
+    distinct positions has match_len >= k-1 by construction)."""
     import heapq
 
     k = len(pos_lists)
@@ -895,8 +900,8 @@ def _sloppy_freq_py(pos_lists, slop: int) -> float:
             end = p
         if p > nxt:
             # done minimizing the current match length
-            if match_len <= slop:
-                freq += 1.0 / (1.0 + match_len)
+            if match_len - bias <= slop:
+                freq += 1.0 / (1.0 + match_len - bias)
             heapq.heappush(heap, (p, i))
             pos_v, i = heapq.heappop(heap)
             nxt = heap[0][0]
@@ -905,8 +910,37 @@ def _sloppy_freq_py(pos_lists, slop: int) -> float:
             ml2 = end - p
             if ml2 < match_len:
                 match_len = ml2
-    if match_len <= slop:
-        freq += 1.0 / (1.0 + match_len)  # the last pending match
+    if match_len - bias <= slop:
+        freq += 1.0 / (1.0 + match_len - bias)  # the last pending match
+    return freq
+
+
+def _span_near_ordered_freq(pos_lists, slop: int) -> float:
+    """NearSpansOrdered for single-term clauses: one minimal-completion
+    match per first-clause position — from each position of clause 1,
+    greedily take the smallest strictly-increasing position of each
+    subsequent clause; the match counts when
+    ``matchSlop = (last - first + 1) - k <= slop`` and contributes
+    ``1/(1 + matchSlop)``. A clause running out of positions ends the
+    enumeration (every later anchor would fail the same clause)."""
+    import numpy as np
+
+    k = len(pos_lists)
+    freq = 0.0
+    for a in pos_lists[0]:
+        cur = int(a)
+        ok = True
+        for pl in pos_lists[1:]:
+            j = int(np.searchsorted(pl, cur + 1))
+            if j == len(pl):
+                ok = False
+                break
+            cur = int(pl[j])
+        if not ok:
+            break
+        ms = (cur - int(a) + 1) - k
+        if ms <= slop:
+            freq += 1.0 / (1.0 + ms)
     return freq
 
 
@@ -964,6 +998,94 @@ def _scored_sloppy_phrase(index, node: PhraseQ) -> DataFrame:
                 np.sort(np.asarray(p, dtype=np.int64)) for p in slots
             ]
             out[r] = _sloppy_freq_py(pls, slop)
+        return pd.Series(out)
+
+    freq_col = _freq_udf(
+        F.array(*[F.col(f"__pos_{i}") for i in range(n_slots)])
+    )
+    idf_sum = None
+    for t in terms:
+        e = bm25.idf_col(F.lit(stats[(node.field, t)]), F.lit(st["N"]))
+        idf_sum = e if idf_sum is None else (idf_sum + e)
+    qdl = bm25.quantized_dl_col(F.col("__dl_0"))
+    denom = F.col("__freq") + F.lit(bm25.K1) * (
+        F.lit(1.0 - bm25.B)
+        + F.lit(bm25.B) * qdl.cast("double") / F.lit(st["avgdl"])
+    )
+    return (
+        joined.withColumn("__freq", freq_col)
+        .filter(F.col("__freq") > 0)
+        .select(
+            "doc_id",
+            (
+                F.lit(node.boost) * idf_sum * F.col("__freq") / denom
+            ).alias("score"),
+        )
+    )
+
+
+def _scored_span_near(index, node: SpanNearQ) -> DataFrame:
+    """SpanNearQuery over single-term clauses (query.SpanNearQ — see
+    its docstring for the match/weight contract). Plan: the sloppy
+    phrase's rarest-first conjunction join bounds candidates by the
+    rarest term's df, then the per-doc matcher (ordered
+    minimal-completion greedy / unordered sloppy greedy with the
+    span bias) runs Arrow-batched over candidates only — identical
+    scale shape to _scored_sloppy_phrase."""
+    import numpy as np
+
+    terms = list(node.terms)
+    if len(terms) < 2:
+        raise ValidationError(
+            "span_near needs >= 2 clauses (SpanNearQuery.Builder "
+            "refuses an empty/one-clause near)",
+            {"terms": terms},
+        )
+    if len(set(terms)) != len(terms):
+        raise ValidationError(
+            "span_near with repeated terms is not supported (the "
+            "repeat-group matcher variant); use distinct terms",
+            {"terms": terms},
+        )
+    if node.slop < 0:
+        raise ValidationError(
+            "span_near slop must be >= 0", {"slop": node.slop}
+        )
+    st = index.field_stats(node.field)
+    stats = _lookup_term_stats(index, [(node.field, t) for t in terms])
+    if any((node.field, t) not in stats for t in terms):
+        return _empty_scores(index)
+    parts = []
+    for i, t in enumerate(terms):
+        p = _term_postings(index, node.field, t).select(
+            "doc_id",
+            F.col("dl").alias(f"__dl_{i}"),
+            F.col("positions").alias(f"__pos_{i}"),
+        )
+        parts.append(p)
+    order = sorted(
+        range(len(terms)),
+        key=lambda i: (stats[(node.field, terms[i])], i),
+    )
+    joined = reduce(
+        lambda a, b: a.join(b, "doc_id"), [parts[i] for i in order]
+    )
+    slop = int(node.slop)
+    n_slots = len(terms)
+    in_order = bool(node.in_order)
+    bias = n_slots - 1
+
+    @F.pandas_udf("double")
+    def _freq_udf(packed: pd.Series) -> pd.Series:
+        out = np.empty(len(packed), dtype=np.float64)
+        for r, slots in enumerate(packed):
+            pls = [
+                np.sort(np.asarray(p, dtype=np.int64)) for p in slots
+            ]
+            if in_order:
+                out[r] = _span_near_ordered_freq(pls, slop)
+            else:
+                out[r] = _sloppy_freq_py(pls, slop, bias=bias)
         return pd.Series(out)
 
     freq_col = _freq_udf(
@@ -1814,6 +1936,8 @@ def compile_node(index, node: Node) -> DataFrame:
         return _scored_span_first(index, node)
     if isinstance(node, TermInSetQ):
         return _scored_term_in_set(index, node)
+    if isinstance(node, SpanNearQ):
+        return _scored_span_near(index, node)
     if isinstance(node, MultiPhraseQ):
         return _scored_multi_phrase(index, node)
     if isinstance(node, ConstantScoreQ):

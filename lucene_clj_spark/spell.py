@@ -30,6 +30,12 @@ the same Arrow-batched kernel the fuzzy query path uses, and a
 terms table is per-field distinct vocabulary (10^6-10^8 at web scale,
 vs 10^11+ postings), so a correction costs a pruned vocab scan
 regardless of corpus size.
+
+Deletes: the term dictionary (and its docFreq weights) stays STALE
+while tombstones are pending — corrections may rank by pre-delete
+frequencies, or suggest a term whose only docs are deleted, until
+``Index.purge_deletes`` recomputes the dictionary. Same staleness
+window Lucene's DirectSpellChecker has over a reader with deletes.
 """
 
 from __future__ import annotations
