@@ -120,18 +120,46 @@ def _keyword_tokens(text: str, _stop: frozenset[str], _ml: int) -> list[str]:
     return [text] if text is not None else []
 
 
+def _english_tokens(
+    text: str, stop_words: frozenset[str], max_len: int
+) -> list[str]:
+    """Lucene EnglishAnalyzer pipeline: StandardTokenizer + lowercase
+    (shared _standard_tokens), EnglishPossessiveFilter (strip a
+    trailing 's — the tokenizer keeps "node's" whole via the
+    mid-letter apostrophe rule), StopFilter, PorterStemFilter
+    (stem.py, memoized over the vocabulary)."""
+    from lucene_clj_spark.stem import stem_token
+
+    out = []
+    for t in _standard_tokens(text, frozenset(), max_len):
+        if t.endswith("'s") or t.endswith("\u2019s"):
+            t = t[:-2]
+            if not t:
+                continue
+        if t in stop_words:
+            continue
+        out.append(stem_token(t))
+    return out
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """A named tokenization pipeline usable on both sides of the index.
 
-    ``kind`` in {standard, simple, whitespace, keyword}; ``stop_words``
-    applies to standard only (default EMPTY, matching reference
-    analyzers.clj:16).
+    ``kind`` in {standard, simple, whitespace, keyword, english};
+    ``stop_words`` applies to standard/english (standard defaults
+    EMPTY, matching reference analyzers.clj:16; english defaults to
+    ENGLISH_STOP_WORDS like Lucene's EnglishAnalyzer() — pass an
+    explicit set to override).
     """
 
     kind: str = "standard"
     stop_words: frozenset[str] = field(default_factory=frozenset)
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
+
+    def __post_init__(self):
+        if self.kind == "english" and not self.stop_words:
+            object.__setattr__(self, "stop_words", ENGLISH_STOP_WORDS)
 
     def _fn(self) -> Callable[[str, frozenset[str], int], list[str]]:
         try:
@@ -140,6 +168,7 @@ class Analyzer:
                 "simple": _simple_tokens,
                 "whitespace": _whitespace_tokens,
                 "keyword": _keyword_tokens,
+                "english": _english_tokens,
             }[self.kind]
         except KeyError:
             raise ValueError(f"unknown analyzer kind: {self.kind!r}") from None
