@@ -242,6 +242,40 @@ class Analyzer:
             return s.str.split()
         if self.kind == "keyword":
             return s.apply(lambda x: [x])
+        if self.kind == "english":
+            # tokenize on the STANDARD path (its [a-z0-9 ] split fast
+            # path applies), then run possessive/stop/stem through a
+            # per-batch token table — each distinct token pays the
+            # pipeline once, every repeat is a dict hit (the same
+            # unique-token amortization the build kernel and stem
+            # memo use)
+            from lucene_clj_spark.stem import stem_token
+
+            base = Analyzer(
+                "standard", max_token_length=self.max_token_length
+            ).tokens_series(s)
+            stop = self.stop_words
+            table: dict[str, str | None] = {}
+
+            def _fin(t: str) -> str | None:
+                if t.endswith("'s") or t.endswith("’s"):
+                    t = t[:-2]
+                if not t or t in stop:
+                    return None
+                return stem_token(t)
+
+            def _row(lst):
+                out = []
+                for t in lst:
+                    if t in table:
+                        v = table[t]
+                    else:
+                        v = table[t] = _fin(t)
+                    if v is not None:
+                        out.append(v)
+                return out
+
+            return base.map(_row)
         fn, stop, ml = self._fn(), self.stop_words, self.max_token_length
         if self.kind == "standard" and not stop and ml >= 255:
             fast = s.str.fullmatch("[a-z0-9 ]*") & ~s.str.contains(
