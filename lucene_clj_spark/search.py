@@ -173,6 +173,40 @@ def _canonical_score_sum(field_col: str = "field",
     )
 
 
+#: clause-count bound for the codegen pivot form of the canonical sum
+#: (above it, the collect-sort-fold form keeps the generated code
+#: bounded); 64 covers the default fuzzy expansion cap (50)
+_PIVOT_SUM_MAX = 64
+
+
+def _pivot_canonical_aggs(keys: list[tuple[str, str]]):
+    """The codegen form of the canonical score sum for a DRIVER-KNOWN
+    clause set where each (field, term) contributes at most one row
+    per doc: one ``max(when)`` pivot aggregate per clause, added back
+    in sorted-key order with ``coalesce(_, 0.0)``. Bit-identical to
+    the collect-sort-fold form — x + 0.0 is an IEEE identity (scores
+    are positive, no -0.0), so absent clauses don't perturb the
+    fixed-order addition — but stays entirely inside whole-stage
+    codegen instead of materializing per-doc struct arrays. Returns
+    (agg_exprs, score_expr_builder)."""
+    keys = sorted(keys)
+    aggs = [
+        F.max(
+            F.when(
+                (F.col("field") == f) & (F.col("term") == t),
+                F.col("score"),
+            )
+        ).alias(f"__c{i}")
+        for i, (f, t) in enumerate(keys)
+    ]
+    total = reduce(
+        lambda acc, i: acc + F.coalesce(F.col(f"__c{i}"), F.lit(0.0)),
+        range(1, len(keys)),
+        F.coalesce(F.col("__c0"), F.lit(0.0)),
+    )
+    return aggs, total
+
+
 def _canonical_sum_by(key_col: str, score_col: str = "score",
                       cond=None):
     """Like _canonical_score_sum but keyed by a single id column
@@ -261,11 +295,21 @@ def _scored_term_group(
         ).alias("score"),
         F.col("is_must"),
     )
-    agg = scored.groupBy("doc_id").agg(
-        _canonical_score_sum().alias("score"),
+    present_keys = [k for k in sorted(merged) if k in stats]
+    count_aggs = [
         F.sum(F.when(F.col("is_must"), 1).otherwise(0)).alias("__musts"),
         F.sum(F.when(~F.col("is_must"), 1).otherwise(0)).alias("__opts"),
-    )
+    ]
+    if len(present_keys) <= _PIVOT_SUM_MAX:
+        pivot_aggs, total = _pivot_canonical_aggs(present_keys)
+        agg = scored.groupBy("doc_id").agg(*pivot_aggs, *count_aggs)
+        agg = agg.select(
+            "doc_id", total.alias("score"), "__musts", "__opts"
+        )
+    else:
+        agg = scored.groupBy("doc_id").agg(
+            _canonical_score_sum().alias("score"), *count_aggs
+        )
     cond = F.col("__musts") == n_musts
     if min_should_match:
         # minimumNumberShouldMatch: >= m SHOULD clauses matched (the
@@ -1622,6 +1666,14 @@ def _scored_fuzzy(index, node: FuzzyQ) -> DataFrame:
             )
         ).alias("score"),
     )
+    exp_keys = [(node.field, t) for t, _, _ in exp]
+    if len(exp_keys) <= _PIVOT_SUM_MAX:
+        pivot_aggs, total = _pivot_canonical_aggs(exp_keys)
+        return (
+            scored.groupBy("doc_id")
+            .agg(*pivot_aggs)
+            .select("doc_id", total.alias("score"))
+        )
     return scored.groupBy("doc_id").agg(
         _canonical_score_sum().alias("score")
     )
