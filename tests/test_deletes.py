@@ -265,6 +265,48 @@ def test_purge_pending_marker_fences_everything(spark, disk_idx):
         os.remove(marker)
 
 
+def test_delete_is_rank_stable_filtering(spark):
+    # the stale-stats contract, stated as an invariant: for ANY
+    # tombstone set, post-delete results == the full ranking with the
+    # tombstoned rows REMOVED (never re-ranked) — across term, OR,
+    # AND, phrase, and fuzzy shapes
+    import random
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    idx = create_index(spark, docs, {"text": "text"},
+                       id_column="doc_id", ignore_extra_columns=True)
+    queries = [
+        ("merge", {}),
+        ({"text": {"merge", "window", "dup"}}, {}),
+        (["merge", "window"], {}),
+        ("merge window", {}),
+        ({"text": "merg"}, {"fuzzy": True}),
+    ]
+    full = []
+    for q, kw in queries:
+        full.append([
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search(q, field_name="text", with_hit=False,
+                                results_per_page=50, **kw).collect()
+        ])
+    rng = random.Random(7)
+    victims = rng.sample(
+        [r[0] for r in docs.select("doc_id").collect()], 60)
+    idx.delete_documents(victims)
+    vs = set(victims)
+    for (q, kw), ranking in zip(queries, full):
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in idx.search(q, field_name="text", with_hit=False,
+                                results_per_page=20, **kw).collect()
+        ]
+        want = [x for x in ranking if x[0] not in vs][:20]
+        # the full ranking only reaches 50 deep; compare the overlap
+        n = min(len(got), len(want))
+        assert got[:n] == want[:n], q
+
+
 def test_write_carries_tombstones(spark, idx, tmp_path):
     # Index.write persists the FULL tables plus the tombstone sidecar
     # (writing the filtered view would purge rows while leaving stats
