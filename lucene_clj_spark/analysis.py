@@ -154,12 +154,27 @@ class Analyzer:
     """
 
     kind: str = "standard"
-    stop_words: frozenset[str] = field(default_factory=frozenset)
+    #: None (the default) = the KIND's default stop set — empty for
+    #: standard (reference analyzers.clj:16), ENGLISH_STOP_WORDS for
+    #: english (Lucene EnglishAnalyzer()). An EXPLICIT set — including
+    #: an explicit empty one — is honored verbatim, so
+    #: Analyzer("english", stop_words=frozenset()) stems WITHOUT stop
+    #: removal (Lucene's EnglishAnalyzer(CharArraySet.EMPTY_SET)).
+    stop_words: frozenset[str] | None = None
     max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH
 
     def __post_init__(self):
-        if self.kind == "english" and not self.stop_words:
-            object.__setattr__(self, "stop_words", ENGLISH_STOP_WORDS)
+        if self.stop_words is None:
+            object.__setattr__(
+                self,
+                "stop_words",
+                ENGLISH_STOP_WORDS if self.kind == "english"
+                else frozenset(),
+            )
+        elif not isinstance(self.stop_words, frozenset):
+            object.__setattr__(
+                self, "stop_words", frozenset(self.stop_words)
+            )
 
     def _fn(self) -> Callable[[str, frozenset[str], int], list[str]]:
         try:

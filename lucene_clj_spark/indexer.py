@@ -108,6 +108,17 @@ def _write_postings(postings: DataFrame, path: str, n_buckets: int,
     )
 
 
+def _tombstone_relation(spark, tomb: frozenset) -> DataFrame:
+    """The tombstone ids as a one-column relation, built from a pandas
+    frame (ONE Arrow batch) rather than a pickled row list — measured
+    at sf0.1: the 100k-tombstone anti-join query drops 1.01s -> 0.80s
+    (tools/measure_delete_overhead.py). The single constructor every
+    tombstone join (view, purge, add-probe) shares."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame({"doc_id": sorted(tomb)}))
+
+
 def _tombstone_view(df: DataFrame, tomb: frozenset) -> DataFrame:
     """A live-rows view of a doc_id-carrying table: small tombstone
     sets fold into a literal NOT-IN predicate (pushed into the parquet
@@ -118,17 +129,11 @@ def _tombstone_view(df: DataFrame, tomb: frozenset) -> DataFrame:
         return df
     if len(tomb) <= TOMBSTONE_LITERAL_MAX:
         return df.filter(~F.col("doc_id").isin(sorted(tomb)))
-    import pandas as pd
-
-    spark = df.sparkSession
-    # Arrow path (pandas input), not a Python row list: a 100k-id
-    # relation builds in one Arrow batch instead of 100k pickled rows
-    # (measured at sf0.1: the 100k-tombstone anti-join query drops
-    # 1.01s -> 0.80s; tools/measure_delete_overhead.py)
-    tomb_df = spark.createDataFrame(
-        pd.DataFrame({"doc_id": sorted(tomb)})
+    return df.join(
+        F.broadcast(_tombstone_relation(df.sparkSession, tomb)),
+        "doc_id",
+        "left_anti",
     )
-    return df.join(F.broadcast(tomb_df), "doc_id", "left_anti")
 
 
 def _write_tombstones_file(path: str, tomb: frozenset) -> None:
@@ -472,6 +477,30 @@ class Index:
             )
         if self.tombstones:
             _write_tombstones_file(path, self.tombstones)
+        # a completed full write is a CONSISTENT image of this index:
+        # clear recovery journals and, when this index carries no
+        # deletes, a tombstone sidecar left by a previous resident —
+        # and drop any stale segment artifacts, which were encoded
+        # from whatever tables lived here before this write (the
+        # self-path guard above means these are never OUR live
+        # segments)
+        for marker in (APPEND_PENDING, PURGE_PENDING):
+            f = os.path.join(path, marker)
+            if os.path.isfile(f):
+                os.remove(f)
+        if not self.tombstones:
+            f = os.path.join(path, TOMBSTONES_FILE)
+            if os.path.isfile(f):
+                os.remove(f)
+        if os.path.isdir(os.path.join(path, "manifests")):
+            import shutil
+
+            from lucene_clj_spark.segments import _all_gen_dirs
+
+            for d in _all_gen_dirs(path).values():
+                shutil.rmtree(d, ignore_errors=True)
+            shutil.rmtree(os.path.join(path, "manifests"),
+                          ignore_errors=True)
         self.path = path
         # record the layout so a later add_documents on THIS object
         # appends under the same bucket count the directories were
@@ -760,22 +789,19 @@ class Index:
         — this is delete + :meth:`purge_deletes` + add in one call, a
         compaction-grade operation. Batch recrawl updates and call it
         once per cadence, not per document."""
-        ids = [
+        # only the OVERLAPPING ids ever reach the driver: semi-join
+        # the stored ids against the batch instead of collecting every
+        # batch id and re-shipping it as a pickled relation
+        batch_ids = docs_df.select(
+            F.col(id_column).cast("long").alias("doc_id")
+        ).distinct()
+        existing = {
             int(r[0])
-            for r in docs_df.select(id_column).distinct().collect()
-        ]
-        existing: set[int] = set()
-        if ids:
-            id_df = self.spark.createDataFrame(
-                [(i,) for i in ids], "doc_id long"
-            )
-            existing = {
-                int(r[0])
-                for r in self.all_docs()
-                .select("doc_id")
-                .join(F.broadcast(id_df), "doc_id", "left_semi")
-                .collect()
-            }
+            for r in self.all_docs()
+            .select("doc_id")
+            .join(batch_ids, "doc_id", "left_semi")
+            .collect()
+        }
         if existing:
             self.delete_documents(existing)
         if self.tombstones:
@@ -826,9 +852,7 @@ class Index:
                 F.col("doc_id").isin(lit)
             )
         else:
-            tomb_df = spark.createDataFrame(
-                [(int(d),) for d in sorted(tomb)], "doc_id long"
-            )
+            tomb_df = _tombstone_relation(spark, tomb)
             rem_docs = self.all_docs().join(
                 F.broadcast(tomb_df), "doc_id", "left_semi"
             )
@@ -1070,14 +1094,9 @@ class Index:
                     F.col("doc_id").isin(sorted(self.tombstones))
                 )
             else:
-                import pandas as pd
-
                 probe = ids_only.join(
-                    F.broadcast(self.spark.createDataFrame(
-                        pd.DataFrame(
-                            {"doc_id": sorted(self.tombstones)}
-                        )
-                    )),
+                    F.broadcast(_tombstone_relation(
+                        self.spark, self.tombstones)),
                     "doc_id",
                     "left_semi",
                 )
@@ -1498,11 +1517,21 @@ def create_index(
         )
     if index_type == "disk" and not path:
         raise ValidationError("disk index requires a path", {})
-    if path and os.path.isdir(path) and os.listdir(path) and not re_create:
-        raise ValidationError(
-            f"index path {path} exists; pass re_create=True to wipe",
-            {"path": path},
-        )
+    if path and os.path.isdir(path) and os.listdir(path):
+        if not re_create:
+            raise ValidationError(
+                f"index path {path} exists; pass re_create=True to wipe",
+                {"path": path},
+            )
+        # the DOCUMENTED wipe (reference indexer.clj:64-66): remove
+        # every prior resident of the directory — stale tombstone
+        # sidecars would silently mask doc_ids of the NEW corpus,
+        # stale append/purge journals would make the rebuilt index
+        # refuse to load, and stale segment generations would serve
+        # kernel queries from the OLD corpus
+        import shutil
+
+        shutil.rmtree(path)
     specs = normalize_field_specs(fields)
 
     extra = _check_extra_columns(

@@ -77,6 +77,23 @@ def ingest_batch(
                 f"op_column {op_column!r} not in the batch",
                 {"columns": batch_df.columns},
             )
+        # fail LOUDLY on unrecognized op values: a Debezium-style feed
+        # using 'd'/'u'/'DELETE' must not have its delete markers
+        # silently indexed as documents
+        bad_ops = [
+            r[0]
+            for r in batch_df.select(op_column)
+            .distinct()
+            .collect()
+            if r[0] is not None and r[0] not in ("add", "delete")
+        ]
+        if bad_ops:
+            raise ValidationError(
+                f"unrecognized {op_column!r} values {sorted(bad_ops)} "
+                "— expected 'add', 'delete', or NULL (= add); map "
+                "your CDC feed's op codes before ingesting",
+                {"ops": sorted(bad_ops)},
+            )
         del_ids = [
             int(r[0])
             for r in batch_df.filter(F.col(op_column) == "delete")

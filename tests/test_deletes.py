@@ -325,6 +325,41 @@ def test_write_carries_tombstones(spark, idx, tmp_path):
     assert got == {1, 2, 3}
 
 
+def test_recreate_wipes_stale_state(spark, tmp_path):
+    # re_create must WIPE the directory (the documented contract):
+    # a stale tombstone sidecar would silently mask doc_ids of the
+    # NEW corpus, and a stale purge journal would make the rebuilt
+    # index refuse to load — the prescribed recovery for a crashed
+    # purge is exactly this rebuild
+    from lucene_clj_spark.segments import build_segments
+
+    root = str(tmp_path / "idx")
+    df = spark.createDataFrame(ROWS, ["doc_id", "text", "url"])
+    idx = create_index(
+        spark, df, {"text": "text", "url": "keyword"},
+        id_column="doc_id", index_type="disk", path=root,
+    )
+    build_segments(idx, n_buckets=2, chunk_span=4)
+    idx.delete_documents([1, 3])
+    with open(os.path.join(root, PURGE_PENDING), "w") as f:
+        f.write("{}")  # simulate a crashed purge
+    idx2 = create_index(
+        spark, df, {"text": "text", "url": "keyword"},
+        id_column="doc_id", index_type="disk", path=root,
+        re_create=True,
+    )
+    assert idx2.tombstones == frozenset()
+    assert not os.path.exists(os.path.join(root, TOMBSTONES_FILE))
+    assert not os.path.exists(os.path.join(root, PURGE_PENDING))
+    # stale segments (built from the OLD corpus) are gone too — the
+    # kernel route cannot serve pre-rebuild data
+    assert not os.path.isdir(os.path.join(root, "manifests"))
+    got = {d for d, _ in _hits(idx2.search(
+        "store", field_name="text", with_hit=False,
+        results_per_page=10))}
+    assert got == {0, 1, 2, 3, 5}
+
+
 def test_purge_rebuilds_suggest(spark, sample_docs):
     # Pinki is the only P* first name; deleting + purging her doc must
     # drop the completion (the suggest table is rebuilt from live docs)

@@ -59,6 +59,11 @@ def test_pipeline_possessive_stop_stem():
     # custom stop set overrides the default
     an2 = Analyzer("english", stop_words=frozenset({"node"}))
     assert an2.tokens("the node runs") == ["the", "run"]
+    # an EXPLICIT empty set disables stop removal entirely (Lucene
+    # EnglishAnalyzer(CharArraySet.EMPTY_SET)) — only None means
+    # "kind default"
+    an3 = Analyzer("english", stop_words=frozenset())
+    assert an3.tokens("the cats") == ["the", "cat"]
 
 
 def test_tokens_series_matches_tokens(spark):

@@ -268,6 +268,14 @@ def test_stream_delete_only_batch_and_replay(spark, tmp_path):
             idx, spark.createDataFrame([(9, "x")], SCHEMA),
             op_column="op",
         )
+    # unrecognized op codes fail loudly (a Debezium-style 'd' marker
+    # must not be silently indexed as a document)
+    with pytest.raises(ValidationError, match="unrecognized"):
+        ingest_batch(
+            idx,
+            spark.createDataFrame([(9, "x", "d")], OP_SCHEMA),
+            op_column="op",
+        )
 
 
 def test_stream_same_epoch_upsert_refused(spark):
