@@ -1196,6 +1196,47 @@ def q_span_near_unordered_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+_MIX_FRACTIONS = {"en": 0.8, "de": 0.4, "fr": 1.0}
+
+
+def q_sample_mix_stats(spark, sf_dir):
+    """Deterministic stratified sampling (the training-mix builder):
+    keep 80% of en, 40% of de, all of fr, drop the rest — decisions
+    keyed on portable md5 bits so the SAME rows survive on every
+    engine and partition layout (functions/sampling.py). Returns
+    per-stratum doc counts + char mass."""
+    from lucene_clj_spark.functions.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    out = (
+        stratified_sample(docs, "lang", _MIX_FRACTIONS, seed=7)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+    return out
+
+
+def q_shuffle_head(spark, sf_dir):
+    """Deterministic global shuffle (reproducible training order):
+    shuffle_key = portable_hash(doc_id, seed); the 10 smallest keys
+    are the same everywhere (functions/sampling.py:
+    deterministic_shuffle)."""
+    from lucene_clj_spark.functions.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return (
+        deterministic_shuffle(docs, seed=1)
+        .select("doc_id", "shuffle_key")
+        .orderBy("shuffle_key", "doc_id")
+        .limit(10)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -1284,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": q_spell_suggest,
         "span_near_ordered_topk": q_span_near_ordered_topk,
         "span_near_unordered_topk": q_span_near_unordered_topk,
+        "sample_mix_stats": q_sample_mix_stats,
+        "shuffle_head": q_shuffle_head,
     }
 
 
@@ -1606,6 +1649,30 @@ freqs AS (
 )"""
         + _span_near_score_tail(t1, t2)
     )
+
+
+def _sample_mix_sql() -> str:
+    from lucene_clj_spark.functions.sampling import (
+        sample_sql_predicate,
+    )
+
+    pred = sample_sql_predicate("lang", "doc_id", _MIX_FRACTIONS,
+                                seed=7)
+    return f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE {pred} GROUP BY lang"""
+
+
+def _shuffle_head_sql() -> str:
+    from lucene_clj_spark.functions.text import portable_hash_sql
+
+    h = portable_hash_sql(
+        "concat_ws(chr(31), CAST(doc_id AS VARCHAR), '1')"
+    )
+    return f"""
+SELECT doc_id, {h} AS shuffle_key FROM documents
+ORDER BY shuffle_key ASC, doc_id ASC LIMIT 10"""
 
 
 def _facet_ranges_sql() -> str:
@@ -2951,4 +3018,6 @@ ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
             "merge", "window", 3),
         "span_near_unordered_topk": _span_near_unordered_sql(
             "merge", "window", 3),
+        "sample_mix_stats": _sample_mix_sql(),
+        "shuffle_head": _shuffle_head_sql(),
     }
