@@ -1237,6 +1237,20 @@ def q_shuffle_head(spark, sf_dir):
     )
 
 
+def q_dup_components(spark, sf_dir):
+    """Duplicate CLUSTERS, not just pairs: connected components over
+    the n-gram-Jaccard pair graph by min-label propagation (edge-sized
+    shuffles per round, localCheckpoint-truncated lineage;
+    functions/dedup.py:duplicate_components). (doc_id, component)
+    where component = the cluster's smallest doc_id — the canonical
+    keeper of the dedup resolution."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=5, threshold=0.5,
+        max_shingle_df=10**9,
+    )
+    return dedup.duplicate_components(pairs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 for 'merge' with stored-field hits at
     sf0.001."""
@@ -1327,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_unordered_topk": q_span_near_unordered_topk,
         "sample_mix_stats": q_sample_mix_stats,
         "shuffle_head": q_shuffle_head,
+        "dup_components": q_dup_components,
     }
 
 
@@ -1648,6 +1663,38 @@ freqs AS (
   FROM pairs GROUP BY doc_id
 )"""
         + _span_near_score_tail(t1, t2)
+    )
+
+
+def _dup_components_sql(threshold: float = 0.5) -> str:
+    # transitive-closure twin of the min-label propagation: component
+    # = min over every doc reachable through the pair graph
+    return (
+        _shingle_cte(5).replace("WITH ", "WITH RECURSIVE ", 1)
+        + f"""
+, inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n_shingles AS na, b.n_shingles AS nb, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_shingles, b.n_shingles
+),
+pr AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+           AS jaccard
+    FROM inter
+  ) WHERE jaccard >= {threshold!r}
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+          UNION ALL SELECT doc_b, doc_a FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach AS (
+  SELECT n AS src, n AS dst FROM nodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"""
     )
 
 
@@ -3020,4 +3067,5 @@ ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
             "merge", "window", 3),
         "sample_mix_stats": _sample_mix_sql(),
         "shuffle_head": _shuffle_head_sql(),
+        "dup_components": _dup_components_sql(0.5),
     }

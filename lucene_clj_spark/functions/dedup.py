@@ -299,3 +299,125 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- duplicate clusters: pairs -> components -> keep-list --------------
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    *,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate PAIR graph —
+    ``(doc_id, component)`` where component = the smallest doc_id
+    reachable through pairs. Only documents appearing in at least one
+    pair get a row (an isolated doc is trivially its own component).
+
+    Algorithm: min-label propagation — every node starts labeled with
+    itself; each round every node takes the min of its own and its
+    neighbors' labels; stop when a round changes nothing. Rounds =
+    graph diameter, and near-duplicate clusters are near-cliques
+    (every member shares most shingles/bands with every other), so
+    real corpora converge in 2-3 rounds; ``max_iterations`` fences the
+    pathological long-chain case (raises rather than returning a
+    half-merged labeling). Per round: one join of the edge list
+    against the label table + a min-aggregate — all shuffles are
+    edge-sized, never corpus-sized, so the loop costs
+    O(diameter x |pairs|) at any scale.
+    """
+    from lucene_clj_spark.errors import ValidationError
+
+    edges = (
+        pairs.select(F.col(doc_a).alias("src"),
+                     F.col(doc_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(doc_b).alias("src"),
+                         F.col(doc_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iterations):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("dst"),
+                        F.col("component").alias("__nc"),
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("__nc").alias("__mn"))
+                .select(F.col("src").alias("doc_id"), "__mn")
+            )
+            # localCheckpoint, not persist: each round's plan nests
+            # the previous round's — without truncating the lineage an
+            # n-round run builds an O(2^n)-node plan tree (a 30-hop
+            # chain stack-overflowed Catalyst's tree printer). The
+            # checkpoint materializes the round AND cuts the plan back
+            # to a leaf.
+            new_labels = (
+                labels.join(nbr_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("__mn"), F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(
+                    labels.select(
+                        "doc_id", F.col("component").alias("__old")
+                    ),
+                    "doc_id",
+                )
+                .filter(F.col("component") != F.col("__old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if not changed:
+                return labels.select("doc_id", "component")
+        raise ValidationError(
+            f"duplicate_components did not converge in "
+            f"{max_iterations} rounds — the pair graph contains a "
+            "chain longer than the fence (raise max_iterations, or "
+            "inspect the pair generator: near-dup clusters should be "
+            "near-cliques)",
+            {"max_iterations": max_iterations},
+        )
+    finally:
+        edges.unpersist()
+
+
+def resolve_duplicates(
+    pairs: DataFrame,
+    *,
+    doc_a: str = "doc_a",
+    doc_b: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """The keep/drop decision derived from the components: for every
+    NON-canonical member (doc_id != its component's min id), one row
+    ``(doc_id, duplicate_of)``. Anti-joining this against the corpus
+    IS the dedup: canonical members and isolated docs survive."""
+    comp = duplicate_components(
+        pairs, doc_a=doc_a, doc_b=doc_b, max_iterations=max_iterations
+    )
+    return comp.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id", F.col("component").alias("duplicate_of")
+    )
