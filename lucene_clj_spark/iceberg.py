@@ -23,6 +23,16 @@ construct them — pytest covers that); ``createOrReplace()`` executes
 the commit and needs the runtime jar + a configured catalog, which
 this container does not ship. ``have_iceberg_catalog`` gates the
 execution attempt so callers fail fast with a clear message.
+
+Deletes map 1:1 onto Iceberg v2 merge-on-read: the tombstone sidecar
+(indexer.delete_documents) is exactly an equality-delete file on
+``doc_id`` — a catalog deployment writes the same id list as an
+Iceberg equality delete against ``<prefix>_docs``/``_postings`` (query
+engines then apply the mask natively) and ``purge_deletes`` becomes
+``rewrite_data_files``/``rewrite_position_delete_files`` compaction.
+The engine-side semantics (immediate masking, stats stale until
+compaction) are identical in both representations, so the swap stays
+one line.
 """
 
 from __future__ import annotations
