@@ -216,7 +216,30 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
                 "text", doc_ids=range(1000), top_terms=5,
                 results_per_page=5).count(), 3, name="mlt_1k"), 4)
 
+    # round-4 surfaces: spell correction (pruned vocab scan), ordered
+    # span proximity, deterministic mix sampling, duplicate clustering
+    queries["q_spell"] = round(
+        timed(lambda: idx.spell_suggest("text", "merg", k=5)
+              .collect(), name="q_spell"), 4)
+    from lucene_clj_spark.query import SpanNearQ
+
+    queries["q_span_near"] = round(
+        timed(lambda: idx.search(
+            SpanNearQ(1.0, "text", ("merge", "window"), 3, True),
+            with_hit=False).collect(), name="q_span_near"), 4)
+
     base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from lucene_clj_spark.functions.sampling import stratified_sample
+
+    queries["sample_mix"] = round(
+        timed(lambda: stratified_sample(
+            base_docs, "lang", {"en": 0.8, "de": 0.4, "fr": 1.0},
+            seed=7).count(), 3), 4)
+    queries["dup_components"] = round(
+        timed(lambda: dedup.duplicate_components(
+            dedup.ngram_jaccard_pairs(
+                base_docs, n=5, threshold=0.5,
+                max_shingle_df=10**9)).count(), 3), 4)
     queries["dedup_exact"] = round(
         timed(lambda: dedup.exact_dedup_groups(base_docs).count(), 3), 4)
     queries["dedup_minhash"] = round(
