@@ -1196,6 +1196,54 @@ def q_span_near_unordered_topk(spark, sf_dir):
     return _round6(out, "score")
 
 
+def q_span_or_topk(spark, sf_dir):
+    """SpanOrQuery('merge' | 'window'): the positional-union synonym
+    primitive — freq POOLS the clause tfs before ONE BM25 saturation,
+    idf sums the present clauses' idfs (search._scored_span_or; one
+    IN-predicate postings scan + a single aggregate)."""
+    from lucene_clj_spark.query import SpanOrQ
+
+    idx = _index(spark, sf_dir)
+    out = idx.search(
+        SpanOrQ(1.0, "text", ("merge", "window")),
+        results_per_page=10, with_hit=False,
+    )
+    return _round6(out, "score")
+
+
+def q_span_not_topk(spark, sf_dir):
+    """SpanNotQuery(include='merge', exclude='window', pre=2, post=2):
+    include occurrences survive unless the exclude term lands within
+    2 positions either side; freq = surviving count, BM25 on the
+    include term's FULL df (search._scored_span_not; two single-term
+    seeks + a LEFT join, JVM-side position filtering)."""
+    from lucene_clj_spark.query import SpanNotQ
+
+    idx = _index(spark, sf_dir)
+    out = idx.search(
+        SpanNotQ(1.0, "text", "merge", "window", 2, 2),
+        results_per_page=10, with_hit=False,
+    )
+    return _round6(out, "score")
+
+
+def q_function_score_topk(spark, sf_dir):
+    """FunctionScoreQuery.boostByValue: BM25('merge') * n_chars — the
+    stored-field DoubleValuesSource re-score (recency/authority boost
+    pattern); the value join reads (doc_id, n_chars) only
+    (search._scored_function_score)."""
+    from lucene_clj_spark.query import FunctionScoreQ, TermQ
+
+    idx = _index(spark, sf_dir)
+    out = idx.search(
+        FunctionScoreQ(
+            1.0, TermQ(1.0, "text", "merge"), "n_chars", "multiply"
+        ),
+        results_per_page=10, with_hit=False,
+    )
+    return _round6(out, "score")
+
+
 _MIX_FRACTIONS = {"en": 0.8, "de": 0.4, "fr": 1.0}
 
 
@@ -1339,6 +1387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": q_spell_suggest,
         "span_near_ordered_topk": q_span_near_ordered_topk,
         "span_near_unordered_topk": q_span_near_unordered_topk,
+        "span_or_topk": q_span_or_topk,
+        "span_not_topk": q_span_not_topk,
+        "function_score_topk": q_function_score_topk,
         "sample_mix_stats": q_sample_mix_stats,
         "shuffle_head": q_shuffle_head,
         "dup_components": q_dup_components,
@@ -1663,6 +1714,77 @@ freqs AS (
   FROM pairs GROUP BY doc_id
 )"""
         + _span_near_score_tail(t1, t2)
+    )
+
+
+def _span_or_sql(t1: str, t2: str, k: int = 10) -> str:
+    # SpanOrQuery twin: freq = SUM of the clause tfs per doc (the
+    # positional union of width-1 spans), idf = sum of the present
+    # terms' idfs, ONE BM25 saturation over the pooled freq
+    return (
+        _BASE
+        + f"""
+, freqs AS (
+  SELECT doc_id, sum(tf) AS freq
+  FROM post WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id
+)"""
+        + _span_near_score_tail(t1, t2).replace("LIMIT 10", f"LIMIT {k}")
+    )
+
+
+def _span_not_sql(
+    inc: str, exc: str, pre: int, post: int, k: int = 10
+) -> str:
+    # SpanNotQuery twin: include positions survive unless an exclude
+    # position lands in [p - pre, p + post] (1-based list indices —
+    # the window is shift-invariant); BM25 on the include term's FULL
+    # df, freq = surviving count
+    idf = bm25.idf_sql("t.df", "s.n")
+    qdl = bm25.quantized_dl_sql("d.dl")
+    return (
+        _BASE
+        + f"""
+, pos AS (
+  SELECT doc_id,
+    list_filter(range(1, len(ts)+1), i -> ts[i] = '{inc}') AS ip,
+    list_filter(range(1, len(ts)+1), i -> ts[i] = '{exc}') AS ep
+  FROM doc
+),
+freqs AS (
+  SELECT doc_id,
+    len(list_filter(ip, p -> len(list_filter(ep,
+        q -> q >= p - {pre} AND q <= p + {post})) = 0)) AS freq
+  FROM pos
+),
+scores AS (
+  SELECT f.doc_id,
+         {idf} * CAST(f.freq AS DOUBLE) /
+         (CAST(f.freq AS DOUBLE) + {K1!r} * ({1.0 - B!r} + {B!r} *
+          CAST({qdl} AS DOUBLE) / CAST(s.avgdl AS DOUBLE))) AS score
+  FROM freqs f
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  CROSS JOIN (SELECT df FROM tstat WHERE term = '{inc}') t
+  WHERE f.freq > 0
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
+    )
+
+
+def _function_score_sql(term: str, k: int = 10) -> str:
+    # FunctionScoreQuery.boostByValue twin: BM25(term) * n_chars from
+    # the stored documents row
+    return (
+        _TERM_SCORES.replace("{term}", term)
+        + f"""
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT sc.doc_id, sc.score * CAST(dd.n_chars AS DOUBLE) AS score
+  FROM scores sc JOIN documents dd USING (doc_id)
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)"""
     )
 
 
@@ -3065,6 +3187,9 @@ ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
             "merge", "window", 3),
         "span_near_unordered_topk": _span_near_unordered_sql(
             "merge", "window", 3),
+        "span_or_topk": _span_or_sql("merge", "window"),
+        "span_not_topk": _span_not_sql("merge", "window", 2, 2),
+        "function_score_topk": _function_score_sql("merge"),
         "sample_mix_stats": _sample_mix_sql(),
         "shuffle_head": _shuffle_head_sql(),
         "dup_components": _dup_components_sql(0.5),

@@ -298,6 +298,105 @@ class SpanNearQ(Node):
 
 
 @dataclass(frozen=True)
+class SpanOrQ(Node):
+    """Lucene ``SpanOrQuery`` over single-term clauses: matches
+    documents containing ANY of ``terms``; the span enumeration is the
+    positional union of the clauses. Scoring follows SpanScorer: each
+    width-1 span contributes sloppyFreq 1, so freq = the TOTAL
+    occurrence count across matching terms (sum of tfs); the
+    SpanWeight builds its similarity from every clause term's
+    statistics, so idf = the SUM of per-term idfs over the terms
+    present in the corpus (df = 0 terms are skipped, matching
+    ``IndexSearcher.termStatistics``'s null for absent terms); BM25
+    over that freq with the quantized length norm. Terms are verbatim
+    and deduplicated. Prebuilt-only — the query.clj:50-52 passthrough
+    surface.
+
+    vs BoolQ(SHOULD): an OR of term queries scores each term with ITS
+    OWN BM25 (per-term tf saturation) and sums the scores; span-or
+    pools the tfs FIRST and saturates once — a doc with 5+5
+    occurrences of two synonyms scores like one term with tf 10, not
+    like two saturating terms. This is why SpanOrQuery is the classic
+    synonym-expansion primitive.
+
+    Scale shape: ONE bucket-pruned postings scan with an IN predicate
+    (PartitionFilters + row-group pruning, like :class:`TermInSetQ`)
+    feeding a single map-side-combined aggregate — never a per-term
+    scan."""
+
+    field: str = ""
+    terms: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class SpanNotQ(Node):
+    """Lucene ``SpanNotQuery(include, exclude, pre, post)`` over
+    single-term clauses: matches spans of ``include`` that do NOT have
+    an ``exclude`` span within ``pre`` positions before or ``post``
+    positions after. For width-1 spans an include occurrence at
+    position p is rejected iff some exclude occurrence q satisfies
+    ``p - pre <= q <= p + post`` (the span-overlap test
+    ``E.end > S.start - pre and E.start < S.end + post`` specialized
+    to unit spans). Scoring: freq = the count of SURVIVING include
+    positions (each a sloppyFreq-1 span); the similarity is built from
+    the INCLUDE term's statistics only — the exclude clause gates
+    matching but contributes no idf and no df change (Lucene
+    SpanNotWeight passes the include weight's term states). BM25 over
+    that freq with the quantized length norm, full include-term df.
+    Terms are verbatim. Prebuilt-only — the query.clj:50-52
+    passthrough surface.
+
+    vs BoolQ(MUST_NOT): boolean NOT drops the whole document when the
+    excluded term appears ANYWHERE; span-not only drops the
+    co-located occurrences — "apple NOT NEAR pie" still matches a doc
+    that mentions apple pie once and plain apple elsewhere, with freq
+    reduced accordingly.
+
+    Scale shape: two bucket-pruned single-term postings seeks joined
+    on doc_id (LEFT join — docs without the exclude term keep every
+    position), position filtering fully JVM-side via higher-order
+    array functions; candidates are bounded by the include term's
+    df."""
+
+    field: str = ""
+    include: str = ""
+    exclude: str = ""
+    pre: int = 0
+    post: int = 0
+
+
+@dataclass(frozen=True)
+class FunctionScoreQ(Node):
+    """Lucene ``FunctionScoreQuery`` with a stored-field
+    ``DoubleValuesSource`` (``DoubleValuesSource.fromDoubleField`` /
+    ``fromLongField``): re-scores the ``inner`` query's match set with
+    a per-document value read from stored field ``source_field``.
+
+    ``mode="multiply"`` is ``FunctionScoreQuery.boostByValue`` —
+    score = inner_score * value; ``mode="replace"`` is the plain
+    ``FunctionScoreQuery(query, source)`` — score = value and the
+    inner query contributes its match set only. ``missing`` is the
+    value used for documents with a NULL stored value (Lucene's
+    ``DoubleValues`` advances to 0 for missing doc values). ``boost``
+    multiplies on top, as everywhere.
+
+    The classic use at web scale is recency/authority boosting:
+    ``FunctionScoreQ(inner=parse("ranked query"),
+    source_field="pagerank", mode="multiply")``.
+
+    Scale shape: the inner plan is unchanged; the value join reads
+    (doc_id, source_field) ONLY — column pruning reaches the docs
+    parquet scan, and the join key is the same doc_id the docs table
+    is sorted by. Prebuilt-only — the query.clj:50-52 passthrough
+    surface."""
+
+    inner: Node | None = None
+    source_field: str = ""
+    mode: str = "multiply"
+    missing: float = 0.0
+
+
+@dataclass(frozen=True)
 class MatchNone(Node):
     pass
 
@@ -856,6 +955,20 @@ def render(node: Node) -> str:
         clauses = ", ".join(f"{node.field}:{t}" for t in node.terms)
         s = (f"spanNear([{clauses}], {node.slop}, "
              f"{str(node.in_order).lower()})")
+    elif isinstance(node, SpanOrQ):
+        # Lucene SpanOrQuery.toString: spanOr([f:a, f:b])
+        clauses = ", ".join(f"{node.field}:{t}" for t in node.terms)
+        s = f"spanOr([{clauses}])"
+    elif isinstance(node, SpanNotQ):
+        # Lucene SpanNotQuery.toString: spanNot(f:a, f:b, pre, post)
+        s = (f"spanNot({node.field}:{node.include}, "
+             f"{node.field}:{node.exclude}, {node.pre}, {node.post})")
+    elif isinstance(node, FunctionScoreQ):
+        # Lucene FunctionScoreQuery.toString: FunctionScoreQuery(q,
+        # scored by double(field))
+        inner = render(node.inner) if node.inner is not None else ""
+        s = (f"FunctionScoreQuery({inner}, scored by "
+             f"double({node.source_field}), {node.mode})")
     elif isinstance(node, MultiPhraseQ):
         # Lucene MultiPhraseQuery.toString: field:"(a app) store"
         slots = " ".join(

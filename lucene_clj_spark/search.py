@@ -55,8 +55,11 @@ from lucene_clj_spark.query import (
     PhraseQ,
     RangeQ,
     RegexpQ,
+    FunctionScoreQ,
     SpanFirstQ,
     SpanNearQ,
+    SpanNotQ,
+    SpanOrQ,
     TermInSetQ,
     TermQ,
     WildcardQ,
@@ -1338,6 +1341,150 @@ def _scored_term_in_set(index, node: TermInSetQ) -> DataFrame:
     )
 
 
+def _scored_span_or(index, node: SpanOrQ) -> DataFrame:
+    """SpanOrQuery over single-term clauses (query.SpanOrQ — see its
+    docstring for the weight contract): freq = total occurrence count
+    across the matching terms, idf = sum over the present terms' dfs,
+    BM25 once over the pooled freq. Plan: ONE bucket-pruned postings
+    scan with an IN predicate (the TermInSet scan shape) feeding a
+    single aggregate — tf sums combine map-side, so the shuffle
+    carries one row per (doc, matched-term-set) partial, never the
+    positions."""
+    terms = list(dict.fromkeys(node.terms))
+    if not terms:
+        raise ValidationError(
+            "span_or needs >= 1 clause (SpanOrQuery with no clauses "
+            "matches nothing by construction)",
+            {"terms": terms},
+        )
+    if node.field not in index.stats:
+        return _empty_scores(index)
+    st = index.field_stats(node.field)
+    stats = _lookup_term_stats(index, [(node.field, t) for t in terms])
+    present = [t for t in terms if (node.field, t) in stats]
+    if not present:
+        return _empty_scores(index)
+    post = index.postings.filter(
+        (F.col("field") == node.field) & F.col("term").isin(present)
+    )
+    post = _bucket_pruned(index, post, present)
+    # integer tf sum — order-insensitive, no canonical fold needed
+    agg = post.groupBy("doc_id").agg(
+        F.sum("tf").alias("__freq"), F.max("dl").alias("__dl")
+    )
+    idf_sum = None
+    for t in present:
+        e = bm25.idf_col(F.lit(stats[(node.field, t)]), F.lit(st["N"]))
+        idf_sum = e if idf_sum is None else (idf_sum + e)
+    qdl = bm25.quantized_dl_col(F.col("__dl"))
+    denom = F.col("__freq").cast("double") + F.lit(bm25.K1) * (
+        F.lit(1.0 - bm25.B)
+        + F.lit(bm25.B) * qdl.cast("double") / F.lit(st["avgdl"])
+    )
+    return agg.select(
+        "doc_id",
+        (
+            F.lit(node.boost) * idf_sum
+            * F.col("__freq").cast("double") / denom
+        ).alias("score"),
+    )
+
+
+def _scored_span_not(index, node: SpanNotQ) -> DataFrame:
+    """SpanNotQuery over single-term clauses (query.SpanNotQ — see its
+    docstring for the overlap/weight contract): include positions
+    survive unless an exclude position lands in
+    ``[p - pre, p + post]``; freq = surviving-position count, BM25
+    over the include term's FULL df. Plan: two single-term
+    bucket-pruned seeks, LEFT join on doc_id (exclude-absent docs keep
+    everything), position filtering via JVM higher-order array
+    functions — no Python in the plan, candidates bounded by the
+    include term's df."""
+    if node.pre < 0 or node.post < 0:
+        raise ValidationError(
+            "span_not pre/post must be >= 0",
+            {"pre": node.pre, "post": node.post},
+        )
+    st = index.field_stats(node.field)
+    stats = _lookup_term_stats(index, [(node.field, node.include)])
+    df_ = stats.get((node.field, node.include))
+    if df_ is None:
+        return _empty_scores(index)
+    inc = _term_postings(index, node.field, node.include).select(
+        "doc_id", "dl", F.col("positions").alias("__inc")
+    )
+    exc = _term_postings(index, node.field, node.exclude).select(
+        "doc_id", F.col("positions").alias("__exc")
+    )
+    pre, post_ = int(node.pre), int(node.post)
+
+    def _survives(p):
+        return ~F.exists(
+            F.coalesce(F.col("__exc"), F.array().cast("array<int>")),
+            lambda q: (q >= p - F.lit(pre)) & (q <= p + F.lit(post_)),
+        )
+
+    freq = F.size(F.filter(F.col("__inc"), _survives))
+    qdl = bm25.quantized_dl_col(F.col("dl"))
+    denom = F.col("__freq").cast("double") + F.lit(bm25.K1) * (
+        F.lit(1.0 - bm25.B)
+        + F.lit(bm25.B) * qdl.cast("double") / F.lit(st["avgdl"])
+    )
+    idf = bm25.idf_col(F.lit(df_), F.lit(st["N"]))
+    return (
+        inc.join(exc, "doc_id", "left")
+        .withColumn("__freq", freq)
+        .filter(F.col("__freq") > 0)
+        .select(
+            "doc_id",
+            (
+                F.lit(node.boost) * idf
+                * F.col("__freq").cast("double") / denom
+            ).alias("score"),
+        )
+    )
+
+
+def _scored_function_score(index, node: FunctionScoreQ) -> DataFrame:
+    """FunctionScoreQuery with a stored-field DoubleValuesSource
+    (query.FunctionScoreQ): the inner match set joined to the docs
+    table pruned to (doc_id, source_field); multiply =
+    ``boostByValue``, replace = plain FunctionScoreQuery. NULL stored
+    values take ``missing``. The docs scan reads exactly two columns
+    (column pruning reaches parquet) and joins on the docs table's
+    own sort key."""
+    if node.inner is None:
+        return _empty_scores(index)
+    if node.mode not in ("multiply", "replace"):
+        raise ValidationError(
+            "function_score mode must be 'multiply' or 'replace'",
+            {"mode": node.mode},
+        )
+    if node.source_field not in index.docs.columns:
+        raise ValidationError(
+            f"function_score source_field {node.source_field!r} is not "
+            "a stored field",
+            {"source_field": node.source_field,
+             "stored": sorted(index.docs.columns)},
+        )
+    inner = compile_node(index, node.inner)
+    vals = index.docs.select(
+        "doc_id",
+        F.coalesce(
+            F.col(node.source_field).cast("double"),
+            F.lit(float(node.missing)),
+        ).alias("__fv"),
+    )
+    joined = inner.join(vals, "doc_id")
+    if node.mode == "multiply":
+        sc = F.col("score") * F.col("__fv")
+    else:
+        sc = F.col("__fv")
+    return joined.select(
+        "doc_id", (F.lit(float(node.boost)) * sc).alias("score")
+    )
+
+
 def _scored_multi_phrase(index, node: MultiPhraseQ) -> DataFrame:
     """MultiPhraseQuery — exact-adjacency phrase with per-slot term
     ALTERNATIVES (synonym phrase). Same join shape as
@@ -1990,6 +2137,12 @@ def compile_node(index, node: Node) -> DataFrame:
         return _scored_term_in_set(index, node)
     if isinstance(node, SpanNearQ):
         return _scored_span_near(index, node)
+    if isinstance(node, SpanOrQ):
+        return _scored_span_or(index, node)
+    if isinstance(node, SpanNotQ):
+        return _scored_span_not(index, node)
+    if isinstance(node, FunctionScoreQ):
+        return _scored_function_score(index, node)
     if isinstance(node, MultiPhraseQ):
         return _scored_multi_phrase(index, node)
     if isinstance(node, ConstantScoreQ):
