@@ -302,6 +302,19 @@ def q_ann_cosine_topk(spark, sf_dir):
     return _round6(out, "cos_sim")
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: 8 deterministic pivot cells (smallest
+    vec_ids), probe the query's 2 nearest cells, exact cosine within
+    (ann.ivf_topk; assignment is a literal-folded struct-max — one
+    scan, no join)."""
+    qv = _query_vec(sf_dir)
+    out = ann.ivf_topk(
+        _embeddings(spark, sf_dir), qv, k=10, n_cells=8, nprobe=2,
+        exclude_vec_id=0,
+    )
+    return _round6(out, "cos_sim")
+
+
 def q_token_stats(spark, sf_dir):
     out = textfn.token_stats(_docs(spark, sf_dir))
     return _floor6(out, "ttr", "stopword_ratio", "avg_token_len", "quality")
@@ -309,6 +322,14 @@ def q_token_stats(spark, sf_dir):
 
 def q_fingerprint(spark, sf_dir):
     return textfn.fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    """BPE-ish + whitespace token-count estimators per document
+    (training-data budgeting; textfn.token_count_estimates — the
+    GPT-2-family pre-tokenizer regex counted JVM-side, no Python)."""
+    out = textfn.token_count_estimates(_docs(spark, sf_dir))
+    return _floor6(out, "bytes_per_token")
 
 
 def q_search_after(spark, sf_dir):
@@ -1327,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "token_stats": q_token_stats,
+        "token_counts": q_token_counts,
         "fingerprint": q_fingerprint,
         "search_after": q_search_after,
         "wand_search_after": q_wand_search_after,
@@ -1335,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_exact": q_events_type_exact,
         "events_value_exact": q_events_value_exact,
         "ann_rp_lsh_topk": q_ann_rp_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "knn_join": q_knn_join,
         "lang_id": q_lang_id,
         "dsl_boost_topk": q_dsl_boost_topk,
@@ -2687,6 +2710,30 @@ SELECT vec_id, round(cos_sim, 6) AS cos_sim FROM (
 )"""
 
 
+def _token_counts_sql() -> str:
+    # token_count_estimates twin: the SAME BPE-ish pattern counts
+    # identically under RE2 (see functions/text.py:BPE_ISH_PATTERN);
+    # ws split on \s+ over trimmed text, empty -> 0
+    pat = textfn.BPE_ISH_PATTERN.replace("'", "''")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws,
+    len(regexp_extract_all(text, '{pat}')) AS bpe,
+    octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT doc_id,
+  CAST(ws AS BIGINT) AS ws_tokens,
+  CAST(bpe AS BIGINT) AS bpe_ish_tokens,
+  CAST(nb AS BIGINT) AS n_bytes,
+  CASE WHEN bpe > 0 THEN
+    floor(CAST(nb AS DOUBLE) / bpe * 1000000.0 + 0.5) / 1000000.0
+  END AS bytes_per_token
+FROM base"""
+
+
 def _token_stats_sql() -> str:
     stop = ", ".join(f"'{s}'" for s in textfn.QUALITY_STOPWORDS)
     return f"""
@@ -2899,6 +2946,60 @@ SELECT vec_id, round(cos_sim, 6) AS cos_sim FROM (
 )"""
 
 
+def _ann_ivf_sql(
+    qv: list[float], k: int = 10, n_cells: int = 8, nprobe: int = 2
+) -> str:
+    # IVF twin: pivots = the n_cells smallest vec_ids (cell = rank-1),
+    # assignment = argmax cosine (ties -> smallest cell), probe the
+    # query's nprobe nearest cells, exact cosine within. The cosine
+    # arithmetic (sequential list_sum over per-element double products)
+    # matches the engine's F.aggregate fold bit-for-bit.
+    lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]::DOUBLE[]"
+    n = len(qv)
+
+    def cos(vec: str, other: str) -> str:
+        return f"""
+    list_sum(list_transform(range(1, {n + 1}),
+        i -> CAST({vec}[i] AS DOUBLE) * CAST({other}[i] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(range(1, {n + 1}),
+        i -> CAST({vec}[i] AS DOUBLE) * CAST({vec}[i] AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(range(1, {n + 1}),
+        i -> CAST({other}[i] AS DOUBLE) * CAST({other}[i] AS DOUBLE)))))"""
+
+    return f"""
+WITH q AS (SELECT {lit} AS qv),
+pivots AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         embedding AS pv
+  FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, p.cell,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {cos("e.embedding", "p.pv")} DESC, p.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN pivots p
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cell FROM (
+    SELECT p.cell,
+      row_number() OVER (
+        ORDER BY {cos("q.qv", "p.pv")} DESC, p.cell ASC) AS rn
+    FROM pivots p CROSS JOIN q
+  ) WHERE rn <= {nprobe}
+),
+sims AS (
+  SELECT a.vec_id, {cos("a.embedding", "q.qv")} AS cos_sim
+  FROM assigned a CROSS JOIN q
+  WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id <> 0
+)
+SELECT vec_id, round(cos_sim, 6) AS cos_sim FROM (
+  SELECT vec_id, cos_sim FROM sims
+  ORDER BY cos_sim DESC, vec_id LIMIT {k}
+)"""
+
+
 def _knn_join_sql(k: int = 3, n_planes: int = 6, dim: int = 64) -> str:
     planes = _plane_literals(n_planes, dim)
     bucket_a = _bucket_sql("a.embedding", planes, dim)
@@ -3079,6 +3180,7 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "simhash": _simhash_sql(32),
         "ann_cosine_topk": _ann_sql(qv, 10),
         "token_stats": _token_stats_sql(),
+        "token_counts": _token_counts_sql(),
         "fingerprint": _fingerprint_sql(),
         "search_after": _term_topk_sql("scan", 10, offset=10),
         "wand_search_after": _term_topk_sql("scan", 10, offset=10),
@@ -3090,6 +3192,7 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
             "WHERE value = 4.29 ORDER BY event_id LIMIT 100"
         ),
         "ann_rp_lsh_topk": _ann_rp_lsh_sql(qv, 10, 8),
+        "ann_ivf_topk": _ann_ivf_sql(qv, 10, 8, 2),
         "knn_join": _knn_join_sql(3, 6, 64),
         "dsl_boost_topk": _dsl_boost_sql(),
         "dsl_grouped_topk": _dsl_grouped_sql(),

@@ -16,6 +16,12 @@ Input: a table with (vec_id:long, embedding:array<float>).
   deterministic and reproducible across engines (no stored model).
 - ``knn_join_bucketed``: all-pairs k-NN join via bucket equality —
   linear shuffle instead of crossJoin.
+- ``ivf_pivots`` / ``ivf_assign`` / ``ivf_topk``: IVF (inverted-file)
+  ANN — a deterministic coarse quantizer (smallest-vec_id seeding,
+  optional Lloyd refinement), literal-folded struct-max cell
+  assignment (one scan, no join), nprobe-cell probing. The scale path
+  when LSH buckets collapse under correlated embeddings; scan cost ~
+  nprobe/n_cells once the assigned table is partitioned by cell.
 """
 
 from __future__ import annotations
@@ -122,6 +128,136 @@ def rp_lsh_topk(
     out = bucketed.filter(F.col("bucket") == qb)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     out = out.select("vec_id", cosine_sim(F.col(vec_col), q).alias("cos_sim"))
+    if exclude_vec_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_vec_id)
+    return out.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+
+
+def ivf_pivots(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse quantizer: cell c's pivot seeds from
+    the vector with the (c+1)-th smallest vec_id (reproducible across
+    engines and runs — k-means++ RNG seeding is not). With
+    ``refine_iters > 0``, Lloyd passes move the pivots toward true
+    k-means centroids: each pass is ONE assignment job + ONE dim-wide
+    avg aggregate (``F.avg`` per component — map-side combined, the
+    shuffle carries n_cells * dim doubles, never vectors). Empty cells
+    keep their previous pivot. Returns [(cell, [floats])] — a
+    broadcast-sized model (n_cells * dim doubles)."""
+    seed_rows = (
+        embeddings.select("vec_id", vec_col)
+        .orderBy("vec_id")
+        .limit(n_cells)
+        .collect()
+    )
+    pivots = [
+        (c, [float(x) for x in r[vec_col]])
+        for c, r in enumerate(seed_rows)
+    ]
+    if not pivots:
+        return []
+    dim = len(pivots[0][1])
+    for _ in range(int(refine_iters)):
+        assigned = ivf_assign(embeddings, pivots, vec_col)
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_cell = {
+            int(r["cell"]): [float(r[f"m{i}"]) for i in range(dim)]
+            for r in means
+        }
+        pivots = [(c, by_cell.get(c, p)) for c, p in pivots]
+    return pivots
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    pivots: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``cell`` = the pivot with the highest cosine similarity
+    (ties -> smallest cell). The pivots are literals folded into the
+    plan (the broadcast-sized model), so assignment is one scan with a
+    JVM struct-max over n_cells dot products — no join, no shuffle, no
+    Python. At scale the assigned table is written partitioned by
+    cell; probes then partition-prune."""
+    if not pivots:
+        raise ValueError("ivf_assign needs >= 1 pivot")
+    entries = []
+    for c, p in pivots:
+        pv = F.array(*[F.lit(float(x)) for x in p])
+        entries.append(
+            F.struct(
+                cosine_sim(F.col(vec_col), pv).alias("sim"),
+                F.lit(-c).alias("negcell"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return embeddings.withColumn(
+        "cell", (-best["negcell"]).cast("long")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    refine_iters: int = 0,
+    exclude_vec_id: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest pivot
+    cell, probe only the query's ``nprobe`` nearest cells, exact
+    cosine within them. The scale path beyond sign-LSH: cell
+    population tracks the data distribution (LSH buckets can collapse
+    under correlated embeddings), and recall/cost tunes smoothly via
+    nprobe. Scan cost ~ nprobe/n_cells of the corpus when the
+    assigned table is partitioned by cell.
+
+    Probe-cell choice uses a SEQUENTIAL driver-side float sum so the
+    DuckDB oracle twin (list_sum over list_transform) picks the same
+    cells bit-for-bit; the in-plan assignment's F.aggregate fold is
+    sequential for the same reason."""
+    pivots = ivf_pivots(embeddings, n_cells, vec_col, refine_iters)
+    if not pivots:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, cos_sim double"
+        )
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / ((na ** 0.5) * (nb ** 0.5))
+
+    qd = [float(x) for x in query_vec]
+    ranked = sorted(
+        ((_cos(qd, p), c) for c, p in pivots),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probe = [c for _, c in ranked[: max(1, int(nprobe))]]
+    out = ivf_assign(embeddings, pivots, vec_col).filter(
+        F.col("cell").isin(probe)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = out.select(
+        "vec_id", cosine_sim(F.col(vec_col), q).alias("cos_sim")
+    )
     if exclude_vec_id is not None:
         out = out.filter(F.col("vec_id") != exclude_vec_id)
     return out.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)

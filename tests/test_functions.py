@@ -125,6 +125,64 @@ def test_knn_join_bucketed(spark):
     assert all(len(v) == 2 for v in by_vec.values())
 
 
+def test_ivf_assign_and_topk(spark):
+    # three tight clusters around axis directions; pivots seed from
+    # vec_ids 0..2 (one per cluster by construction)
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+        (2, [0.0, 0.0, 1.0]),
+        (3, [0.9, 0.1, 0.0]), (4, [0.1, 0.9, 0.0]),
+        (5, [0.0, 0.1, 0.9]), (6, [0.95, 0.05, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pivots = ann.ivf_pivots(df, n_cells=3)
+    assert [c for c, _ in pivots] == [0, 1, 2]
+    cells = {r["vec_id"]: r["cell"]
+             for r in ann.ivf_assign(df, pivots).collect()}
+    assert cells == {0: 0, 1: 1, 2: 2, 3: 0, 4: 1, 5: 2, 6: 0}
+    # probing 1 cell around the x-axis query returns only cluster 0,
+    # ordered by exact cosine
+    out = ann.ivf_topk(df, [1.0, 0.0, 0.0], k=5, n_cells=3, nprobe=1)
+    got = [r["vec_id"] for r in out.collect()]
+    assert got == [0, 6, 3]
+    # nprobe=3 == brute force over everything
+    full = ann.ivf_topk(df, [1.0, 0.0, 0.0], k=7, n_cells=3, nprobe=3)
+    brute = ann.cosine_topk(df, [1.0, 0.0, 0.0], k=7)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in brute.collect()
+    ]
+
+
+def test_ivf_assign_tie_prefers_smallest_cell(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    pivots = ann.ivf_pivots(df, n_cells=3)
+    cells = {r["vec_id"]: r["cell"]
+             for r in ann.ivf_assign(df, pivots).collect()}
+    assert set(cells.values()) == {0}
+
+
+def test_ivf_lloyd_refinement_moves_pivots(spark):
+    # two clusters; seeds both land in cluster A (vec_ids 0,1) — one
+    # Lloyd pass must pull a pivot toward cluster B's mean, and empty
+    # cells keep their previous pivot
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]), (3, [0.1, 0.9]), (4, [0.05, 0.95]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    seeded = ann.ivf_pivots(df, n_cells=2, refine_iters=0)
+    refined = ann.ivf_pivots(df, n_cells=2, refine_iters=2)
+    assert seeded != refined
+    cells = {r["vec_id"]: r["cell"]
+             for r in ann.ivf_assign(df, refined).collect()}
+    # after refinement the B cluster is a cell of its own
+    assert cells[2] == cells[3] == cells[4]
+    assert cells[0] != cells[2]
+
+
 def test_token_stats_formulas(spark):
     df = spark.createDataFrame(
         [(0, "the the quick fox"), (1, "aa bb cc dd")], ["doc_id", "text"]
@@ -138,6 +196,50 @@ def test_token_stats_formulas(spark):
     r1 = got[1]
     assert r1["ttr"] == 1.0 and r1["stopword_ratio"] == 0.0
     assert r1["quality"] == pytest.approx(1.0 * 1.0 * 4 / 256)
+
+
+def test_token_count_estimates_goldens(spark):
+    rows = [
+        (0, "it's a test"),          # contraction -> 4 bpe, 3 ws
+        (1, "12345 cats"),           # digit runs cap at 3 -> 123|45|cats
+        (2, "don't stop—now!!"),     # punct runs; em-dash is 3 bytes
+        (3, ""),                     # empty -> zeros, NULL ratio
+        (4, "日本語 テスト 123456789"),  # unicode letters + digit groups
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r
+           for r in textfn.token_count_estimates(df).collect()}
+    assert (got[0]["bpe_ish_tokens"], got[0]["ws_tokens"]) == (4, 3)
+    assert (got[1]["bpe_ish_tokens"], got[1]["ws_tokens"]) == (3, 2)
+    assert (got[2]["bpe_ish_tokens"], got[2]["ws_tokens"]) == (6, 2)
+    assert got[3]["bpe_ish_tokens"] == 0 and got[3]["ws_tokens"] == 0
+    assert got[3]["bytes_per_token"] is None
+    assert (got[4]["bpe_ish_tokens"], got[4]["ws_tokens"]) == (5, 3)
+    assert got[0]["n_bytes"] == 11
+    assert got[0]["bytes_per_token"] == pytest.approx(11 / 4)
+
+
+def test_token_count_pattern_matches_duckdb(spark):
+    """The Java-regex (Spark) and RE2 (DuckDB) counts must agree on
+    the adversarial shapes — the oracle twin depends on it."""
+    import duckdb
+
+    texts = ["it's a test", "12345 cats", "héllo wörld",
+             "don't stop—now!!", "''s odd", "a1b2", "  ", "",
+             "3.14159", "e=mc2", "日本語 テスト 123456789",
+             "a'b 'quoted' x''y", "--- ''' !?!"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["bpe_ish_tokens"]
+           for r in textfn.token_count_estimates(df).collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "select len(regexp_extract_all(?, ?))",
+            [t, textfn.BPE_ISH_PATTERN],
+        ).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)
 
 
 def test_fingerprint_deterministic(spark):
