@@ -332,6 +332,15 @@ def q_token_counts(spark, sf_dir):
     return _floor6(out, "bytes_per_token")
 
 
+def q_quality_flags(spark, sf_dir):
+    """Gopher-style quality-filter flags per document (word count,
+    mean word length, alpha ratio, stopword presence, top-word
+    repetition; textfn.quality_flags — JVM higher-order array
+    functions over one split, no Python)."""
+    out = textfn.quality_flags(_docs(spark, sf_dir))
+    return _floor6(out, "mean_word_len", "top_word_ratio")
+
+
 def q_search_after(spark, sf_dir):
     """Keyset continuation: page 0 of a term query, then the next 10
     strictly after the last (score, doc_id) key — S4 semantics."""
@@ -1349,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "token_stats": q_token_stats,
         "token_counts": q_token_counts,
+        "quality_flags": q_quality_flags,
         "fingerprint": q_fingerprint,
         "search_after": q_search_after,
         "wand_search_after": q_wand_search_after,
@@ -2734,6 +2744,61 @@ SELECT doc_id,
 FROM base"""
 
 
+def _quality_flags_sql() -> str:
+    # quality_flags twin: same whitespace words, same thresholds; flag
+    # predicates use the UNROUNDED doubles on both engines (sequential
+    # sums -> bit-identical), display columns floor-rounded to 6dp
+    stop = ", ".join(f"'{s}'" for s in textfn.QUALITY_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(text), '\\s+') END AS ts
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(ts) AS n,
+    list_sum(list_transform(ts, t -> length(t))) AS sum_len,
+    len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]')))
+      AS n_alpha,
+    len(list_filter(list_distinct(ts), t -> t IN ({stop})))
+      AS n_stop,
+    list_max(list_transform(list_distinct(ts),
+        t -> len(list_filter(ts, x -> x = t)))) AS top_tf
+  FROM base
+),
+f AS (
+  SELECT doc_id, n,
+    CASE WHEN n > 0 THEN CAST(sum_len AS DOUBLE) / n END AS mean_len,
+    CASE WHEN n > 0 THEN CAST(top_tf AS DOUBLE) / n END AS top_ratio,
+    (n >= 50 AND n <= 100000) AS ok_wc,
+    CASE WHEN n > 0 THEN CAST(sum_len AS DOUBLE) / n >= 3.0
+         AND CAST(sum_len AS DOUBLE) / n <= 10.0
+         ELSE FALSE END AS ok_mwl,
+    CASE WHEN n > 0 THEN CAST(n_alpha AS DOUBLE) / n >= 0.8
+         ELSE FALSE END AS ok_alpha,
+    (n_stop >= 2) AS ok_stop,
+    CASE WHEN n > 0 THEN CAST(top_tf AS DOUBLE) / n <= 0.2
+         ELSE FALSE END AS ok_rep
+  FROM m
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_words,
+  CASE WHEN mean_len IS NOT NULL
+       THEN floor(mean_len * 1000000.0 + 0.5) / 1000000.0
+  END AS mean_word_len,
+  CASE WHEN top_ratio IS NOT NULL
+       THEN floor(top_ratio * 1000000.0 + 0.5) / 1000000.0
+  END AS top_word_ratio,
+  ok_wc AS ok_word_count,
+  ok_mwl AS ok_mean_word_len,
+  ok_alpha,
+  ok_stop,
+  ok_rep AS ok_repetition,
+  (ok_wc AND ok_mwl AND ok_alpha AND ok_stop AND ok_rep) AS keep
+FROM f"""
+
+
 def _token_stats_sql() -> str:
     stop = ", ".join(f"'{s}'" for s in textfn.QUALITY_STOPWORDS)
     return f"""
@@ -3181,6 +3246,7 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "ann_cosine_topk": _ann_sql(qv, 10),
         "token_stats": _token_stats_sql(),
         "token_counts": _token_counts_sql(),
+        "quality_flags": _quality_flags_sql(),
         "fingerprint": _fingerprint_sql(),
         "search_after": _term_topk_sql("scan", 10, offset=10),
         "wand_search_after": _term_topk_sql("scan", 10, offset=10),

@@ -227,6 +227,17 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
         timed(lambda: idx.search(
             SpanNearQ(1.0, "text", ("merge", "window"), 3, True),
             with_hit=False).collect(), name="q_span_near"), 4)
+    from lucene_clj_spark.query import FunctionScoreQ, SpanOrQ, TermQ
+
+    queries["q_span_or"] = round(
+        timed(lambda: idx.search(
+            SpanOrQ(1.0, "text", ("merge", "window")),
+            with_hit=False).collect(), name="q_span_or"), 4)
+    queries["q_function_score"] = round(
+        timed(lambda: idx.search(
+            FunctionScoreQ(1.0, TermQ(1.0, "text", "merge"),
+                           "n_chars", "multiply"),
+            with_hit=False).collect(), name="q_function_score"), 4)
 
     base_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     from lucene_clj_spark.functions.sampling import stratified_sample
@@ -255,6 +266,17 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
     ).fetchone()[0]
     queries["ann_cosine"] = round(
         timed(lambda: ann.cosine_topk(emb, qv, k=10).collect(), 3), 4)
+    queries["ann_ivf"] = round(
+        timed(lambda: ann.ivf_topk(
+            emb, qv, k=10, n_cells=8, nprobe=2).collect(), 3), 4)
+    from lucene_clj_spark.functions import text as textfn
+
+    queries["token_counts"] = round(
+        timed(lambda: textfn.token_count_estimates(
+            base_docs).count(), 3), 4)
+    queries["quality_flags"] = round(
+        timed(lambda: textfn.quality_flags(
+            base_docs).filter("keep").count(), 3), 4)
 
     # --- block-max WAND over compressed segments (the scale kernel) ---
     seg_bytes = None

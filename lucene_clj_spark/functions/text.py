@@ -157,6 +157,72 @@ def fingerprint(
     )
 
 
+def quality_flags(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style document-quality filter flags (the published rule
+    family from Rae et al. 2021 "Scaling Language Models" Appendix A,
+    plus C4's stopword-presence heuristic), per document:
+
+    - ``ok_word_count``: 50 <= words <= 100,000
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+    - ``ok_alpha``: >= 80% of words contain an alphabetic character
+    - ``ok_stop``: >= 2 DISTINCT common stopwords present
+    - ``ok_repetition``: most-frequent word <= 20% of all words
+      (the cheap proxy for Gopher's duplicate-n-gram rules)
+    - ``keep`` = the conjunction
+
+    Columns: (doc_id, n_words, mean_word_len, top_word_ratio,
+    ok_word_count, ok_mean_word_len, ok_alpha, ok_stop,
+    ok_repetition, keep). Whitespace words, not analyzer tokens —
+    quality filtering runs BEFORE analysis in a real pipeline.
+    Everything is JVM higher-order array functions over one split:
+    one narrow projection, no Python, no shuffle."""
+    c = F.col(text_col)
+    toks = F.when(F.trim(c) == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(F.trim(c), r"\s+"))
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_len = F.when(n > 0, F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    ).cast("double") / nd)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    n_stop_distinct = F.size(
+        F.filter(F.array_distinct(toks),
+                 lambda t: F.array_contains(stop_arr, t))
+    )
+    top_tf = F.when(n > 0, F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    ))
+    top_ratio = top_tf.cast("double") / nd
+    ok_wc = (n >= 50) & (n <= 100000)
+    ok_mwl = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_alpha = F.when(
+        n > 0, n_alpha.cast("double") / nd >= 0.8
+    ).otherwise(F.lit(False))
+    ok_stop = n_stop_distinct >= 2
+    ok_rep = F.when(n > 0, top_ratio <= 0.2).otherwise(F.lit(False))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        top_ratio.alias("top_word_ratio"),
+        ok_wc.alias("ok_word_count"),
+        F.coalesce(ok_mwl, F.lit(False)).alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        ok_rep.alias("ok_repetition"),
+        (
+            ok_wc & F.coalesce(ok_mwl, F.lit(False)) & ok_alpha
+            & ok_stop & F.coalesce(top_ratio <= 0.2, F.lit(False))
+        ).alias("keep"),
+    )
+
+
 # Language-ID: tiny stopword-profile heuristic. The synthetic corpus has
 # an English-ish vocabulary, so this is exercised via pytest goldens on
 # constructed sentences (rows-only for the driver oracle).

@@ -219,6 +219,33 @@ def test_token_count_estimates_goldens(spark):
     assert got[0]["bytes_per_token"] == pytest.approx(11 / 4)
 
 
+def test_quality_flags_goldens(spark):
+    long_good = " ".join(
+        ["the", "a", "of"] + [f"word{i}" for i in range(60)]
+    )  # 63 words, distinct, 3 stopwords, mean len ~4.9
+    repetitive = " ".join(["the", "a"] + ["spam"] * 58)  # top 58/60
+    short = "the a tiny one"  # 4 words -> word-count gate fails
+    rows = [(0, long_good), (1, repetitive), (2, short), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r
+           for r in textfn.quality_flags(df).collect()}
+    r0 = got[0]
+    assert r0["n_words"] == 63 and r0["keep"]
+    assert r0["ok_word_count"] and r0["ok_mean_word_len"]
+    assert r0["ok_alpha"] and r0["ok_stop"] and r0["ok_repetition"]
+    assert r0["top_word_ratio"] == pytest.approx(1 / 63)
+    r1 = got[1]
+    assert not r1["ok_repetition"] and not r1["keep"]
+    assert r1["top_word_ratio"] == pytest.approx(58 / 60)
+    r2 = got[2]
+    assert not r2["ok_word_count"] and not r2["keep"]
+    assert r2["ok_stop"]  # 'the' and 'a' both present
+    r3 = got[3]
+    assert r3["n_words"] == 0 and not r3["keep"]
+    assert r3["mean_word_len"] is None
+    assert not r3["ok_alpha"] and not r3["ok_repetition"]
+
+
 def test_token_count_pattern_matches_duckdb(spark):
     """The Java-regex (Spark) and RE2 (DuckDB) counts must agree on
     the adversarial shapes — the oracle twin depends on it."""

@@ -165,6 +165,29 @@ def test_disk_term_query_plan_prunes(disk_index):
     assert "Sort " not in s  # no global sort operator
 
 
+def test_disk_span_or_plan_prunes_and_aggregates_once(disk_index):
+    """SpanOrQ on a disk index: ONE postings scan with the clause set
+    as an IN predicate (bucket directories constant-folded into
+    PartitionFilters, term IN pushed for row-group skipping), one
+    partial-aggregate pair (map-side combine), positions pruned, and
+    bounded-heap top-k."""
+    from lucene_clj_spark.query import SpanOrQ
+
+    plan = disk_index.search(
+        SpanOrQ(1.0, "text", ("merge", "window")), with_hit=False,
+        strategy="dataframe",
+    )
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in s and "bucket" in s.split(
+        "PartitionFilters", 1)[1][:160]
+    assert "In(term, [merge,window])" in s
+    read_schema = s.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "positions" not in read_schema
+    # one scan, one shuffle: exactly one Exchange below the aggregate
+    assert s.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in s
+
+
 def test_build_segments_bucket_scan_partition_prunes(disk_index):
     """VERDICT r03 finding #1: the per-bucket postings scan inside
     build_segments must filter on the PHYSICAL bucket partition column

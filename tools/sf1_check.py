@@ -70,6 +70,10 @@ INDEX_QUERIES = [
     # and the post-purge rebuild: a full-table rewrite at sf1)
     "term_in_set_topk", "multi_phrase_topk", "spell_suggest",
     "span_near_ordered_topk", "span_near_unordered_topk",
+    # round-4 continuation: the rest of the span family, stored-field
+    # value boosting, and the BPE-ish token-count estimators
+    "span_or_topk", "span_not_topk", "function_score_topk",
+    "token_counts", "quality_flags",
     "sample_mix_stats", "shuffle_head",
     "delete_search_topk", "purge_search_topk",
     # round-4 batch family LAST: a 4-query log in one job, the
