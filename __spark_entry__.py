@@ -1753,15 +1753,38 @@ freqs AS (
 def _span_or_sql(t1: str, t2: str, k: int = 10) -> str:
     # SpanOrQuery twin: freq = SUM of the clause tfs per doc (the
     # positional union of width-1 spans), idf = sum of the present
-    # terms' idfs, ONE BM25 saturation over the pooled freq
+    # terms' idfs, ONE BM25 saturation over the pooled freq. The idf
+    # sum is a chain of per-term COALESCE'd scalar subqueries (clause
+    # order preserved) so a df=0 clause contributes 0 — matching the
+    # engine's skip-absent-terms contract — instead of emptying the
+    # result via a CROSS JOIN against an empty tstat selection.
+    idf_terms = " + ".join(
+        f"COALESCE((SELECT {bm25.idf_sql('t.df', 's.n')} "
+        f"FROM tstat t CROSS JOIN stats s WHERE t.term = '{t}'), 0.0)"
+        for t in (t1, t2)
+    )
+    qdl = bm25.quantized_dl_sql("d.dl")
     return (
         _BASE
         + f"""
 , freqs AS (
   SELECT doc_id, sum(tf) AS freq
   FROM post WHERE term IN ('{t1}', '{t2}') GROUP BY doc_id
+),
+scores AS (
+  SELECT f.doc_id,
+         ({idf_terms}) * f.freq /
+         (f.freq + {K1!r} * ({1.0 - B!r} + {B!r} *
+          CAST({qdl} AS DOUBLE) / CAST(s.avgdl AS DOUBLE))) AS score
+  FROM freqs f
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+  WHERE f.freq > 0
+)
+SELECT doc_id, round(score, 6) AS score FROM (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
 )"""
-        + _span_near_score_tail(t1, t2).replace("LIMIT 10", f"LIMIT {k}")
     )
 
 
@@ -2723,13 +2746,17 @@ SELECT vec_id, round(cos_sim, 6) AS cos_sim FROM (
 def _token_counts_sql() -> str:
     # token_count_estimates twin: the SAME BPE-ish pattern counts
     # identically under RE2 (see functions/text.py:BPE_ISH_PATTERN);
-    # ws split on \s+ over trimmed text, empty -> 0
+    # words = explicit-class whitespace split with empty fields
+    # dropped (text.py:_ws_words — edge whitespace yields no phantom
+    # words, and the explicit class sidesteps the Java-vs-RE2 \\s
+    # divergence on vertical tab)
     pat = textfn.BPE_ISH_PATTERN.replace("'", "''")
+    ws = textfn.WS_CLASS.replace("'", "''")
     return f"""
 WITH base AS (
   SELECT doc_id,
-    CASE WHEN trim(text) = '' THEN 0
-         ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws,
+    len(list_filter(string_split_regex(text, '{ws}+'),
+        t -> t <> '')) AS ws,
     len(regexp_extract_all(text, '{pat}')) AS bpe,
     octet_length(encode(text)) AS nb
   FROM documents
@@ -2749,23 +2776,30 @@ def _quality_flags_sql() -> str:
     # predicates use the UNROUNDED doubles on both engines (sequential
     # sums -> bit-identical), display columns floor-rounded to 6dp
     stop = ", ".join(f"'{s}'" for s in textfn.QUALITY_STOPWORDS)
+    ws = textfn.WS_CLASS.replace("'", "''")
     return f"""
 WITH base AS (
   SELECT doc_id,
-    CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-         ELSE string_split_regex(trim(text), '\\s+') END AS ts
+    list_filter(string_split_regex(text, '{ws}+'), t -> t <> '')
+      AS ts
   FROM documents
 ),
+toptf AS (
+  SELECT doc_id, max(cnt) AS top_tf FROM (
+    SELECT doc_id, u.t, count(*) AS cnt
+    FROM base, LATERAL unnest(ts) AS u(t)
+    GROUP BY doc_id, u.t
+  ) GROUP BY doc_id
+),
 m AS (
-  SELECT doc_id, len(ts) AS n,
+  SELECT b.doc_id, len(ts) AS n,
     list_sum(list_transform(ts, t -> length(t))) AS sum_len,
     len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]')))
       AS n_alpha,
     len(list_filter(list_distinct(ts), t -> t IN ({stop})))
       AS n_stop,
-    list_max(list_transform(list_distinct(ts),
-        t -> len(list_filter(ts, x -> x = t)))) AS top_tf
-  FROM base
+    tt.top_tf
+  FROM base b LEFT JOIN toptf tt USING (doc_id)
 ),
 f AS (
   SELECT doc_id, n,

@@ -17,8 +17,8 @@ Input: a table with (vec_id:long, embedding:array<float>).
 - ``knn_join_bucketed``: all-pairs k-NN join via bucket equality —
   linear shuffle instead of crossJoin.
 - ``ivf_pivots`` / ``ivf_assign`` / ``ivf_topk``: IVF (inverted-file)
-  ANN — a deterministic coarse quantizer (smallest-vec_id seeding,
-  optional Lloyd refinement), literal-folded struct-max cell
+  ANN — a coarse quantizer with deterministic smallest-vec_id seeding
+  (optional Lloyd refinement, see its caveat), literal-folded struct-max cell
   assignment (one scan, no join), nprobe-cell probing. The scale path
   when LSH buckets collapse under correlated embeddings; scan cost ~
   nprobe/n_cells once the assigned table is partitioned by cell.
@@ -139,13 +139,19 @@ def ivf_pivots(
     vec_col: str = "embedding",
     refine_iters: int = 0,
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic IVF coarse quantizer: cell c's pivot seeds from
-    the vector with the (c+1)-th smallest vec_id (reproducible across
-    engines and runs — k-means++ RNG seeding is not). With
+    """IVF coarse quantizer. SEEDING (``refine_iters=0``) is fully
+    deterministic and engine-reproducible: cell c's pivot is the
+    vector with the (c+1)-th smallest vec_id (k-means++ RNG seeding
+    is not reproducible; the oracle twins depend on this mode). With
     ``refine_iters > 0``, Lloyd passes move the pivots toward true
     k-means centroids: each pass is ONE assignment job + ONE dim-wide
     avg aggregate (``F.avg`` per component — map-side combined, the
-    shuffle carries n_cells * dim doubles, never vectors). Empty cells
+    shuffle carries n_cells * dim doubles, never vectors). Refinement
+    is deterministic only up to floating-point summation order — the
+    standard distributed-k-means caveat: ``F.avg`` folds partials in
+    task-completion order, so two runs can produce last-bit-different
+    centroids and near-equidistant vectors may flip cells. Use
+    refine_iters=0 where bit-reproducibility matters. Empty cells
     keep their previous pivot. Returns [(cell, [floats])] — a
     broadcast-sized model (n_cells * dim doubles)."""
     seed_rows = (

@@ -87,16 +87,35 @@ def token_stats(
     return out
 
 
+# ASCII whitespace spelled as an explicit class: Java's default \s is
+# [ \t\n\x0B\f\r] but RE2's omits vertical tab, so a bare \s silently
+# diverges between Spark and the DuckDB oracle twins on \x0B. An
+# explicit class parses identically in both.
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+
 # BPE-ish pre-tokenizer pattern (the GPT-2-family shape): contraction
 # suffixes, Unicode letter runs, digit runs capped at 3 (modern BPE
 # vocabularies split numbers into 1-3 digit groups), punctuation runs
 # (apostrophes separate so contractions win), standalone apostrophe
 # runs. Chosen to count IDENTICALLY under Java regex (Spark) and RE2
 # (DuckDB) — branches are start-disjoint except the contraction/quote
-# pair, where leftmost-first and leftmost-longest agree.
+# pair, where leftmost-first and leftmost-longest agree, and
+# whitespace is the explicit WS_CLASS, not the engine-dependent \s.
 BPE_ISH_PATTERN = (
-    r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}{1,3}|[^\p{L}\p{N}\s']+|'+"
+    r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}{1,3}"
+    r"|[^\p{L}\p{N} \t\n\x0B\f\r']+|'+"
 )
+
+
+def _ws_words(c: Column) -> Column:
+    """Whitespace-delimited words with edge-empty fields removed:
+    ``split`` keeps a leading empty field when text starts with
+    whitespace (and ``trim`` strips only ASCII spaces, not newlines),
+    so the split is followed by an explicit non-empty filter — a doc
+    of pure whitespace yields [], not phantom empty words."""
+    return F.filter(
+        F.split(c, WS_CLASS + "+"), lambda t: t != F.lit("")
+    )
 
 
 def token_count_estimates(
@@ -118,9 +137,7 @@ def token_count_estimates(
     shuffle."""
     c = F.col(text_col)
     bpe = F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
-    ws = F.when(F.trim(c) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(c), r"\s+"))
-    )
+    ws = F.size(_ws_words(c))
     nb = F.octet_length(c)
     return docs.select(
         "doc_id",
@@ -179,8 +196,7 @@ def quality_flags(
     Everything is JVM higher-order array functions over one split:
     one narrow projection, no Python, no shuffle."""
     c = F.col(text_col)
-    toks = F.when(F.trim(c) == "", F.array().cast("array<string>")) \
-        .otherwise(F.split(F.trim(c), r"\s+"))
+    toks = _ws_words(c)
     n = F.size(toks)
     nd = n.cast("double")
     mean_len = F.when(n > 0, F.aggregate(
@@ -192,34 +208,48 @@ def quality_flags(
         F.filter(F.array_distinct(toks),
                  lambda t: F.array_contains(stop_arr, t))
     )
-    top_tf = F.when(n > 0, F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+    # top term frequency in O(n log n): sort, then one fold tracking
+    # the current and best run length (the naive per-distinct-token
+    # filter scan is O(n_distinct * n) — quadratic on exactly the
+    # large documents this function gates)
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def _run_step(a, t):
+        run = F.when(t == a["prev"], a["run"] + 1).otherwise(
+            F.lit(1).cast("long")
         )
-    ))
+        return F.struct(
+            t.alias("prev"), run.alias("run"),
+            F.greatest(a["best"], run).alias("best"),
+        )
+
+    top_tf = F.when(
+        n > 0, F.aggregate(F.array_sort(toks), acc0, _run_step)["best"]
+    )
     top_ratio = top_tf.cast("double") / nd
     ok_wc = (n >= 50) & (n <= 100000)
-    ok_mwl = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_mwl = F.coalesce(
+        (mean_len >= 3.0) & (mean_len <= 10.0), F.lit(False)
+    )
     ok_alpha = F.when(
         n > 0, n_alpha.cast("double") / nd >= 0.8
     ).otherwise(F.lit(False))
     ok_stop = n_stop_distinct >= 2
-    ok_rep = F.when(n > 0, top_ratio <= 0.2).otherwise(F.lit(False))
+    ok_rep = F.coalesce(top_ratio <= 0.2, F.lit(False))
     return docs.select(
         "doc_id",
         n.cast("long").alias("n_words"),
         mean_len.alias("mean_word_len"),
         top_ratio.alias("top_word_ratio"),
         ok_wc.alias("ok_word_count"),
-        F.coalesce(ok_mwl, F.lit(False)).alias("ok_mean_word_len"),
+        ok_mwl.alias("ok_mean_word_len"),
         ok_alpha.alias("ok_alpha"),
         ok_stop.alias("ok_stop"),
         ok_rep.alias("ok_repetition"),
-        (
-            ok_wc & F.coalesce(ok_mwl, F.lit(False)) & ok_alpha
-            & ok_stop & F.coalesce(top_ratio <= 0.2, F.lit(False))
-        ).alias("keep"),
+        (ok_wc & ok_mwl & ok_alpha & ok_stop & ok_rep).alias("keep"),
     )
 
 

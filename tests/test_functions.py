@@ -219,6 +219,23 @@ def test_token_count_estimates_goldens(spark):
     assert got[0]["bytes_per_token"] == pytest.approx(11 / 4)
 
 
+def test_token_counts_edge_whitespace(spark):
+    """Leading/trailing newlines and vertical tabs must not create
+    phantom empty words (split keeps edge empty fields; trim strips
+    only spaces), and \\x0b must count as whitespace on both engines
+    (WS_CLASS, not the engine-dependent \\s)."""
+    rows = [(0, "\nhello world"), (1, "a\x0bb"), (2, "\n\n"),
+            (3, "\tx\ty\t"), (4, " spaced out \n")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["ws_tokens"]
+           for r in textfn.token_count_estimates(df).collect()}
+    assert got == {0: 2, 1: 2, 2: 0, 3: 2, 4: 2}
+    qf = {r["doc_id"]: r
+          for r in textfn.quality_flags(df).collect()}
+    assert qf[0]["n_words"] == 2
+    assert qf[2]["n_words"] == 0 and not qf[2]["keep"]
+
+
 def test_quality_flags_goldens(spark):
     long_good = " ".join(
         ["the", "a", "of"] + [f"word{i}" for i in range(60)]
@@ -254,7 +271,11 @@ def test_token_count_pattern_matches_duckdb(spark):
     texts = ["it's a test", "12345 cats", "héllo wörld",
              "don't stop—now!!", "''s odd", "a1b2", "  ", "",
              "3.14159", "e=mc2", "日本語 テスト 123456789",
-             "a'b 'quoted' x''y", "--- ''' !?!"]
+             "a'b 'quoted' x''y", "--- ''' !?!",
+             # edge/odd whitespace: leading newline, vertical tab
+             # (Java \s matches \x0B, RE2's does not — the explicit
+             # WS_CLASS must keep both engines identical), tab-framed
+             "\nhello world", "a\x0bb", "\tx\ty\t", "\n\n", "\x0b"]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
     )
