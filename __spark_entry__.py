@@ -332,6 +332,50 @@ def q_token_counts(spark, sf_dir):
     return _floor6(out, "bytes_per_token")
 
 
+def _derived_pages(spark, sf_dir):
+    """documents -> a deterministic URL per doc (www-variant hosts,
+    .com/.org/.co.uk TLD mix incl. a 2-label public suffix) so the
+    URL operators have real variance; the oracle derives the SAME
+    string in SQL."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 4 == 0, F.lit("www"))
+        .otherwise(F.col("lang")),
+        F.lit("."), F.col("source"), F.lit("-site"),
+        F.when(d % 3 == 0, F.lit(".com"))
+        .when(d % 3 == 1, F.lit(".org"))
+        .otherwise(F.lit(".co.uk")),
+        F.lit("/"), F.col("lang"), F.lit("/"), d.cast("string"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", url.alias("url"), "n_chars"
+    )
+
+
+def q_url_parts(spark, sf_dir):
+    """URL parsing (sources.url_parts): scheme/host/path +
+    registered-domain extraction with 2-label public suffixes — JVM
+    regexp_extract over one projection."""
+    from lucene_clj_spark.sources import url_parts
+
+    out = url_parts(_derived_pages(spark, sf_dir))
+    return out.select(
+        "doc_id", "scheme", "host", "path", "registered_domain"
+    )
+
+
+def q_host_stats(spark, sf_dir):
+    """Per-registered-domain aggregation (sources.host_stats): page
+    count, distinct hosts, total size — the crawl-side per-domain-cap
+    aggregate; only (domain, partials) shuffle."""
+    from lucene_clj_spark.sources import host_stats
+
+    return host_stats(
+        _derived_pages(spark, sf_dir), size_col="n_chars"
+    )
+
+
 def q_quality_flags(spark, sf_dir):
     """Gopher-style quality-filter flags per document (word count,
     mean word length, alpha ratio, stopword presence, top-word
@@ -1359,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "token_counts": q_token_counts,
         "quality_flags": q_quality_flags,
+        "url_parts": q_url_parts,
+        "host_stats": q_host_stats,
         "fingerprint": q_fingerprint,
         "search_after": q_search_after,
         "wand_search_after": q_wand_search_after,
@@ -2771,6 +2817,69 @@ SELECT doc_id,
 FROM base"""
 
 
+_DERIVED_URL_SQL = """
+  'https://' || CASE WHEN doc_id % 4 = 0 THEN 'www' ELSE lang END
+  || '.' || source || '-site'
+  || CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+     ELSE '.co.uk' END
+  || '/' || lang || '/' || CAST(doc_id AS VARCHAR)
+"""
+
+
+def _url_parts_base_sql() -> str:
+    # the same when-chain order as sources.url_parts: each 2-label
+    # public suffix in PUBLIC_SUFFIXES_2 order, then last-2-labels,
+    # then the bare host
+    from lucene_clj_spark.sources import PUBLIC_SUFFIXES_2
+
+    reg_chain = ", ".join(
+        "NULLIF(regexp_extract(host, '([^.]+\\." +
+        suf.replace(".", "\\.") + ")$', 1), '')"
+        for suf in PUBLIC_SUFFIXES_2
+    )
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {_DERIVED_URL_SQL} AS url, n_chars FROM documents
+),
+parsed0 AS (
+  SELECT doc_id, n_chars,
+    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
+    regexp_extract(regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+        '^(?:[^@]*@)?([^:]+)', 1) AS host,
+    regexp_extract(url,
+        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) AS path
+  FROM pages
+),
+parsed AS (
+  SELECT doc_id, n_chars, scheme, host, path,
+    COALESCE({reg_chain},
+      NULLIF(regexp_extract(host, '([^.]+\\.[^.]+)$', 1), ''),
+      host) AS registered_domain
+  FROM parsed0
+)"""
+
+
+def _url_parts_sql() -> str:
+    return (
+        _url_parts_base_sql()
+        + """
+SELECT doc_id, scheme, host, path, registered_domain FROM parsed"""
+    )
+
+
+def _host_stats_sql() -> str:
+    return (
+        _url_parts_base_sql()
+        + """
+SELECT registered_domain,
+  count(*) AS n_pages,
+  count(DISTINCT host) AS n_hosts,
+  CAST(sum(n_chars) AS BIGINT) AS total_size
+FROM parsed GROUP BY registered_domain"""
+    )
+
+
 def _quality_flags_sql() -> str:
     # quality_flags twin: same whitespace words, same thresholds; flag
     # predicates use the UNROUNDED doubles on both engines (sequential
@@ -3281,6 +3390,8 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "token_stats": _token_stats_sql(),
         "token_counts": _token_counts_sql(),
         "quality_flags": _quality_flags_sql(),
+        "url_parts": _url_parts_sql(),
+        "host_stats": _host_stats_sql(),
         "fingerprint": _fingerprint_sql(),
         "search_after": _term_topk_sql("scan", 10, offset=10),
         "wand_search_after": _term_topk_sql("scan", 10, offset=10),

@@ -110,3 +110,77 @@ def extract_text_from_html(html_col):
     byte-deterministic per url (the per-row invariant)."""
     s = F.decode(html_col, "UTF-8")
     return F.trim(F.regexp_replace(s, r"<[^>]*>", " "))
+
+
+# Two-label public suffixes recognized by the registered-domain
+# extractor. A deliberately small, documented subset of the Mozilla
+# Public Suffix List: at 100 TB the full PSL (~9k rules) would load
+# the same way — a literal-folded when-chain or a broadcast map — and
+# the regex shape below is unchanged.
+PUBLIC_SUFFIXES_2 = (
+    "co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br", "co.in",
+)
+
+
+def url_parts(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds parsed URL columns — the first step of every per-domain
+    crawl operation (dedup budgets, robots grouping, host-level
+    quality priors): ``scheme``, ``host`` (no port/userinfo),
+    ``path`` ('' when absent), and ``registered_domain`` (the
+    pay-level domain: last two labels, or last three when the final
+    two are a known two-label public suffix; single-label hosts map
+    to themselves).
+
+    All JVM ``regexp_extract`` expressions over one projection — no
+    Python, no shuffle; the extraction arithmetic is 1:1 expressible
+    in ANSI SQL for oracle checking."""
+    u = F.col(url_col)
+    scheme = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    host_full = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+    )
+    # strip userinfo@ and :port
+    host = F.regexp_extract(host_full, r"^(?:[^@]*@)?([^:]+)", 1)
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1
+    )
+    reg = None
+    for suf in PUBLIC_SUFFIXES_2:
+        esc = suf.replace(".", r"\.")
+        cand = F.regexp_extract(host, r"([^.]+\." + esc + r")$", 1)
+        reg = cand if reg is None else F.when(reg != "", reg).otherwise(cand)
+    last2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    reg = F.when(reg != "", reg).otherwise(
+        F.when(last2 != "", last2).otherwise(host)
+    )
+    return pages.select(
+        "*",
+        scheme.alias("scheme"),
+        host.alias("host"),
+        path.alias("path"),
+        reg.alias("registered_domain"),
+    )
+
+
+def host_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-registered-domain corpus statistics: (registered_domain,
+    n_pages, n_hosts, total_size?) — the aggregation behind crawl-side
+    per-domain caps and host-level quality priors. One hash aggregate
+    on the parsed domain (map-side combined; n_hosts is an exact
+    distinct, a second partial pass); domains are the natural skew
+    point of a crawl, and a count-shaped aggregate tolerates skew —
+    only (domain, partial-count) rows shuffle, never pages."""
+    parts = url_parts(pages, url_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("host").alias("n_hosts"),
+    ]
+    if size_col is not None:
+        aggs.append(
+            F.sum(F.col(size_col).cast("long")).alias("total_size")
+        )
+    return parts.groupBy("registered_domain").agg(*aggs)

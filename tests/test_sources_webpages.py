@@ -90,3 +90,50 @@ def test_webpages_doc_ids_stable_across_parallelism(spark, webpages):
     ma = {r["url"]: r["doc_id"] for r in a.select("url", "doc_id").collect()}
     mb = {r["url"]: r["doc_id"] for r in b.select("url", "doc_id").collect()}
     assert ma == mb
+
+
+def test_url_parts_goldens(spark):
+    from lucene_clj_spark.sources import url_parts
+
+    rows = [
+        (0, "https://www.shop.example.co.uk/a/b?q=1#frag"),
+        (1, "http://example.com"),
+        (2, "https://user:pw@deep.sub.host.org:8443/path"),
+        (3, "ftp://files.company.com.au/pub/"),
+        (4, "https://localhost/x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {r["doc_id"]: r for r in url_parts(df).collect()}
+    r0 = got[0]
+    assert (r0["scheme"], r0["host"], r0["path"]) == (
+        "https", "www.shop.example.co.uk", "/a/b")
+    assert r0["registered_domain"] == "example.co.uk"  # 2-label suffix
+    r1 = got[1]
+    assert (r1["host"], r1["path"]) == ("example.com", "")
+    assert r1["registered_domain"] == "example.com"
+    r2 = got[2]  # userinfo and port stripped
+    assert r2["host"] == "deep.sub.host.org"
+    assert r2["registered_domain"] == "host.org"
+    r3 = got[3]
+    assert r3["scheme"] == "ftp"
+    assert r3["registered_domain"] == "company.com.au"
+    r4 = got[4]  # single-label host maps to itself
+    assert r4["host"] == r4["registered_domain"] == "localhost"
+
+
+def test_host_stats_aggregates_per_domain(spark):
+    from lucene_clj_spark.sources import host_stats
+
+    rows = [
+        (0, "https://a.x.com/1", 10),
+        (1, "https://b.x.com/2", 20),
+        (2, "https://a.x.com/3", 30),
+        (3, "https://only.y.org/1", 5),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "nb"])
+    got = {r["registered_domain"]: r
+           for r in host_stats(df, size_col="nb").collect()}
+    assert got["x.com"]["n_pages"] == 3
+    assert got["x.com"]["n_hosts"] == 2
+    assert got["x.com"]["total_size"] == 60
+    assert got["y.org"]["n_pages"] == 1 and got["y.org"]["n_hosts"] == 1

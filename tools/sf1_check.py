@@ -73,7 +73,7 @@ INDEX_QUERIES = [
     # round-4 continuation: the rest of the span family, stored-field
     # value boosting, and the BPE-ish token-count estimators
     "span_or_topk", "span_not_topk", "function_score_topk",
-    "token_counts", "quality_flags",
+    "token_counts", "quality_flags", "url_parts", "host_stats",
     "sample_mix_stats", "shuffle_head",
     "delete_search_topk", "purge_search_topk",
     # round-4 batch family LAST: a 4-query log in one job, the
