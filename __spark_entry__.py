@@ -630,6 +630,18 @@ def q_wand_or_topk(spark, sf_dir):
     return _round6(out.select("doc_id", "score"), "score")
 
 
+def q_wand_span_or_topk(spark, sf_dir):
+    """SpanOrQuery on the segment kernels (wand.span_or_topk): pooled
+    tfs saturated once with the summed idf, block-max skipping kept
+    sound by folding the summed idf into every clause's block bound —
+    same oracle as span_or_topk (bit-identical strategies)."""
+    from lucene_clj_spark.wand import span_or_topk
+
+    idx = _wand_index(spark, sf_dir)
+    out = span_or_topk(idx, "text", ["merge", "window"], k=10)
+    return _round6(out.select("doc_id", "score"), "score")
+
+
 def q_wand_group_topk(spark, sf_dir):
     """Boolean GROUP TREE on the segment kernel: '(merge OR window)
     AND dup' parsed by the DSL, forced through strategy='wand' (raises
@@ -1467,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_near_ordered_topk": q_span_near_ordered_topk,
         "span_near_unordered_topk": q_span_near_unordered_topk,
         "span_or_topk": q_span_or_topk,
+        "wand_span_or_topk": q_wand_span_or_topk,
         "span_not_topk": q_span_not_topk,
         "function_score_topk": q_function_score_topk,
         "sample_mix_stats": q_sample_mix_stats,
@@ -3502,6 +3515,7 @@ ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
         "span_near_unordered_topk": _span_near_unordered_sql(
             "merge", "window", 3),
         "span_or_topk": _span_or_sql("merge", "window"),
+        "wand_span_or_topk": _span_or_sql("merge", "window"),
         "span_not_topk": _span_not_sql("merge", "window", 2, 2),
         "function_score_topk": _function_score_sql("merge"),
         "sample_mix_stats": _sample_mix_sql(),

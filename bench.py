@@ -373,6 +373,14 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
                 timed(lambda: didx.search(
                     tast, with_hit=False,
                     strategy="wand").collect(), name="q_seg_tree"), 4)
+            from lucene_clj_spark.query import SpanOrQ as _SpanOrQ
+
+            queries["q_seg_span_or"] = round(
+                timed(lambda: didx.search(
+                    _SpanOrQ(1.0, "text", ("merge", "window")),
+                    with_hit=False,
+                    strategy="wand").collect(),
+                    name="q_seg_span_or"), 4)
             # the delta path: append one source-table batch (1/32 of
             # the corpus) as DELTA segment blocks, query across
             # base+delta, then compact via merge_segments — tracks

@@ -2220,6 +2220,17 @@ def _wand_route(
         if node.field not in index.stats or node.boost <= 0:
             return None
         return (node.field, node, "fuzzy", None)
+    if isinstance(node, SpanOrQ):
+        # pooled-tf kernel (wand.span_or_topk); empty clause lists
+        # raise in the DataFrame compiler, so let it validate
+        if (
+            node.boost <= 0
+            or not node.terms
+            or node.field not in index.stats
+        ):
+            return None
+        return (node.field, list(dict.fromkeys(node.terms)),
+                "span_or", node.boost)
     if isinstance(node, DisMaxQ):
         if not (0.0 <= float(node.tie_breaker) <= 1.0):
             return None  # the DataFrame compiler raises the error
@@ -2467,7 +2478,8 @@ def search(
     phrase / flat AND/OR booleans over ANY mix of fields, including
     map queries {title: ..., body: ...} (boosts ride as kernel
     weights) / fuzzy / term-like DisMaxQ (the group kernel with the
-    max + tie * rest combine) on a segment-backed disk index, any
+    max + tie * rest combine) / SpanOrQ (the pooled-tf kernel,
+    wand.span_or_topk) on a segment-backed disk index, any
     page, keyset pagination included for every kernel shape — through
     the segment kernels
     (block-max WAND for term sets, the positions-decoding phrase
@@ -2615,6 +2627,13 @@ def search(
                 scores = wand_tree_topk(
                     index, leaves_, root_, k=kernel_k,
                     search_after=sa_key,
+                )
+            elif mode_ == "span_or":
+                from lucene_clj_spark.wand import span_or_topk
+
+                scores = span_or_topk(
+                    index, field_, terms_, k=kernel_k,
+                    boost=weights_, search_after=sa_key,
                 )
             else:
                 scores = wand_pairs_topk(

@@ -231,7 +231,8 @@ def _stream_chunks(batches: Iterator[pd.DataFrame], process) -> None:
 def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
                     k: int, mode: str,
                     search_after: tuple[float, int] | None = None,
-                    excluded: np.ndarray | None = None):
+                    excluded: np.ndarray | None = None,
+                    pool_widf: float | None = None):
     """Per-partition streaming WAND kernel for mapInPandas.
 
     ``key_idfs`` maps fkey -> idf and ``key_ws`` -> its boost weight,
@@ -277,6 +278,48 @@ def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
             # the (score desc, doc_id asc) tiebreak against the current
             # heap minimum, so ties must be decoded, not skipped
             if len(heap) >= k and tm_sum < theta():
+                return
+            if mode == "pool":
+                # SpanOr pooled-tf scoring: accumulate RAW tfs + the
+                # per-doc norm byte, then saturate ONCE with the
+                # summed idf (pool_widf = boost * idf_sum). The
+                # per-row/chunk skip bounds are valid because BM25 is
+                # subadditive in tf — widf*f(sum tf_i) <= sum over
+                # terms of widf*f(tf_i) — and span_or_topk folds widf
+                # into every term's block bound (see its docstring
+                # for the 1e-12 soundness inflation).
+                doc_parts, tf_parts, norm_parts = [], [], []
+                for row in cpdf.itertuples(index=False):
+                    others = tm_sum - float(key_maxes[row.fkey])
+                    if (
+                        len(heap) >= k
+                        and row.block_max_score + others < theta()
+                    ):
+                        continue
+                    doc_parts.append(codec.delta_decode(
+                        codec.decode_block(row.doc_deltas)
+                    ))
+                    tf_parts.append(
+                        codec.decode_block(row.tfs).astype(np.float64)
+                    )
+                    norm_parts.append(
+                        np.frombuffer(row.norms, dtype=np.uint8)
+                    )
+                if not doc_parts:
+                    return
+                docs = np.concatenate(doc_parts)
+                tfs_all = np.concatenate(tf_parts)
+                norms_all = np.concatenate(norm_parts)
+                uniq, inv = np.unique(docs, return_inverse=True)
+                tf_agg = np.zeros(uniq.size, dtype=np.float64)
+                np.add.at(tf_agg, inv, tfs_all)
+                # same doc => same field dl => same norm byte; last
+                # write wins over identical values
+                norm_agg = np.zeros(uniq.size, dtype=np.uint8)
+                norm_agg[inv] = norms_all
+                denom = next(iter(key_denoms.values()))
+                agg = pool_widf * tf_agg / (tf_agg + denom[norm_agg])
+                _push_topk(heap, k, uniq, agg, search_after, excluded)
                 return
             doc_parts, score_parts = [], []
             for row in cpdf.itertuples(index=False):
@@ -913,6 +956,68 @@ def wand_topk(
         n_partitions=n_partitions,
         weights=weights,
     )
+
+
+def span_or_topk(
+    index,
+    field: str,
+    terms: list[str],
+    k: int = 10,
+    boost: float = 1.0,
+    n_partitions: int | None = None,
+    search_after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """SpanOrQuery (pooled-tf synonym scoring) over the compressed
+    segments: per-doc freq = the SUM of the clause tfs, saturated ONCE
+    with the summed idf — bit-identical to the DataFrame path
+    (search._scored_span_or), with block-max skipping.
+
+    Bound soundness: BM25 is subadditive in tf (f(a+b) <= f(a)+f(b)
+    for f(x) = x/(x+d)), so widf*f(sum tf_i) <= sum_i widf*f(tf_i) —
+    the pooled score is bounded by the per-term blocks' bounds IF each
+    term's bound uses the FULL summed idf, not its own. That is
+    arranged by folding weight w_t = widf/idf_t into each term's
+    block_max_score; because the scan computes idf_t * w_t with two
+    roundings, w_t is inflated by a relative 1e-12 (>> the few-ulp
+    rounding budget) so the folded bound provably dominates the true
+    pooled score. The inflation loosens skipping immeasurably and
+    never touches the returned scores, which use the exact widf."""
+    if boost <= 0:
+        raise ValueError("span_or kernel requires boost > 0 (a "
+                         "non-positive weight inverts the skip bounds)")
+    pairs = [(field, t) for t in dict.fromkeys(terms)]
+    key_idfs0, _, blocks0 = _segment_scan(index, pairs)
+    if blocks0 is None:
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    # idf_sum in ORIGINAL clause order — the DataFrame path sums its
+    # idf literals in `present` order, and float addition is
+    # order-sensitive; matching the fold order keeps scores bit-equal
+    idf_sum = 0.0
+    for f_, t_ in pairs:
+        v = key_idfs0.get(f"{f_}\x1f{t_}")
+        if v is not None:
+            idf_sum += v
+    widf = float(boost) * idf_sum
+    weights = {
+        (f_, t_): (widf / key_idfs0[f"{f_}\x1f{t_}"]) * (1.0 + 1e-12)
+        for f_, t_ in pairs
+        if f"{f_}\x1f{t_}" in key_idfs0
+    }
+    key_idfs, key_ws, blocks = _segment_scan(index, pairs, weights)
+    npart = n_partitions or index.spark.sparkContext.defaultParallelism
+    co = _co_located(
+        blocks,
+        ["chunk", "fkey", "block_max_score", "doc_deltas", "tfs", "norms"],
+        npart,
+    )
+    kernel = _kernel_factory(
+        key_idfs, key_ws, _key_denoms(index, key_idfs), k, "pool",
+        search_after=search_after,
+        excluded=_excluded_ids(index),
+        pool_widf=widf,
+    )
+    local = co.mapInPandas(kernel, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def _tree_kernel_factory(

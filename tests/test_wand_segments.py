@@ -165,6 +165,42 @@ def test_disk_term_query_plan_prunes(disk_index):
     assert "Sort " not in s  # no global sort operator
 
 
+def test_span_or_kernel_matches_dataframe(disk_index):
+    """The pooled-tf kernel (wand.span_or_topk, auto-routed for
+    SpanOrQ) must be BIT-identical to the DataFrame path: same summed
+    idf fold order, same saturation association, sound (inflated)
+    block bounds that never skip a true top-k doc. Covers boost,
+    absent clauses, single clause, and keyset pagination."""
+    from lucene_clj_spark.query import SpanOrQ
+
+    shapes = [
+        SpanOrQ(1.0, "text", ("merge", "window")),
+        SpanOrQ(2.5, "text", ("merge", "window", "zzzznotaterm")),
+        SpanOrQ(1.0, "text", ("dup",)),
+        SpanOrQ(0.5, "text", ("the", "merge", "dup", "vector")),
+    ]
+    for q in shapes:
+        a = disk_index.search(q, with_hit=False,
+                              strategy="dataframe").collect()
+        b = disk_index.search(q, with_hit=False,
+                              strategy="wand").collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], q.terms
+    q = shapes[0]
+    first = disk_index.search(q, with_hit=False,
+                              strategy="wand").collect()
+    sa = {"score": first[-1]["score"], "doc_id": first[-1]["doc_id"]}
+    ka = disk_index.search(q, with_hit=False, strategy="wand",
+                           search_after=sa).collect()
+    da = disk_index.search(q, with_hit=False, strategy="dataframe",
+                           search_after=sa).collect()
+    assert [(r["doc_id"], r["score"]) for r in ka] == [
+        (r["doc_id"], r["score"]) for r in da
+    ]
+    assert all(r["score"] <= sa["score"] for r in ka)
+
+
 def test_disk_span_or_plan_prunes_and_aggregates_once(disk_index):
     """SpanOrQ on a disk index: ONE postings scan with the clause set
     as an IN predicate (bucket directories constant-folded into

@@ -72,7 +72,8 @@ INDEX_QUERIES = [
     "span_near_ordered_topk", "span_near_unordered_topk",
     # round-4 continuation: the rest of the span family, stored-field
     # value boosting, and the BPE-ish token-count estimators
-    "span_or_topk", "span_not_topk", "function_score_topk",
+    "span_or_topk", "wand_span_or_topk", "span_not_topk",
+    "function_score_topk",
     "token_counts", "quality_flags", "url_parts", "host_stats",
     "sample_mix_stats", "shuffle_head",
     "delete_search_topk", "purge_search_topk",
