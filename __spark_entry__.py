@@ -376,6 +376,17 @@ def q_host_stats(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.ngram_contamination, the
+    GPT-3-style exact n-gram overlap rule at n=5): probes = every
+    97th document; the probe shingle set broadcasts, the corpus never
+    shuffles. Exact duplicates of a probe are flagged along with the
+    probe itself."""
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    return dedup.ngram_contamination(docs, probes, n=5)
+
+
 def q_quality_flags(spark, sf_dir):
     """Gopher-style quality-filter flags per document (word count,
     mean word length, alpha ratio, stopword presence, top-word
@@ -1417,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": q_quality_flags,
         "url_parts": q_url_parts,
         "host_stats": q_host_stats,
+        "decontaminate": q_decontaminate,
         "fingerprint": q_fingerprint,
         "search_after": q_search_after,
         "wand_search_after": q_wand_search_after,
@@ -2893,6 +2905,31 @@ FROM parsed GROUP BY registered_domain"""
     )
 
 
+def _decontaminate_sql(n: int = 5, modulus: int = 97) -> str:
+    # ngram_contamination twin: probe shingles = distinct n-grams of
+    # every `modulus`-th doc; n_contaminated counts a doc's DISTINCT
+    # shingles present in the probe set; short docs get zeros
+    return (
+        _shingle_cte(n)
+        + f"""
+, psh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {modulus} = 0
+),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hit
+  FROM sh s JOIN psh USING (shingle) GROUP BY s.doc_id
+),
+counts AS (SELECT DISTINCT doc_id, n_shingles FROM sh)
+SELECT d.doc_id,
+  CAST(COALESCE(c.n_shingles, 0) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+  (COALESCE(h.n_hit, 0) > 0) AS contaminated
+FROM documents d
+LEFT JOIN counts c USING (doc_id)
+LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+    )
+
+
 def _quality_flags_sql() -> str:
     # quality_flags twin: same whitespace words, same thresholds; flag
     # predicates use the UNROUNDED doubles on both engines (sequential
@@ -3405,6 +3442,7 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "quality_flags": _quality_flags_sql(),
         "url_parts": _url_parts_sql(),
         "host_stats": _host_stats_sql(),
+        "decontaminate": _decontaminate_sql(5, 97),
         "fingerprint": _fingerprint_sql(),
         "search_after": _term_topk_sql("scan", 10, offset=10),
         "wand_search_after": _term_topk_sql("scan", 10, offset=10),

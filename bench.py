@@ -257,6 +257,10 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
         timed(lambda: dedup.lsh_pairs(
             dedup.minhash_signatures(base_docs, k=8), k=8, bands=4
         ).count(), 3), 4)
+    queries["decontaminate"] = round(
+        timed(lambda: dedup.ngram_contamination(
+            base_docs, base_docs.filter(F.col("doc_id") % 97 == 0),
+            n=5).filter("contaminated").count(), 3), 4)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     import duckdb
 

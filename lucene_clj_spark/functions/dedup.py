@@ -421,3 +421,62 @@ def resolve_duplicates(
     return comp.filter(F.col("doc_id") != F.col("component")).select(
         "doc_id", F.col("component").alias("duplicate_of")
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    probe_text_col: str | None = None,
+    n: int = 13,
+    analyzer: Analyzer = STANDARD,
+) -> DataFrame:
+    """Training-data decontamination: flag corpus documents sharing
+    ANY word n-gram with a benchmark probe set — the published
+    exact-overlap rule (GPT-3's 13-gram filter; PaLM and successors
+    use the same shape). Returns one row per corpus document:
+    (doc_id, n_shingles, n_contaminated, contaminated), where
+    n_contaminated counts the doc's DISTINCT n-grams that appear
+    anywhere in the probe set and ``contaminated`` is n_contaminated
+    > 0. Documents shorter than n tokens have 0 shingles and are
+    never contaminated.
+
+    Scale shape: the probe side is benchmark-sized (10^3-10^5
+    examples, NOT the corpus), so its distinct shingle set BROADCASTS
+    to the corpus-side shingle scan — the corpus never shuffles; the
+    per-doc hit count is a map-side-combined aggregate, and the final
+    assembly joins only (doc_id, counts) rows."""
+    from pyspark.sql.functions import broadcast
+
+    p_col = probe_text_col or text_col
+    probe_sh = (
+        doc_shingles(
+            probes.select(
+                F.lit(0).alias("doc_id"), F.col(p_col).alias("__pt")
+            ),
+            "__pt", n, analyzer,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    doc_sh = doc_shingles(docs, text_col, n, analyzer)
+    hits = (
+        doc_sh.join(broadcast(probe_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n_hit"))
+    )
+    counts = doc_sh.select("doc_id", "n_shingles").distinct()
+    return (
+        docs.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0))
+            .cast("long").alias("n_shingles"),
+            F.coalesce(F.col("__n_hit"), F.lit(0))
+            .cast("long").alias("n_contaminated"),
+            (F.coalesce(F.col("__n_hit"), F.lit(0)) > 0)
+            .alias("contaminated"),
+        )
+    )

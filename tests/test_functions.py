@@ -183,6 +183,35 @@ def test_ivf_lloyd_refinement_moves_pivots(spark):
     assert cells[0] != cells[2]
 
 
+def test_ngram_contamination_goldens(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),          # contains probe 3-gram "b c d"
+            (1, "x y z w v"),          # clean
+            (2, "q b c d r"),          # the probe 3-gram mid-document
+            (3, "b c"),                # shorter than n -> 0 shingles
+            (4, "b c d b c d e"),      # shingles are DISTINCT per doc
+        ],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame(
+        [("the probe says b c d here",)], ["text"]
+    )
+    got = {r["doc_id"]: r
+           for r in dedup.ngram_contamination(docs, probes, n=3)
+           .collect()}
+    assert len(got) == 5  # every corpus doc reported, clean or not
+    assert got[0]["contaminated"] and got[0]["n_contaminated"] == 1
+    assert not got[1]["contaminated"] and got[1]["n_contaminated"] == 0
+    assert got[2]["contaminated"]
+    assert got[3]["n_shingles"] == 0 and not got[3]["contaminated"]
+    # doc 4 has "b c d" twice but distinct shingles count it once;
+    # "c d b"/"d b c"/"c d e" don't appear in the probe; "b c d e"
+    # 3-grams of the probe: {the probe says, probe says b, says b c,
+    # b c d, c d here} -> only "b c d" hits
+    assert got[4]["n_contaminated"] == 1
+
+
 def test_token_stats_formulas(spark):
     df = spark.createDataFrame(
         [(0, "the the quick fox"), (1, "aa bb cc dd")], ["doc_id", "text"]
