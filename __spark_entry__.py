@@ -376,6 +376,14 @@ def q_host_stats(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 keywords by tf-idf (textfn.top_tfidf_terms):
+    one explode + two map-side-combined aggregates + a rank window
+    with the k-bound pushed pre-shuffle."""
+    out = textfn.top_tfidf_terms(_docs(spark, sf_dir), k=3)
+    return _floor6(out, "tfidf")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (dedup.ngram_contamination, the
     GPT-3-style exact n-gram overlap rule at n=5): probes = every
@@ -1429,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_parts": q_url_parts,
         "host_stats": q_host_stats,
         "decontaminate": q_decontaminate,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprint": q_fingerprint,
         "search_after": q_search_after,
         "wand_search_after": q_wand_search_after,
@@ -2905,6 +2914,38 @@ FROM parsed GROUP BY registered_domain"""
     )
 
 
+def _tfidf_top_terms_sql(k: int = 3) -> str:
+    # top_tfidf_terms twin: tfidf = tf * ln(N/df); rank ties
+    # (tfidf desc, term asc); N folded as a literal-free subquery
+    return """
+WITH doc AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+tok AS (SELECT doc_id, unnest(ts) AS term FROM doc),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::DOUBLE AS n FROM doc),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf AS DOUBLE) * ln(n.n / CAST(d.df AS DOUBLE))
+           AS tfidf
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+  CAST(df AS BIGINT) AS df,
+  floor(tfidf * 1000000.0 + 0.5) / 1000000.0 AS tfidf,
+  CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= """ + str(k)
+
+
 def _decontaminate_sql(n: int = 5, modulus: int = 97) -> str:
     # ngram_contamination twin: probe shingles = distinct n-grams of
     # every `modulus`-th doc; n_contaminated counts a doc's DISTINCT
@@ -3443,6 +3484,7 @@ ORDER BY weight DESC, completion ASC LIMIT 10""",
         "url_parts": _url_parts_sql(),
         "host_stats": _host_stats_sql(),
         "decontaminate": _decontaminate_sql(5, 97),
+        "tfidf_top_terms": _tfidf_top_terms_sql(3),
         "fingerprint": _fingerprint_sql(),
         "search_after": _term_topk_sql("scan", 10, offset=10),
         "wand_search_after": _term_topk_sql("scan", 10, offset=10),

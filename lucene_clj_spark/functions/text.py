@@ -253,6 +253,50 @@ def quality_flags(
     )
 
 
+def top_tfidf_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    analyzer: Analyzer = STANDARD,
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf — keyword extraction (the
+    query-term selection step of MoreLikeThis, exposed standalone for
+    tagging/labeling pipelines). tfidf = tf * ln(N / df) over analyzer
+    tokens; rank ties break (tfidf desc, term asc). Returns (doc_id,
+    term, tf, df, tfidf, rank).
+
+    Scale shape: one tokenize+explode -> (doc, term) tf aggregate; the
+    df side is vocabulary-sized and joins on term (map-side combined
+    aggregates both); the per-doc top-k is a rank window whose k-bound
+    pushes pre-shuffle (WindowGroupLimit), so only k rows per doc
+    survive the final exchange."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.col(text_col), analyzer))
+        .alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
 # Language-ID: tiny stopword-profile heuristic. The synthetic corpus has
 # an English-ish vocabulary, so this is exercised via pytest goldens on
 # constructed sentences (rows-only for the driver oracle).

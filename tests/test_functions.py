@@ -265,6 +265,31 @@ def test_token_counts_edge_whitespace(spark):
     assert qf[2]["n_words"] == 0 and not qf[2]["keep"]
 
 
+def test_top_tfidf_terms_goldens(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (0, "rare common common"),
+            (1, "common common other"),
+            (2, "common unique"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {}
+    for r in textfn.top_tfidf_terms(docs, k=2).collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    # doc 0: rare (tf1, df1) tfidf=ln(3); common (tf2, df3) tfidf=0
+    r0 = sorted(got[0], key=lambda r: r["rank"])
+    assert r0[0]["term"] == "rare"
+    assert r0[0]["tfidf"] == pytest.approx(math.log(3.0))
+    assert r0[1]["term"] == "common" and r0[1]["tfidf"] == 0.0
+    # doc 1: other (df1) beats common (df3, tfidf 0)
+    r1 = sorted(got[1], key=lambda r: r["rank"])
+    assert r1[0]["term"] == "other"
+    assert [len(v) for v in got.values()] == [2, 2, 2]
+
+
 def test_quality_flags_goldens(spark):
     long_good = " ".join(
         ["the", "a", "of"] + [f"word{i}" for i in range(60)]
