@@ -2877,10 +2877,11 @@ WITH pages AS (
 ),
 parsed0 AS (
   SELECT doc_id, n_chars,
-    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) AS scheme,
-    regexp_extract(regexp_extract(url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(regexp_extract(url,
         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
-        '^(?:[^@]*@)?([^:]+)', 1) AS host,
+        '^(?:[^@]*@)?([^:]+)', 1)) AS host,
     regexp_extract(url,
         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) AS path
   FROM pages

@@ -458,18 +458,25 @@ def ngram_contamination(
         )
         .select("shingle")
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
+    # ONE corpus-side shingle pass: the broadcast LEFT join marks
+    # probe-set membership per shingle row and a single aggregate
+    # yields both the shingle count and the hit count (count of a
+    # nullable column counts non-nulls) — the tokenize+shingle UDF,
+    # the dominant cost, runs over each document exactly once
     doc_sh = doc_shingles(docs, text_col, n, analyzer)
-    hits = (
-        doc_sh.join(broadcast(probe_sh), "shingle")
+    per_doc = (
+        doc_sh.join(broadcast(probe_sh), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("__n_hit"))
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.count("__hit").alias("__n_hit"),
+        )
     )
-    counts = doc_sh.select("doc_id", "n_shingles").distinct()
     return (
         docs.select("doc_id")
-        .join(counts, "doc_id", "left")
-        .join(hits, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_shingles"), F.lit(0))

@@ -280,16 +280,22 @@ def top_tfidf_terms(
         F.count(F.lit(1)).alias("tf")
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()
+    # N as a 1-row crossJoin, not an eager .count(): the builder stays
+    # lazy (no job at call time) and the input lineage is evaluated
+    # once by the final plan, not once extra for a driver-side literal
+    n_docs = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("term")
     )
     return (
         tf.join(df_, "term")
+        .crossJoin(n_docs)
         .withColumn(
             "tfidf",
             F.col("tf").cast("double")
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            * F.log(F.col("__n") / F.col("df").cast("double")),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -2551,8 +2551,9 @@ def search(
         route = _wand_route(index, ast)
     if strategy == "wand" and route is None:
         raise ValidationError(
-            "strategy='wand' requires a segment-backed disk index and a "
-            "term/AND/OR/map/group/phrase/fuzzy query",
+            "strategy='wand' requires a segment-backed disk index and "
+            "a term/AND/OR/map/group/phrase/fuzzy/span-or query with "
+            "positive boosts over indexed fields",
             {},
         )
     if route is not None:

@@ -135,12 +135,20 @@ def url_parts(pages: DataFrame, url_col: str = "url") -> DataFrame:
     Python, no shuffle; the extraction arithmetic is 1:1 expressible
     in ANSI SQL for oracle checking."""
     u = F.col(url_col)
-    scheme = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    # scheme and host are case-insensitive per RFC 3986 — lowercase
+    # both so case-variant spellings of one site aggregate together
+    # (per-domain caps over 'WWW.Example.COM' vs 'www.example.com'
+    # must see ONE domain); paths stay case-sensitive
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
     host_full = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
     )
     # strip userinfo@ and :port
-    host = F.regexp_extract(host_full, r"^(?:[^@]*@)?([^:]+)", 1)
+    host = F.lower(
+        F.regexp_extract(host_full, r"^(?:[^@]*@)?([^:]+)", 1)
+    )
     path = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1
     )

@@ -363,7 +363,8 @@ def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
 
 def _segment_scan(index, pairs: list[tuple[str, str]],
                   weights: dict | None = None,
-                  unbounded_keys: set | None = None):
+                  unbounded_keys: set | None = None,
+                  idfs_only: bool = False):
     """Shared driver preamble for the segment kernels: validate the
     segments dir + format, resolve per-(field, term) idfs (one tiny
     terms-table action), resolve bucket literals (one tiny JVM eval of
@@ -483,7 +484,10 @@ def _segment_scan(index, pairs: list[tuple[str, str]],
         fkey_s = f"{fk[0]}\x1f{fk[1]}"
         key_idfs[fkey_s] = idf
         key_ws[fkey_s] = float(weights.get(fk, 1.0))
-    if not key_idfs:
+    if not key_idfs or idfs_only:
+        # idfs_only: the caller needs the (memoized) idf resolution to
+        # derive bound weights before the real scan — skip bucket
+        # resolution and the blocks plan (span_or_topk's first pass)
         return key_idfs, key_ws, None
     present_terms = sorted(
         {k.split("\x1f", 1)[1] for k in key_idfs}
@@ -986,8 +990,8 @@ def span_or_topk(
         raise ValueError("span_or kernel requires boost > 0 (a "
                          "non-positive weight inverts the skip bounds)")
     pairs = [(field, t) for t in dict.fromkeys(terms)]
-    key_idfs0, _, blocks0 = _segment_scan(index, pairs)
-    if blocks0 is None:
+    key_idfs0, _, _ = _segment_scan(index, pairs, idfs_only=True)
+    if not key_idfs0:
         return index.spark.createDataFrame([], "doc_id long, score double")
     # idf_sum in ORIGINAL clause order — the DataFrame path sums its
     # idf literals in `present` order, and float addition is

@@ -101,6 +101,7 @@ def test_url_parts_goldens(spark):
         (2, "https://user:pw@deep.sub.host.org:8443/path"),
         (3, "ftp://files.company.com.au/pub/"),
         (4, "https://localhost/x"),
+        (5, "HTTPS://WWW.Example.COM/CaseSensitivePath"),
     ]
     df = spark.createDataFrame(rows, ["doc_id", "url"])
     got = {r["doc_id"]: r for r in url_parts(df).collect()}
@@ -119,6 +120,11 @@ def test_url_parts_goldens(spark):
     assert r3["registered_domain"] == "company.com.au"
     r4 = got[4]  # single-label host maps to itself
     assert r4["host"] == r4["registered_domain"] == "localhost"
+    r5 = got[5]  # scheme/host are case-insensitive (RFC 3986);
+    # the path keeps its case
+    assert (r5["scheme"], r5["host"]) == ("https", "www.example.com")
+    assert r5["registered_domain"] == "example.com"
+    assert r5["path"] == "/CaseSensitivePath"
 
 
 def test_host_stats_aggregates_per_domain(spark):

@@ -75,6 +75,7 @@ INDEX_QUERIES = [
     "span_or_topk", "wand_span_or_topk", "span_not_topk",
     "function_score_topk",
     "token_counts", "quality_flags", "url_parts", "host_stats",
+    "tfidf_top_terms",
     "sample_mix_stats", "shuffle_head",
     "delete_search_topk", "purge_search_topk",
     # round-4 batch family LAST: a 4-query log in one job, the
