@@ -118,14 +118,23 @@ def doc_shingles(
     """(doc_id, shingle, n_shingles) — exploded distinct word n-grams."""
     from lucene_clj_spark._udfs import shingle_udf
 
+    # explode_OUTER + a post-filter on the generator OUTPUT, not a
+    # plain explode: Catalyst's InferFiltersFromGenerate synthesizes
+    # `size(child) > 0` under a plain explode and pushes it below the
+    # projection, making the (dominant-cost) shingle UDF evaluate
+    # TWICE per row; nothing is inferable from explode_outer, and a
+    # filter on the output column cannot sink below the generate —
+    # one UDF eval per row, plan-pinned by
+    # test_ngram_contamination_plan_broadcasts_probes. Empty-shingle
+    # docs cost one NULL row each before the filter.
     with_sh = docs.select(
         "doc_id", shingle_udf(analyzer, n)(F.col(text_col)).alias("__sh")
-    ).filter(F.size("__sh") > 0)
+    )
     return with_sh.select(
         "doc_id",
         F.size("__sh").alias("n_shingles"),
-        F.explode("__sh").alias("shingle"),
-    )
+        F.explode_outer("__sh").alias("shingle"),
+    ).filter(F.col("shingle").isNotNull())
 
 
 def ngram_jaccard_pairs(

@@ -212,6 +212,42 @@ def test_ngram_contamination_goldens(spark):
     assert got[4]["n_contaminated"] == 1
 
 
+def test_ngram_contamination_plan_broadcasts_probes(spark):
+    """Scale contract: the probe shingle set BROADCASTS (the corpus
+    side must not shuffle into a sort-merge join), and the corpus
+    shingle scan appears ONCE in the plan (single-pass hit+count
+    aggregate)."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(10)], ["doc_id", "text"]
+    )
+    probes = spark.createDataFrame([("b c d",)], ["text"])
+    out = dedup.ngram_contamination(docs, probes, n=3)
+    s = out._jdf.queryExecution().executedPlan().toString()
+    # the SHINGLE join must be broadcast (a sort-merge there would
+    # shuffle every corpus shingle); the final doc_id assembly join
+    # may sort-merge — only (doc_id, counts) rows move through it
+    assert "BroadcastHashJoin [shingle" in s
+    assert "SortMergeJoin [shingle" not in s
+    # single corpus shingle pass: the shingle UDF runs once per side
+    # (corpus + probes), not twice over the corpus
+    assert s.count("Generate explode(__sh") == 2
+    # ... and exactly once per ROW: a size() filter under the
+    # projection used to make Catalyst evaluate the UDF twice
+    assert s.count("ArrowEvalPython") == 2
+
+
+def test_top_tfidf_terms_plan_pushes_rank_limit(spark):
+    """The per-doc top-k rank bound must push pre-shuffle
+    (WindowGroupLimit), so only k rows per doc survive the window
+    exchange."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(10)], ["doc_id", "text"]
+    )
+    out = textfn.top_tfidf_terms(docs, k=2)
+    s = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in s
+
+
 def test_token_stats_formulas(spark):
     df = spark.createDataFrame(
         [(0, "the the quick fox"), (1, "aa bb cc dd")], ["doc_id", "text"]
