@@ -272,10 +272,15 @@ def top_tfidf_terms(
     survive the final exchange."""
     from pyspark.sql import Window
 
+    # explode_outer + null filter for the same reason as
+    # dedup.doc_shingles: a plain explode of the tokenizer UDF output
+    # makes InferFiltersFromGenerate evaluate the UDF twice per row
     toks = docs.select(
-        "doc_id", F.explode(tokens_col(F.col(text_col), analyzer))
-        .alias("term")
-    )
+        "doc_id",
+        F.explode_outer(
+            tokens_col(F.col(text_col), analyzer)
+        ).alias("term"),
+    ).filter(F.col("term").isNotNull())
     tf = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
