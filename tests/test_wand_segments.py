@@ -201,6 +201,39 @@ def test_span_or_kernel_matches_dataframe(disk_index):
     assert all(r["score"] <= sa["score"] for r in ka)
 
 
+def test_span_or_kernel_fuzz_random_clause_sets(disk_index):
+    """Seeded fuzz: random clause sets (1-5 terms drawn from the real
+    vocabulary + occasional absent terms, random boosts) must be
+    bit-identical between the pooled-tf kernel and the DataFrame
+    path — the subadditivity bound argument has to hold for ANY mix
+    of common/rare/absent clauses, not just the hand-picked shapes."""
+    import random
+
+    from lucene_clj_spark.query import SpanOrQ
+
+    rng = random.Random(20260821)
+    vocab = sorted(
+        r["term"]
+        for r in disk_index.terms.filter("field = 'text'")
+        .select("term").distinct().collect()
+    )
+    for trial in range(12):
+        n_terms = rng.randint(1, 5)
+        terms = rng.sample(vocab, min(n_terms, len(vocab)))
+        if rng.random() < 0.4:
+            terms.append(f"zz_absent_{trial}")
+        rng.shuffle(terms)
+        boost = rng.choice([0.25, 1.0, 3.5])
+        q = SpanOrQ(boost, "text", tuple(terms))
+        a = disk_index.search(q, with_hit=False,
+                              strategy="dataframe").collect()
+        b = disk_index.search(q, with_hit=False,
+                              strategy="wand").collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], (trial, terms, boost)
+
+
 def test_disk_span_or_plan_prunes_and_aggregates_once(disk_index):
     """SpanOrQ on a disk index: ONE postings scan with the clause set
     as an IN predicate (bucket directories constant-folded into
