@@ -38,6 +38,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lucene_clj_spark import bm25
+from lucene_clj_spark.spans import (  # shared with the segment span
+    _sloppy_freq_py,  # kernels (wand.span_near_topk) — one matcher
+    _span_near_ordered_freq,  # implementation, bit-identical freqs
+)
 from lucene_clj_spark.errors import ValidationError
 from lucene_clj_spark.query import (
     FILTER,
@@ -906,89 +910,6 @@ def _shift(offset):
     # NOTE: F.transform calls 2-arg lambdas as (elem, idx); keep a
     # 1-arg closure so `offset` is the phrase offset, not the index.
     return lambda x: x - F.lit(offset)
-
-
-def _sloppy_freq_py(pos_lists, slop: int, bias: int = 0) -> float:
-    """Sloppy-phrase frequency for ONE doc — Lucene's
-    SloppyPhraseScorer.phraseFreq() greedy (public algorithm: pop the
-    min phrase-adjusted position, minimize the current match length
-    while that list stays minimal, count a match worth
-    ``1/(1+matchLength)`` when it overtakes the next list, plus the
-    final pending match at exhaustion). ``pos_lists``: one SORTED int
-    array of offset-adjusted positions (pos - slot) per phrase slot;
-    requires >= 2 slots and phrase terms all distinct (the repeat-group
-    variant is unsupported — _scored_sloppy_phrase rejects repeats).
-    ``bias`` shifts the slop arithmetic: the effective match slop is
-    ``match_len - bias`` (0 = phrase semantics; k-1 over UNSHIFTED
-    positions = unordered span-near, where the covering interval of k
-    distinct positions has match_len >= k-1 by construction)."""
-    import heapq
-
-    k = len(pos_lists)
-    idx = [0] * k
-    heap = []
-    end = None
-    for i, p in enumerate(pos_lists):
-        v = int(p[0])
-        heap.append((v, i))
-        if end is None or v > end:
-            end = v
-    heapq.heapify(heap)
-    freq = 0.0
-    pos_v, i = heapq.heappop(heap)
-    match_len = end - pos_v
-    nxt = heap[0][0]
-    while True:
-        idx[i] += 1
-        if idx[i] >= len(pos_lists[i]):
-            break  # this slot is exhausted -> no further matches
-        p = int(pos_lists[i][idx[i]])
-        if p > end:
-            end = p
-        if p > nxt:
-            # done minimizing the current match length
-            if match_len - bias <= slop:
-                freq += 1.0 / (1.0 + match_len - bias)
-            heapq.heappush(heap, (p, i))
-            pos_v, i = heapq.heappop(heap)
-            nxt = heap[0][0]
-            match_len = end - pos_v
-        else:
-            ml2 = end - p
-            if ml2 < match_len:
-                match_len = ml2
-    if match_len - bias <= slop:
-        freq += 1.0 / (1.0 + match_len - bias)  # the last pending match
-    return freq
-
-
-def _span_near_ordered_freq(pos_lists, slop: int) -> float:
-    """NearSpansOrdered for single-term clauses: one minimal-completion
-    match per first-clause position — from each position of clause 1,
-    greedily take the smallest strictly-increasing position of each
-    subsequent clause; the match counts when
-    ``matchSlop = (last - first + 1) - k <= slop`` and contributes
-    ``1/(1 + matchSlop)``. A clause running out of positions ends the
-    enumeration (every later anchor would fail the same clause)."""
-    import numpy as np
-
-    k = len(pos_lists)
-    freq = 0.0
-    for a in pos_lists[0]:
-        cur = int(a)
-        ok = True
-        for pl in pos_lists[1:]:
-            j = int(np.searchsorted(pl, cur + 1))
-            if j == len(pl):
-                ok = False
-                break
-            cur = int(pl[j])
-        if not ok:
-            break
-        ms = (cur - int(a) + 1) - k
-        if ms <= slop:
-            freq += 1.0 / (1.0 + ms)
-    return freq
 
 
 def _scored_sloppy_phrase(index, node: PhraseQ) -> DataFrame:
@@ -2231,6 +2152,40 @@ def _wand_route(
             return None
         return (node.field, list(dict.fromkeys(node.terms)),
                 "span_or", node.boost)
+    if isinstance(node, SpanNearQ):
+        # positions-decoding span-near kernel (wand.span_near_topk);
+        # shape/validation errors (repeats, <2 clauses, negative slop)
+        # fall back so the DataFrame compiler raises them
+        if (
+            node.boost <= 0
+            or len(node.terms) < 2
+            or len(set(node.terms)) != len(node.terms)
+            or node.slop < 0
+            or node.field not in index.stats
+        ):
+            return None
+        return (node.field, node, "span_near", None)
+    if isinstance(node, SpanFirstQ):
+        # invalid `end` falls back so the DataFrame path raises its
+        # specific error; end == 0 runs (kernel returns empty, like
+        # the DataFrame path)
+        if (
+            node.boost <= 0
+            or not isinstance(node.end, int)
+            or node.end < 0
+            or node.field not in index.stats
+        ):
+            return None
+        return (node.field, node, "span_first", None)
+    if isinstance(node, SpanNotQ):
+        if (
+            node.boost <= 0
+            or node.pre < 0
+            or node.post < 0
+            or node.field not in index.stats
+        ):
+            return None
+        return (node.field, node, "span_not", None)
     if isinstance(node, DisMaxQ):
         if not (0.0 <= float(node.tie_breaker) <= 1.0):
             return None  # the DataFrame compiler raises the error
@@ -2635,6 +2590,32 @@ def search(
                 scores = span_or_topk(
                     index, field_, terms_, k=kernel_k,
                     boost=weights_, search_after=sa_key,
+                )
+            elif mode_ == "span_near":
+                from lucene_clj_spark.wand import span_near_topk
+
+                n_ = terms_
+                scores = span_near_topk(
+                    index, field_, list(n_.terms), slop=int(n_.slop),
+                    in_order=bool(n_.in_order), k=kernel_k,
+                    search_after=sa_key, weight=n_.boost,
+                )
+            elif mode_ == "span_first":
+                from lucene_clj_spark.wand import span_first_topk
+
+                n_ = terms_
+                scores = span_first_topk(
+                    index, field_, n_.term, n_.end, k=kernel_k,
+                    search_after=sa_key, weight=n_.boost,
+                )
+            elif mode_ == "span_not":
+                from lucene_clj_spark.wand import span_not_topk
+
+                n_ = terms_
+                scores = span_not_topk(
+                    index, field_, n_.include, n_.exclude,
+                    pre=n_.pre, post=n_.post, k=kernel_k,
+                    search_after=sa_key, weight=n_.boost,
                 )
             else:
                 scores = wand_pairs_topk(

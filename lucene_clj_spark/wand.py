@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lucene_clj_spark import bm25, codec
+from lucene_clj_spark.spans import _sloppy_freq_py, _span_near_ordered_freq
 
 _EMPTY = {"doc_id": "int64", "score": "float64"}
 
@@ -651,6 +652,104 @@ def _co_located(blocks: DataFrame, cols: list[str],
     )
 
 
+def _index_chunk_terms(rows: pd.DataFrame, key_term: dict,
+                       key_col: str = "fkey") -> dict:
+    """Phase 1 of every positions kernel: decode ONLY doc ids (cheap)
+    per term of one chunk; positions stay as raw varint buffers until
+    a block is known to hold a candidate — positions are the bulk of
+    segment bytes, so the lazy decode skips most of a frequent term's
+    blocks. Delta-appended blocks may INTERLEAVE doc ranges with base
+    blocks, so lookups go through a global argsort of the chunk's ids,
+    not block-first_doc bisection. Returns term ->
+    ``(sorted_ids, blocks, block_of, posting_in_block)``."""
+    per_term: dict = {}
+    for keyv, grp in rows.groupby(key_col):
+        t = key_term[keyv]
+        blocks = []
+        for row in grp.itertuples(index=False):
+            ids = codec.delta_decode(codec.decode_block(row.doc_deltas))
+            blocks.append(
+                {
+                    "ids": ids,
+                    "tfs_buf": row.tfs,
+                    "norms": row.norms,
+                    "pos_buf": row.positions,
+                    "flat": None,  # decoded lazily
+                }
+            )
+        counts = [len(b["ids"]) for b in blocks]
+        all_ids = np.concatenate([b["ids"] for b in blocks])
+        order = np.argsort(all_ids, kind="mergesort")
+        per_term[t] = (
+            all_ids[order],
+            blocks,
+            np.repeat(np.arange(len(blocks)), counts)[order],
+            np.concatenate(
+                [np.arange(c, dtype=np.int64) for c in counts]
+            )[order],
+        )
+    return per_term
+
+
+def _gather_positions_for(entry, cands: np.ndarray,
+                          norms_out: np.ndarray | None = None):
+    """Chunk-vectorized position gather for ONE term (phase 2 core):
+    every candidate's position run is pulled from the flat decoded
+    stream with one multi-segment fancy-index per TOUCHED block —
+    untouched blocks never decode their positions. Candidates absent
+    from the term's postings contribute nothing (presence mask; the
+    phrase kernel's intersection pre-guarantees presence, span-not's
+    exclude term does not). Returns ``(pos_all, cidx_all)`` where
+    ``cidx_all`` indexes into ``cands``; each candidate's positions
+    form one contiguous ascending run (a doc's postings live in one
+    block and the delta stream cumsums ascending). ``norms_out``, when
+    given, receives the doc's norm byte at each present candidate's
+    slot."""
+    sorted_ids, blocks, blk_of, pos_in = entry
+    at = np.searchsorted(sorted_ids, cands)
+    at_c = np.minimum(at, sorted_ids.size - 1)
+    present = (at < sorted_ids.size) & (sorted_ids[at_c] == cands)
+    pidx = np.flatnonzero(present)
+    if pidx.size == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    at = at[pidx]
+    blkc = blk_of[at]
+    jc = pos_in[at]
+    # decode each TOUCHED block once; untouched blocks never decode
+    order = np.argsort(blkc, kind="stable")
+    bounds = np.flatnonzero(np.diff(blkc[order])) + 1
+    pos_parts, cidx_parts = [], []
+    for grp_idx in np.split(order, bounds):
+        b = blocks[int(blkc[grp_idx[0]])]
+        if b["flat"] is None:
+            tfs_b = codec.decode_block(b["tfs_buf"]).astype(np.int64)
+            b["tfs_a"] = tfs_b
+            b["flat"], b["p_starts"] = codec.decode_positions_flat(
+                b["pos_buf"], tfs_b
+            )
+            b["norms_a"] = np.frombuffer(b["norms"], dtype=np.uint8)
+        js = jc[grp_idx]
+        seg_lens = b["tfs_a"][js]
+        seg_starts = b["p_starts"][js]
+        total = int(seg_lens.sum())
+        # multi-segment gather: flat[starts[j] : starts[j]+lens[j]]
+        # for all j at once
+        gather = (
+            np.repeat(
+                seg_starts
+                - np.concatenate(([0], np.cumsum(seg_lens)[:-1])),
+                seg_lens,
+            )
+            + np.arange(total, dtype=np.int64)
+        )
+        pos_parts.append(b["flat"][gather])
+        cidx_parts.append(np.repeat(pidx[grp_idx], seg_lens))
+        if norms_out is not None:
+            norms_out[pidx[grp_idx]] = b["norms_a"][js]
+    return np.concatenate(pos_parts), np.concatenate(cidx_parts)
+
+
 def _eval_phrase_chunk(
     rows: pd.DataFrame,
     key_term: dict,
@@ -684,32 +783,7 @@ def _eval_phrase_chunk(
     freq > 0; ``scores`` is None when ``score=False`` (exclusion-only
     phrases need the match set, not BM25). ``key_term`` maps the
     ``key_col`` value to the phrase term it carries."""
-    per_term: dict = {}
-    for keyv, grp in rows.groupby(key_col):
-        t = key_term[keyv]
-        blocks = []
-        for row in grp.itertuples(index=False):
-            ids = codec.delta_decode(codec.decode_block(row.doc_deltas))
-            blocks.append(
-                {
-                    "ids": ids,
-                    "tfs_buf": row.tfs,
-                    "norms": row.norms,
-                    "pos_buf": row.positions,
-                    "flat": None,  # decoded lazily
-                }
-            )
-        counts = [len(b["ids"]) for b in blocks]
-        all_ids = np.concatenate([b["ids"] for b in blocks])
-        order = np.argsort(all_ids, kind="mergesort")
-        per_term[t] = (
-            all_ids[order],
-            blocks,
-            np.repeat(np.arange(len(blocks)), counts)[order],
-            np.concatenate(
-                [np.arange(c, dtype=np.int64) for c in counts]
-            )[order],
-        )
+    per_term = _index_chunk_terms(rows, key_term, key_col)
     cands = None
     for t in sorted(per_term, key=lambda t: per_term[t][0].size):
         cands = (
@@ -731,46 +805,13 @@ def _eval_phrase_chunk(
     norms_c = np.empty(n_c, dtype=np.uint8)
     first_term = True
     for t, offs in offsets.items():
-        sorted_ids, blocks, blk_of, pos_in = per_term[t]
-        at = np.searchsorted(sorted_ids, cands)
-        blkc = blk_of[at]
-        jc = pos_in[at]
-        # decode each TOUCHED block once; untouched blocks never decode
-        order = np.argsort(blkc, kind="stable")
-        bounds = np.flatnonzero(np.diff(blkc[order])) + 1
-        pos_parts, cidx_parts = [], []
-        for grp_idx in np.split(order, bounds):
-            b = blocks[int(blkc[grp_idx[0]])]
-            if b["flat"] is None:
-                tfs_b = codec.decode_block(b["tfs_buf"]).astype(np.int64)
-                b["tfs_a"] = tfs_b
-                b["flat"], b["p_starts"] = codec.decode_positions_flat(
-                    b["pos_buf"], tfs_b
-                )
-                b["norms_a"] = np.frombuffer(b["norms"], dtype=np.uint8)
-            js = jc[grp_idx]
-            seg_lens = b["tfs_a"][js]
-            seg_starts = b["p_starts"][js]
-            total = int(seg_lens.sum())
-            # multi-segment gather: flat[starts[j] : starts[j]+lens[j]]
-            # for all j at once
-            gather = (
-                np.repeat(
-                    seg_starts
-                    - np.concatenate(([0], np.cumsum(seg_lens)[:-1])),
-                    seg_lens,
-                )
-                + np.arange(total, dtype=np.int64)
-            )
-            pos_parts.append(b["flat"][gather])
-            cidx_parts.append(np.repeat(grp_idx, seg_lens))
-            if first_term:
-                # the norm byte is the DOC's field norm — identical
-                # across the phrase's terms, so gather it once
-                norms_c[grp_idx] = b["norms_a"][js]
+        # the norm byte is the DOC's field norm — identical across the
+        # phrase's terms, so gather it once (first term only)
+        pos_all, cidx_all = _gather_positions_for(
+            per_term[t], cands,
+            norms_out=norms_c if first_term else None,
+        )
         first_term = False
-        pos_all = np.concatenate(pos_parts)
-        cidx_all = np.concatenate(cidx_parts)
         if pos_all.size and int(pos_all.max()) + L >= (1 << 32):
             # the packed (cidx << 32 | pos+L-off) key would spill into
             # the next candidate's range and silently corrupt matches
@@ -900,6 +941,352 @@ def phrase_topk(
     kernel = _phrase_kernel_factory(offsets, term_idfs, idf_sum, avgdl, k,
                                     search_after=search_after,
                                     excluded=_excluded_ids(index))
+    local = co.mapInPandas(kernel, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _eval_span_near_chunk(
+    rows: pd.DataFrame,
+    terms: list[str],
+    slop: int,
+    in_order: bool,
+    w_idf_sum: float,
+    denom_cache: np.ndarray,
+    key_col: str = "term",
+):
+    """Evaluate one span-near query over one chunk's block rows
+    (caller guarantees every clause term is present in ``rows``).
+    Same lazy two-phase shape as ``_eval_phrase_chunk``: doc ids
+    decode first, candidates = the conjunction of the clause postings,
+    positions decode only for touched blocks. The per-candidate
+    matcher is the SAME function the DataFrame pandas UDF runs
+    (``_span_near_ordered_freq`` / ``_sloppy_freq_py`` with the span
+    bias), over the gathered ascending position runs — scores stay
+    bit-identical to search._scored_span_near. Candidates are bounded
+    by the rarest clause's df within the chunk."""
+    per_term = _index_chunk_terms(rows, {t: t for t in terms}, key_col)
+    cands = None
+    for t in sorted(terms, key=lambda t: per_term[t][0].size):
+        ids = per_term[t][0]
+        cands = (
+            ids if cands is None
+            else np.intersect1d(cands, ids, assume_unique=True)
+        )
+        if cands.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+    n_c = cands.size
+    norms_c = np.empty(n_c, dtype=np.uint8)
+    # per clause (IN CLAUSE ORDER — ordered matching is asymmetric):
+    # one gathered flat stream + per-candidate run boundaries
+    runs = []
+    grid = np.arange(n_c, dtype=np.int64)
+    for ti, t in enumerate(terms):
+        pos_all, cidx_all = _gather_positions_for(
+            per_term[t], cands,
+            norms_out=norms_c if ti == 0 else None,
+        )
+        order = np.argsort(cidx_all, kind="stable")
+        pos_s = pos_all[order]
+        cidx_s = cidx_all[order]
+        starts = np.searchsorted(cidx_s, grid)
+        ends = np.searchsorted(cidx_s, grid + 1)
+        runs.append((pos_s, starts, ends))
+    bias = len(terms) - 1
+    freq = np.zeros(n_c, dtype=np.float64)
+    for c in range(n_c):
+        pls = [ps[st[c]:en[c]] for ps, st, en in runs]
+        if in_order:
+            freq[c] = _span_near_ordered_freq(pls, slop)
+        else:
+            freq[c] = _sloppy_freq_py(pls, slop, bias=bias)
+    matched = freq > 0
+    ids_a = cands[matched]
+    fr = freq[matched]
+    scores = w_idf_sum * fr / (fr + denom_cache[norms_c[matched]])
+    return ids_a, scores
+
+
+def span_near_topk(
+    index,
+    field: str,
+    terms: list[str],
+    slop: int = 0,
+    in_order: bool = True,
+    k: int = 10,
+    n_partitions: int | None = None,
+    search_after: tuple[float, int] | None = None,
+    weight: float = 1.0,
+) -> DataFrame:
+    """SpanNearQuery top-k over the compressed segments (positions
+    decode inside the kernel — a span query never shuffles raw
+    postings). Result-identical to the DataFrame _scored_span_near
+    path: identical matcher functions, idf_sum accumulated in clause
+    order, the same float64 association.
+
+    Chunk-level skip bounds (block-max): a span match contributes
+    ``1/(1+matchSlop) <= 1`` per enumerated match, so
+    - ordered:   freq <= tf(first clause)  (one match per anchor), so
+      ``score <= w_idf_sum * chunk_max_first / idf_first``;
+    - unordered: the greedy advances one clause position per counted
+      match, so ``freq <= sum_t tf_t``, and BM25's tf saturation
+      ``f(x) = x/(x+d)`` is concave with f(0)=0 hence subadditive:
+      ``score <= w_idf_sum * sum_t(chunk_max_t / idf_t)``.
+    Both are also < w_idf_sum (f < 1). Bounds are inflated by 1e-12
+    relative so float rounding in the ``chunk_max/idf`` fold can never
+    prune a true top-k doc (same insurance as span_or_topk). Chunks
+    missing ANY clause term are skipped without decoding — the
+    conjunction semantics make this the dominant pruning at scale."""
+    if weight <= 0:
+        raise ValueError("span_near kernel weight must be positive "
+                         "(non-positive weights invert the skip bounds)")
+    terms = list(terms)
+    pairs = [(field, t) for t in terms]
+    key_idfs, _ws, blocks = _segment_scan(index, pairs)
+    if blocks is None or len(key_idfs) < len(terms):
+        # any clause term absent from the dictionary -> no match
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    term_idfs = {t: key_idfs[f"{field}\x1f{t}"] for t in terms}
+    # idf_sum accumulated in ORIGINAL clause order — float addition is
+    # order-sensitive and the DataFrame path folds its idf literals in
+    # clause order; matching it keeps scores bit-equal
+    idf_sum = 0.0
+    for t in terms:
+        idf_sum += term_idfs[t]
+    w_idf_sum = float(weight) * idf_sum if weight != 1.0 else idf_sum
+    avgdl = float(index.field_stats(field)["avgdl"])
+    uniq_terms = list(dict.fromkeys(terms))
+    slop_i, in_o = int(slop), bool(in_order)
+    first_t = terms[0]
+    excluded = _excluded_ids(index)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        denom_cache = _denom_cache(avgdl)
+        heap: list[tuple[float, int]] = []
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -math.inf
+
+        def process(cpdf: pd.DataFrame) -> None:
+            tmax = cpdf.groupby("term")["block_max_score"].max()
+            # chunks missing any clause term can't match at all
+            if not all(t in tmax.index for t in uniq_terms):
+                return
+            if in_o:
+                ratio = float(tmax[first_t]) / term_idfs[first_t]
+            else:
+                ratio = sum(
+                    float(tmax[t]) / term_idfs[t] for t in uniq_terms
+                )
+            upper = w_idf_sum * min(1.0, ratio) * (1.0 + 1e-12)
+            if len(heap) >= k and upper < theta():
+                return
+            ids_a, sc_a = _eval_span_near_chunk(
+                cpdf, terms, slop_i, in_o, w_idf_sum, denom_cache
+            )
+            _push_topk(heap, k, ids_a, sc_a, search_after, excluded)
+
+        _stream_chunks(batches, process)
+        yield _heap_frame(heap)
+
+    npart = n_partitions or index.spark.sparkContext.defaultParallelism
+    co = _co_located(
+        blocks,
+        ["chunk", "term", "block_max_score", "doc_deltas", "tfs",
+         "norms", "positions"],
+        npart,
+    )
+    local = co.mapInPandas(kernel, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def span_first_topk(
+    index,
+    field: str,
+    term: str,
+    end: int,
+    k: int = 10,
+    n_partitions: int | None = None,
+    search_after: tuple[float, int] | None = None,
+    weight: float = 1.0,
+) -> DataFrame:
+    """SpanFirstQuery(SpanTermQuery, end) top-k over the compressed
+    segments: freq = the count of the term's positions < ``end``
+    (Lucene keeps spans with span.end() <= end; a width-1 span at p
+    ends at p+1), BM25 over that freq with the term's FULL df —
+    result-identical to search._scored_span_first. Skipping is
+    BLOCK-level (finer than the phrase kernels' chunk level — the
+    query is single-term, so each block prunes independently):
+    freq <= tf gives ``score <= weight * block_max_score``; positions
+    decode only for blocks that beat the current θ."""
+    if weight <= 0:
+        raise ValueError("span_first kernel weight must be positive "
+                         "(non-positive weights invert the skip bounds)")
+    key_idfs, _ws, blocks = _segment_scan(index, [(field, term)])
+    if blocks is None or not key_idfs or end <= 0:
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    idf = key_idfs[f"{field}\x1f{term}"]
+    w_idf = float(weight) * idf if weight != 1.0 else idf
+    avgdl = float(index.field_stats(field)["avgdl"])
+    end_i = int(end)
+    wf = float(weight)
+    excluded = _excluded_ids(index)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        denom_cache = _denom_cache(avgdl)
+        heap: list[tuple[float, int]] = []
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -math.inf
+
+        def process(cpdf: pd.DataFrame) -> None:
+            for row in cpdf.itertuples(index=False):
+                upper = wf * float(row.block_max_score) * (1.0 + 1e-12)
+                if len(heap) >= k and upper < theta():
+                    continue
+                ids = codec.delta_decode(
+                    codec.decode_block(row.doc_deltas)
+                )
+                tfs = codec.decode_block(row.tfs).astype(np.int64)
+                flat, _starts = codec.decode_positions_flat(
+                    row.positions, tfs
+                )
+                seg = np.repeat(
+                    np.arange(ids.size, dtype=np.int64), tfs
+                )
+                freq = np.bincount(seg[flat < end_i],
+                                   minlength=ids.size)
+                m = freq > 0
+                if not m.any():
+                    continue
+                fr = freq[m].astype(np.float64)
+                norms = np.frombuffer(row.norms, dtype=np.uint8)[m]
+                sc = w_idf * fr / (fr + denom_cache[norms])
+                _push_topk(heap, k, ids[m], sc, search_after, excluded)
+
+        _stream_chunks(batches, process)
+        yield _heap_frame(heap)
+
+    npart = n_partitions or index.spark.sparkContext.defaultParallelism
+    co = _co_located(
+        blocks,
+        ["chunk", "term", "block_max_score", "doc_deltas", "tfs",
+         "norms", "positions"],
+        npart,
+    )
+    local = co.mapInPandas(kernel, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def span_not_topk(
+    index,
+    field: str,
+    include: str,
+    exclude: str,
+    pre: int = 0,
+    post: int = 0,
+    k: int = 10,
+    n_partitions: int | None = None,
+    search_after: tuple[float, int] | None = None,
+    weight: float = 1.0,
+) -> DataFrame:
+    """SpanNotQuery top-k over the compressed segments: an include
+    position p survives unless an exclude position q lands in
+    ``[p - pre, p + post]``; freq = surviving-position count, BM25
+    over the include term's FULL df (the exclude clause gates matching
+    but contributes no idf) — result-identical to
+    search._scored_span_not. Chunk skip bound: freq <= tf(include),
+    so ``score <= w_idf * chunk_max_include / idf_include``. The
+    exclude term's blocks ride in the same doc-range chunks (the
+    writer co-locates all terms of a doc range), its impact-frontier
+    bound is never consulted (``unbounded_keys``), and its positions
+    decode only for docs that contain BOTH terms — the per-doc
+    survival filter is two vectorized searchsorteds per such doc."""
+    if weight <= 0:
+        raise ValueError("span_not kernel weight must be positive "
+                         "(non-positive weights invert the skip bounds)")
+    exc_key = f"{field}\x1f{exclude}"
+    inc_key = f"{field}\x1f{include}"
+    key_idfs, _ws, blocks = _segment_scan(
+        index, [(field, include), (field, exclude)],
+        unbounded_keys={exc_key},
+    )
+    if blocks is None or inc_key not in key_idfs:
+        # include term absent -> no match (exclude-absent still runs)
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    idf = key_idfs[inc_key]
+    w_idf = float(weight) * idf if weight != 1.0 else idf
+    avgdl = float(index.field_stats(field)["avgdl"])
+    pre_i, post_i = int(pre), int(post)
+    inc_t, exc_t = include, exclude
+    excluded = _excluded_ids(index)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        denom_cache = _denom_cache(avgdl)
+        heap: list[tuple[float, int]] = []
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -math.inf
+
+        def process(cpdf: pd.DataFrame) -> None:
+            grp = cpdf[cpdf["term"] == inc_t]
+            if len(grp) == 0:
+                return
+            upper = (w_idf * (float(grp["block_max_score"].max()) / idf)
+                     * (1.0 + 1e-12))
+            if len(heap) >= k and upper < theta():
+                return
+            per_term = _index_chunk_terms(
+                cpdf, {inc_t: inc_t, exc_t: exc_t}, "term"
+            )
+            cands = per_term[inc_t][0]
+            n_c = cands.size
+            if n_c == 0:
+                return
+            norms_c = np.empty(n_c, dtype=np.uint8)
+            inc_pos, inc_cidx = _gather_positions_for(
+                per_term[inc_t], cands, norms_out=norms_c
+            )
+            io = np.argsort(inc_cidx, kind="stable")
+            ip, ic = inc_pos[io], inc_cidx[io]
+            freq = np.bincount(ic, minlength=n_c)
+            if exc_t in per_term:
+                exc_pos, exc_cidx = _gather_positions_for(
+                    per_term[exc_t], cands
+                )
+                if exc_pos.size:
+                    eo = np.argsort(exc_cidx, kind="stable")
+                    ep, ec = exc_pos[eo], exc_cidx[eo]
+                    # only docs containing BOTH terms re-filter
+                    both = np.unique(ec)
+                    e_lo = np.searchsorted(ec, both)
+                    e_hi = np.searchsorted(ec, both + 1)
+                    i_lo = np.searchsorted(ic, both)
+                    i_hi = np.searchsorted(ic, both + 1)
+                    for j, c in enumerate(both.tolist()):
+                        exc_run = ep[e_lo[j]:e_hi[j]]
+                        inc_run = ip[i_lo[j]:i_hi[j]]
+                        lo = np.searchsorted(exc_run, inc_run - pre_i,
+                                             side="left")
+                        hi = np.searchsorted(exc_run, inc_run + post_i,
+                                             side="right")
+                        freq[c] = int(np.count_nonzero(hi == lo))
+            m = freq > 0
+            if not m.any():
+                return
+            fr = freq[m].astype(np.float64)
+            sc = w_idf * fr / (fr + denom_cache[norms_c[m]])
+            _push_topk(heap, k, cands[m], sc, search_after, excluded)
+
+        _stream_chunks(batches, process)
+        yield _heap_frame(heap)
+
+    npart = n_partitions or index.spark.sparkContext.defaultParallelism
+    co = _co_located(
+        blocks,
+        ["chunk", "term", "block_max_score", "doc_deltas", "tfs",
+         "norms", "positions"],
+        npart,
+    )
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

@@ -2422,3 +2422,137 @@ def test_dismax_ineligible_falls_back(disk_index):
     assert _wand_route(disk_index, bad) is None
     with pytest.raises(ValidationError):
         disk_index.search(bad, with_hit=False).collect()
+
+
+# --- span kernels (round 5): span_near / span_first / span_not -------
+
+
+def test_span_near_kernel_matches_dataframe(disk_index):
+    """The positions-decoding span-near kernel (wand.span_near_topk,
+    auto-routed for SpanNearQ) must be BIT-identical to the DataFrame
+    path: the SAME matcher functions (spans._span_near_ordered_freq /
+    _sloppy_freq_py) run over the same ascending position runs, the
+    idf fold order matches, and the chunk bounds (anchor-count bound
+    for ordered, subadditive bound for unordered) never skip a true
+    top-k doc. Covers ordered/unordered, slop range, boosts, and an
+    absent clause term (empty result on both paths)."""
+    from lucene_clj_spark.query import SpanNearQ
+
+    shapes = [
+        SpanNearQ(1.0, "text", ("merge", "window"), 0, True),
+        SpanNearQ(1.0, "text", ("merge", "window"), 3, True),
+        SpanNearQ(1.0, "text", ("merge", "window"), 3, False),
+        SpanNearQ(2.5, "text", ("the", "merge"), 1, True),
+        SpanNearQ(0.5, "text", ("row", "column", "sort"), 4, False),
+        SpanNearQ(1.0, "text", ("merge", "zzzznotaterm"), 5, True),
+    ]
+    for q in shapes:
+        a = disk_index.search(q, with_hit=False,
+                              strategy="dataframe").collect()
+        b = disk_index.search(q, with_hit=False,
+                              strategy="wand").collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], (q.terms, q.slop, q.in_order)
+
+
+def test_span_near_kernel_keyset(disk_index):
+    from lucene_clj_spark.query import SpanNearQ
+
+    q = SpanNearQ(1.0, "text", ("the", "merge"), 2, False)
+    first = disk_index.search(q, with_hit=False,
+                              strategy="wand").collect()
+    assert first  # slop-2 unordered "the merge" matches at sf0.01
+    sa = {"score": first[-1]["score"], "doc_id": first[-1]["doc_id"]}
+    ka = disk_index.search(q, with_hit=False, strategy="wand",
+                           search_after=sa).collect()
+    da = disk_index.search(q, with_hit=False, strategy="dataframe",
+                           search_after=sa).collect()
+    assert [(r["doc_id"], r["score"]) for r in ka] == [
+        (r["doc_id"], r["score"]) for r in da
+    ]
+
+
+def test_span_first_kernel_matches_dataframe(disk_index):
+    from lucene_clj_spark.query import SpanFirstQ
+
+    for q in [
+        SpanFirstQ(1.0, "text", "merge", 5),
+        SpanFirstQ(1.0, "text", "merge", 1),
+        SpanFirstQ(3.0, "text", "the", 12),
+        SpanFirstQ(1.0, "text", "zzzznotaterm", 5),
+        SpanFirstQ(1.0, "text", "merge", 0),  # end=0 -> empty
+    ]:
+        a = disk_index.search(q, with_hit=False,
+                              strategy="dataframe").collect()
+        b = disk_index.search(q, with_hit=False,
+                              strategy="wand").collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], (q.term, q.end)
+
+
+def test_span_not_kernel_matches_dataframe(disk_index):
+    from lucene_clj_spark.query import SpanNotQ
+
+    for q in [
+        SpanNotQ(1.0, "text", "merge", "window", 0, 0),
+        SpanNotQ(1.0, "text", "merge", "window", 2, 3),
+        SpanNotQ(2.0, "text", "the", "merge", 1, 1),
+        SpanNotQ(1.0, "text", "merge", "zzzznotaterm", 0, 0),
+        SpanNotQ(1.0, "text", "zzzznotaterm", "merge", 0, 0),
+    ]:
+        a = disk_index.search(q, with_hit=False,
+                              strategy="dataframe").collect()
+        b = disk_index.search(q, with_hit=False,
+                              strategy="wand").collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], (q.include, q.exclude, q.pre, q.post)
+
+
+def test_span_kernels_auto_route(disk_index):
+    """SpanNearQ / SpanFirstQ / SpanNotQ auto-route to the segment
+    kernels (plan shows MapInPandas, not the exhaustive postings
+    join)."""
+    from lucene_clj_spark.query import SpanFirstQ, SpanNearQ, SpanNotQ
+
+    for q in [
+        SpanNearQ(1.0, "text", ("merge", "window"), 2, True),
+        SpanFirstQ(1.0, "text", "merge", 5),
+        SpanNotQ(1.0, "text", "merge", "window", 0, 0),
+    ]:
+        auto = disk_index.search(q, with_hit=False)
+        s = auto._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in s, type(q).__name__
+
+
+def test_span_near_kernel_fuzz_random_shapes(disk_index):
+    """Seeded fuzz over real-vocabulary clause sets, random slops and
+    order flags: kernel and DataFrame paths must stay bit-identical
+    for any mix of common/rare clauses — the pruning-bound argument
+    has to hold everywhere, not just on hand-picked shapes."""
+    import random
+
+    from lucene_clj_spark.query import SpanNearQ
+
+    rng = random.Random(20260821)
+    vocab = sorted(
+        r["term"]
+        for r in disk_index.terms.filter("field = 'text'")
+        .select("term").distinct().collect()
+    )
+    for trial in range(10):
+        n_terms = rng.randint(2, 4)
+        terms = tuple(rng.sample(vocab, min(n_terms, len(vocab))))
+        slop = rng.randint(0, 6)
+        in_order = rng.random() < 0.5
+        boost = rng.choice([0.25, 1.0, 3.5])
+        q = SpanNearQ(boost, "text", terms, slop, in_order)
+        a = disk_index.search(q, with_hit=False,
+                              strategy="dataframe").collect()
+        b = disk_index.search(q, with_hit=False,
+                              strategy="wand").collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], (trial, terms, slop, in_order, boost)
