@@ -2910,7 +2910,7 @@ parsed0 AS (
       AS scheme,
     lower(regexp_extract(regexp_extract(url,
         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
-        '^(?:[^@]*@)?([^:]+)', 1)) AS host,
+        '^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]+)', 1)) AS host,
     regexp_extract(url,
         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) AS path
   FROM pages
@@ -3026,7 +3026,8 @@ m AS (
     list_sum(list_transform(ts, t -> length(t))) AS sum_len,
     len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]')))
       AS n_alpha,
-    len(list_filter(list_distinct(ts), t -> t IN ({stop})))
+    len(list_filter(list_distinct(list_transform(ts, t -> lower(t))),
+                    t -> t IN ({stop})))
       AS n_stop,
     tt.top_tf
   FROM base b LEFT JOIN toptf tt USING (doc_id)

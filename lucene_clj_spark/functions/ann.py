@@ -143,10 +143,16 @@ def ivf_pivots(
     deterministic and engine-reproducible: cell c's pivot is the
     vector with the (c+1)-th smallest vec_id (k-means++ RNG seeding
     is not reproducible; the oracle twins depend on this mode). With
-    ``refine_iters > 0``, Lloyd passes move the pivots toward true
-    k-means centroids: each pass is ONE assignment job + ONE dim-wide
-    avg aggregate (``F.avg`` per component — map-side combined, the
-    shuffle carries n_cells * dim doubles, never vectors). Refinement
+    ``refine_iters > 0``, SPHERICAL-k-means Lloyd passes move the
+    pivots: assignment is by cosine, so each pass averages the UNIT
+    vectors of a cell (a raw Euclidean mean would let high-magnitude
+    vectors skew the centroid direction — ADVICE r04); the mean of
+    unit vectors points at the spherical centroid direction, which is
+    all cosine assignment consults. Each pass is ONE assignment job +
+    ONE dim-wide avg aggregate (``F.avg`` per normalized component —
+    map-side combined, the shuffle carries n_cells * dim doubles,
+    never vectors). Zero vectors are excluded from the mean (their
+    direction is undefined; they still assign to a cell). Refinement
     is deterministic only up to floating-point summation order — the
     standard distributed-k-means caveat: ``F.avg`` folds partials in
     task-completion order, so two runs can produce last-bit-different
@@ -167,13 +173,25 @@ def ivf_pivots(
     if not pivots:
         return []
     dim = len(pivots[0][1])
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
     for _ in range(int(refine_iters)):
-        assigned = ivf_assign(embeddings, pivots, vec_col)
+        assigned = ivf_assign(embeddings, pivots, vec_col).withColumn(
+            "__norm", norm
+        ).filter(F.col("__norm") > 0)
         means = (
             assigned.groupBy("cell")
             .agg(
                 *[
-                    F.avg(F.col(vec_col)[i].cast("double")).alias(f"m{i}")
+                    F.avg(
+                        F.col(vec_col)[i].cast("double")
+                        / F.col("__norm")
+                    ).alias(f"m{i}")
                     for i in range(dim)
                 ]
             )

@@ -204,8 +204,11 @@ def quality_flags(
     ).cast("double") / nd)
     n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
     stop_arr = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    # lowercase before the membership test: 'The'/'A' at sentence
+    # starts count toward the stopword gate, matching the published
+    # Gopher/C4 heuristic (ADVICE r04 — the raw form was stricter)
     n_stop_distinct = F.size(
-        F.filter(F.array_distinct(toks),
+        F.filter(F.array_distinct(F.transform(toks, F.lower)),
                  lambda t: F.array_contains(stop_arr, t))
     )
     # top term frequency in O(n log n): sort, then one fold tracking

@@ -145,9 +145,15 @@ def url_parts(pages: DataFrame, url_col: str = "url") -> DataFrame:
     host_full = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
     )
-    # strip userinfo@ and :port
+    # strip userinfo@ and :port. An IPv6 literal keeps its brackets
+    # ('http://[::1]:8080/' -> host '[::1]'): the bracket alternative
+    # matches first, so the :port strip never truncates inside the
+    # address (ADVICE r04). Scheme-less inputs parse to empty
+    # scheme/host/registered_domain by design — callers doing crawl
+    # hygiene should pre-filter `scheme != ''` (a row with an empty
+    # host is the flag for an unparseable URL).
     host = F.lower(
-        F.regexp_extract(host_full, r"^(?:[^@]*@)?([^:]+)", 1)
+        F.regexp_extract(host_full, r"^(?:[^@]*@)?(\[[^\]]*\]|[^:]+)", 1)
     )
     path = F.regexp_extract(
         u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1

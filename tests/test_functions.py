@@ -353,6 +353,48 @@ def test_quality_flags_goldens(spark):
     assert not r3["ok_alpha"] and not r3["ok_repetition"]
 
 
+def test_quality_flags_stopwords_case_insensitive(spark):
+    """ADVICE r04: capitalized stopwords ('The', 'A' at sentence
+    starts) count toward ok_stop — the published Gopher/C4 heuristic
+    is case-insensitive on the stopword gate."""
+    text = " ".join(["The", "A"] + [f"word{i}" for i in range(60)])
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    r = textfn.quality_flags(df).collect()[0]
+    assert r["ok_stop"]  # 'The' + 'A' -> 2 distinct stopwords
+
+
+def test_ivf_lloyd_spherical_mean_ignores_magnitude(spark):
+    """ADVICE r04: refinement averages UNIT vectors (spherical
+    k-means), so one high-magnitude member cannot drag the centroid
+    direction — and zero vectors are excluded from the mean."""
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),   # seeds, one per cluster
+        (2, [1000.0, 1.0]),                  # a whale in cluster A
+        (3, [0.0, 2.0]),                     # cluster B
+        (4, [0.0, 0.0]),                     # zero vector, no direction
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    refined = ann.ivf_pivots(df, n_cells=2, refine_iters=1)
+    piv = dict(refined)
+    import math
+
+    def unit(v):
+        n = math.hypot(*v)
+        return [x / n for x in v]
+
+    # cell B: [0,1] and [0,2] have the SAME unit vector — the mean
+    # stays exactly [0,1] regardless of magnitudes (and the zero
+    # vector, whichever cell it lands in, is excluded from the mean)
+    b = piv[1]
+    assert b[0] == pytest.approx(0.0) and b[1] == pytest.approx(1.0)
+    # cell A: mean of unit([1,0]) and unit([1000,1]) — the whale
+    # contributes DIRECTION only
+    ua, ub = unit([1.0, 0.0]), unit([1000.0, 1.0])
+    a = piv[0]
+    assert a[0] == pytest.approx((ua[0] + ub[0]) / 2)
+    assert a[1] == pytest.approx((ua[1] + ub[1]) / 2)
+
+
 def test_token_count_pattern_matches_duckdb(spark):
     """The Java-regex (Spark) and RE2 (DuckDB) counts must agree on
     the adversarial shapes — the oracle twin depends on it."""

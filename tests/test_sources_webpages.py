@@ -127,6 +127,28 @@ def test_url_parts_goldens(spark):
     assert r5["path"] == "/CaseSensitivePath"
 
 
+def test_url_parts_ipv6_and_schemeless(spark):
+    """ADVICE r04: bracket hosts keep the full IPv6 literal (the :port
+    strip must not truncate inside the address); scheme-less inputs
+    parse to empty scheme/host/registered_domain — the documented
+    unparseable-URL flag."""
+    from lucene_clj_spark.sources import url_parts
+
+    rows = [
+        (0, "http://[::1]:8080/x"),
+        (1, "https://[2001:DB8::1]/path"),
+        (2, "http://user@[::1]:9/y"),
+        (3, "example.com/no-scheme"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {r["doc_id"]: r for r in url_parts(df).collect()}
+    assert got[0]["host"] == "[::1]" and got[0]["path"] == "/x"
+    assert got[1]["host"] == "[2001:db8::1]"  # lowercased, no port
+    assert got[2]["host"] == "[::1]"  # userinfo stripped first
+    assert (got[3]["scheme"], got[3]["host"],
+            got[3]["registered_domain"]) == ("", "", "")
+
+
 def test_host_stats_aggregates_per_domain(spark):
     from lucene_clj_spark.sources import host_stats
 
