@@ -108,6 +108,56 @@ def _write_postings(postings: DataFrame, path: str, n_buckets: int,
     )
 
 
+#: suggest-table partition column: the completion key's first char
+#: ([a-z0-9] verbatim, everything else pooled under 'other') — fuzzy
+#: suggest's Lucene-default "first char exact" prune becomes a REAL
+#: directory-partition prune (PartitionFilters) instead of relying on
+#: range-clustered row-group stats
+SUGGEST_PART_COL = "ckey1"
+_SUGGEST_PART_SAFE = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def suggest_part_value(ch: str) -> str:
+    """The partition-directory value for a completion first char —
+    shared by the writer below and the suggest query paths so the
+    prune can never drift from the layout."""
+    return ch if ch in _SUGGEST_PART_SAFE else "other"
+
+
+def _write_suggest(spark, sug: DataFrame, dest: str,
+                   mode: str = "overwrite") -> None:
+    """The ONE place that defines the on-disk suggest layout:
+    directory-partitioned by first completion char (bounded 37-value
+    domain — no unicode directory names), range-clustered + sorted on
+    (field, completion_key) within each partition so exact-prefix
+    probes still prune to few files via min/max stats. Fuzzy suggest
+    filters on the partition column and scans exactly one directory.
+    ``mode='append'`` against a pre-round-5 FLAT layout keeps
+    appending flat (mixing layouts under one root would corrupt the
+    read); rewrite via purge/write to migrate."""
+    import os as _os
+
+    if mode == "append" and _os.path.isdir(dest) and not any(
+        d.startswith(f"{SUGGEST_PART_COL}=") for d in _os.listdir(dest)
+    ):
+        sug.write.mode("append").parquet(dest)
+        return
+    c1 = F.substring(F.col("completion_key"), 1, 1)
+    part = F.when(
+        c1.rlike(f"^[{_SUGGEST_PART_SAFE}]$"), c1
+    ).otherwise(F.lit("other"))
+    n_sug = max(2, spark.sparkContext.defaultParallelism // 2)
+    (
+        sug.drop(SUGGEST_PART_COL)
+        .withColumn(SUGGEST_PART_COL, part)
+        .repartitionByRange(n_sug, "field", "completion_key")
+        .sortWithinPartitions("field", "completion_key")
+        .write.mode(mode)
+        .partitionBy(SUGGEST_PART_COL)
+        .parquet(dest)
+    )
+
+
 def _tombstone_relation(spark, tomb: frozenset) -> DataFrame:
     """The tombstone ids as a one-column relation, built from a pandas
     frame (ONE Arrow batch) rather than a pickled row list — measured
@@ -428,19 +478,10 @@ class Index:
                         "overwrite")
         self.terms.write.mode("overwrite").parquet(f"{path}/terms")
         if self.suggest is not None:
-            # range-partitioned on the lookup key: prefix queries prune
-            # to few files via min/max stats; no single-task bottleneck
-            n_sug = max(
-                2, self.spark.sparkContext.defaultParallelism // 2
-            )
-            (
-                self.suggest.repartitionByRange(
-                    n_sug, "field", "completion_key"
-                )
-                .sortWithinPartitions("field", "completion_key")
-                .write.mode("overwrite")
-                .parquet(f"{path}/suggest")
-            )
+            # first-char directory partitioning + range clustering on
+            # the lookup key: exact-prefix probes prune to few files
+            # via min/max stats, fuzzy probes prune to ONE directory
+            _write_suggest(self.spark, self.suggest, f"{path}/suggest")
         with open(f"{path}/_field_specs.json", "w") as f:
             f.write(specs_to_json(self.specs))
         with open(f"{path}/_stats.json", "w") as f:
@@ -973,17 +1014,7 @@ class Index:
             subs = ["docs", "postings", "terms"]
             if sug_new is not None and os.path.isdir(
                     f"{self.path}/suggest"):
-                n_sug = max(
-                    2, spark.sparkContext.defaultParallelism // 2
-                )
-                (
-                    sug_new.repartitionByRange(
-                        n_sug, "field", "completion_key"
-                    )
-                    .sortWithinPartitions("field", "completion_key")
-                    .write.mode("overwrite")
-                    .parquet(f"{stage}/suggest")
-                )
+                _write_suggest(spark, sug_new, f"{stage}/suggest")
                 subs.append("suggest")
             # all staged — swap each table (the journal fences a crash
             # that lands between two swaps)
@@ -1284,7 +1315,8 @@ class Index:
             shutil.rmtree(f"{self.path}/terms")
             os.rename(tmp, f"{self.path}/terms")
             if sug_new is not None and os.path.isdir(f"{self.path}/suggest"):
-                sug_new.write.mode("append").parquet(f"{self.path}/suggest")
+                _write_suggest(self.spark, sug_new,
+                               f"{self.path}/suggest", mode="append")
             stats_file = os.path.join(self.path, "_stats.json")
             if os.path.isfile(stats_file):
                 with open(stats_file) as f:

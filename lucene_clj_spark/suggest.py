@@ -33,10 +33,13 @@ cardinality is per-field distinct completions, typically 10^6-10^8
 even for web corpora whose postings run 10^11+), not the postings
 table. A one-char partition of that is ~1/26th of the field's
 completions; the Damerau filter then runs as a vectorized kernel over
-only that slice. If fuzzy-suggest latency matters at the top end,
-bucket the suggest table by first char on write (Index.write already
-range-partitions on completion_key, which clusters first chars into
-few files — parquet min/max stats give the prune for free).
+only that slice. Since round 5 the layout makes this prune EXPLICIT:
+``indexer._write_suggest`` directory-partitions the table by first
+completion char (``ckey1=<a-z0-9|other>``), so the fuzzy probe's
+first-char filter constant-folds into PartitionFilters and the scan
+reads one directory — no reliance on row-group clustering. Exact
+prefixes get the same partition prune plus (field, completion_key)
+min/max file skipping within it.
 
 Deletes: suggestions from tombstoned docs stay visible until
 ``Index.purge_deletes`` rebuilds the suggest table — the same
@@ -94,6 +97,22 @@ def suggest(
     key = " ".join(toks) if toks else p.lower()
 
     base = index.suggest.filter(F.col("field") == field)
+    if key:
+        # disk indexes carry the first-char partition column
+        # (indexer._write_suggest): both probe shapes only ever match
+        # completions sharing the prefix's first char, so the filter
+        # constant-folds into PartitionFilters — the fuzzy scan reads
+        # ONE directory instead of relying on row-group stats.
+        # In-memory indexes (no ckey1 column) skip the prune.
+        from lucene_clj_spark.indexer import (
+            SUGGEST_PART_COL,
+            suggest_part_value,
+        )
+
+        if SUGGEST_PART_COL in base.columns:
+            base = base.filter(
+                F.col(SUGGEST_PART_COL) == suggest_part_value(key[0])
+            )
     if fuzzy and len(key) >= 3:
         # FuzzyCompletionQuery measures Damerau-Levenshtein (a
         # transposition is one edit), same metric as fuzzy search —

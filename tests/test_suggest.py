@@ -88,6 +88,56 @@ def test_disk_suggest_plan_prunes(spark, tmp_path):
     assert out.count() >= 0  # executes cleanly
 
 
+def test_disk_fuzzy_suggest_partition_prunes(spark, tmp_path):
+    """Round-5 layout contract: the suggest table is directory-
+    partitioned by first completion char (indexer._write_suggest), so
+    the FUZZY probe's first-char-exact prune is a real PartitionFilters
+    prune — the scan reads one ckey1 directory, not the whole table."""
+    import os
+
+    from lucene_clj_spark import create_index
+    from lucene_clj_spark.indexer import Index
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).limit(200)
+    path = str(tmp_path / "sugidx2")
+    create_index(
+        spark, docs,
+        {"text": "text",
+         "source": {"type": "keyword", "suggest": {"weight": 2}}},
+        id_column="doc_id", path=path, index_type="disk",
+        re_create=True, ignore_extra_columns=True,
+    )
+    # the layout itself: ckey1=<char> directories on disk
+    subdirs = {d for d in os.listdir(f"{path}/suggest")
+               if d.startswith("ckey1=")}
+    assert subdirs, "suggest table must be first-char partitioned"
+    idx = Index.load(spark, path)
+    out = idx.suggest_("source", "sre1", fuzzy=True, with_hit=False)
+    s = out._jdf.queryExecution().executedPlan().toString()
+    pf = s.split("PartitionFilters", 1)
+    assert len(pf) == 2, "fuzzy suggest scan has no PartitionFilters"
+    assert "ckey1" in pf[1][:300]
+    # results identical to an in-memory (unpartitioned) index
+    mem = create_index(
+        spark, docs,
+        {"text": "text",
+         "source": {"type": "keyword", "suggest": {"weight": 2}}},
+        id_column="doc_id", ignore_extra_columns=True,
+    )
+    want = [(r["doc_id"], r["completion"], r["score"])
+            for r in mem.suggest_("source", "sre1", fuzzy=True,
+                                  with_hit=False).collect()]
+    got = [(r["doc_id"], r["completion"], r["score"])
+           for r in out.collect()]
+    assert got == want
+    # exact-prefix probes prune too
+    out2 = idx.suggest_("source", "sr", with_hit=False)
+    s2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "ckey1" in s2.split("PartitionFilters", 1)[1][:300]
+
+
 def test_suggest_validation(sample_index):
     from lucene_clj_spark.errors import ValidationError
 
