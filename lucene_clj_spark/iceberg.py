@@ -33,6 +33,21 @@ engines then apply the mask natively) and ``purge_deletes`` becomes
 The engine-side semantics (immediate masking, stats stale until
 compaction) are identical in both representations, so the swap stays
 one line.
+
+Offline execution-probe result (round 5, 2026-08-21): an executed
+filesystem-catalog round-trip (``hadoop``-type catalog on a local
+path) was attempted in this container and is NOT possible offline —
+the probe searched the whole filesystem plus the Spark distribution
+(``/opt/spark-4.1.2-bin-hadoop3/jars``) and the pyspark wheel for an
+``iceberg-spark-runtime`` (or any iceberg/delta/hudi) jar and found
+none, and the container has no network to fetch one. Configuring
+``spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog``
+without the jar fails at session/catalog load with a
+ClassNotFoundException, as expected. The construction-only tests
+(tests/test_iceberg.py) therefore remain the executable gate:
+they pin writer construction, partitioning spec, and property
+payloads; ``have_iceberg_catalog`` keeps the execution attempt
+fail-fast with a clear message on deployments that do ship the jar.
 """
 
 from __future__ import annotations
