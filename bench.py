@@ -385,6 +385,33 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
                     with_hit=False,
                     strategy="wand").collect(),
                     name="q_seg_span_or"), 4)
+            # round-5 span kernels: positions decode in-scan, the
+            # same matcher functions as the DataFrame path (spans.py)
+            from lucene_clj_spark.query import (
+                SpanFirstQ as _SpanFirstQ,
+                SpanNearQ as _SpanNearQ,
+                SpanNotQ as _SpanNotQ,
+            )
+
+            queries["q_seg_span_near"] = round(
+                timed(lambda: didx.search(
+                    _SpanNearQ(1.0, "text", ("merge", "window"), 3,
+                               True),
+                    with_hit=False,
+                    strategy="wand").collect(),
+                    name="q_seg_span_near"), 4)
+            queries["q_seg_span_not"] = round(
+                timed(lambda: didx.search(
+                    _SpanNotQ(1.0, "text", "merge", "window", 1, 1),
+                    with_hit=False,
+                    strategy="wand").collect(),
+                    name="q_seg_span_not"), 4)
+            queries["q_seg_span_first"] = round(
+                timed(lambda: didx.search(
+                    _SpanFirstQ(1.0, "text", "merge", 8),
+                    with_hit=False,
+                    strategy="wand").collect(),
+                    name="q_seg_span_first"), 4)
             # the delta path: append one source-table batch (1/32 of
             # the corpus) as DELTA segment blocks, query across
             # base+delta, then compact via merge_segments — tracks
