@@ -2130,9 +2130,23 @@ def _wand_route(
             node.boost <= 0  # non-positive boost inverts skip bounds
             or not node.terms
             or node.field not in index.stats
-            or node.slop != 0  # sloppy matcher lives on the DF path
         ):
             return None
+        if node.slop != 0:
+            # sloppy phrase -> the positions-decoding kernel
+            # (wand.sloppy_phrase_topk). Repeats fall back so the
+            # DataFrame path raises its repeat-group ValidationError;
+            # negative slop falls back too (both paths return empty,
+            # the DF shape is the canonical one for odd inputs).
+            if node.slop < 0 or len(set(node.terms)) != len(node.terms):
+                return None
+            if len(node.terms) == 1:
+                # Lucene rewrites one-term phrases to TermQuery (slop
+                # is moot) — same rewrite the DataFrame path applies
+                pair = (node.field, node.terms[0])
+                w = {pair: node.boost} if node.boost != 1.0 else None
+                return (None, [pair], "or", w)
+            return (node.field, node, "sloppy_phrase", None)
         # a positive boost rides into the kernel folded into idf_sum
         # (score and chunk bound scale linearly, pruning stays exact)
         w = node.boost if node.boost != 1.0 else None
@@ -2209,9 +2223,40 @@ def _wand_route(
         # non-positive root boosts invert the kernels' skip bounds
         return None
     if node.min_should_match:
-        # the kernels don't carry a matched-SHOULD tally; msm booleans
-        # execute on the DataFrame counting compiler
-        return None
+        # minimumNumberShouldMatch: the flat all-SHOULD term shape
+        # (Lucene's canonical "match >= m of these optional terms")
+        # rides the or-kernel, whose per-doc matched-pair tally is
+        # exactly the tally _scored_term_group filters on. Everything
+        # else (mixed MUST/SHOULD, fuzzy clauses, duplicate pairs —
+        # where the DataFrame path itself switches to the
+        # joins compiler) stays on the counting compiler.
+        msm = node.min_should_match
+        if (
+            msm < 0
+            or node.boost != 1.0
+            or any(occ != SHOULD for occ, _ in node.clauses)
+        ):
+            return None
+        pairs, weights = [], {}
+        for _, n in node.clauses:
+            t = _as_term(n)
+            if t is None or t.boost <= 0 or t.field not in index.stats:
+                return None
+            pair = (t.field, t.term)
+            if pair in weights:
+                # duplicate SHOULD pairs merge into one scan row and
+                # break the clause tally — the DataFrame fast path
+                # falls back to _scored_bool_joins for the same reason
+                return None
+            pairs.append(pair)
+            weights[pair] = t.boost
+        if msm > len(pairs):
+            # more required matches than SHOULD clauses: nothing can
+            # satisfy it (the DataFrame filter is empty too)
+            return (None, None, "empty", None)
+        if all(w == 1.0 for w in weights.values()):
+            weights = None
+        return (None, (pairs, msm), "or_msm", weights)
     # fuzzy clauses expand driver-side (memoized) into weighted OR
     # groups of terms, making booleans-with-fuzzy kernel-eligible;
     # a MUST fuzzy with no expansions short-circuits to an empty result
@@ -2507,8 +2552,8 @@ def search(
     if strategy == "wand" and route is None:
         raise ValidationError(
             "strategy='wand' requires a segment-backed disk index and "
-            "a term/AND/OR/map/group/phrase/fuzzy/span-or query with "
-            "positive boosts over indexed fields",
+            "a term/AND/OR/map/group/phrase (exact or sloppy)/fuzzy/"
+            "span query with positive boosts over indexed fields",
             {},
         )
     if route is not None:
@@ -2565,6 +2610,14 @@ def search(
                 scores = phrase_topk(index, field_, terms_, k=kernel_k,
                                      search_after=sa_key,
                                      weight=weights_ or 1.0)
+            elif mode_ == "sloppy_phrase":
+                from lucene_clj_spark.wand import sloppy_phrase_topk
+
+                n_ = terms_
+                scores = sloppy_phrase_topk(
+                    index, field_, list(n_.terms), slop=int(n_.slop),
+                    k=kernel_k, search_after=sa_key, weight=n_.boost,
+                )
             elif mode_ == "group":
                 # absent MUST members / pure-negative trees are handled
                 # inside wand_group_topk (empty result)
@@ -2616,6 +2669,12 @@ def search(
                     index, field_, n_.include, n_.exclude,
                     pre=n_.pre, post=n_.post, k=kernel_k,
                     search_after=sa_key, weight=n_.boost,
+                )
+            elif mode_ == "or_msm":
+                pairs_, msm_ = terms_
+                scores = wand_pairs_topk(
+                    index, pairs_, k=kernel_k, mode="or",
+                    weights=weights_, msm=msm_, search_after=sa_key,
                 )
             else:
                 scores = wand_pairs_topk(

@@ -233,7 +233,8 @@ def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
                     k: int, mode: str,
                     search_after: tuple[float, int] | None = None,
                     excluded: np.ndarray | None = None,
-                    pool_widf: float | None = None):
+                    pool_widf: float | None = None,
+                    msm: int = 0):
     """Per-partition streaming WAND kernel for mapInPandas.
 
     ``key_idfs`` maps fkey -> idf and ``key_ws`` -> its boost weight,
@@ -353,6 +354,17 @@ def _kernel_factory(key_idfs: dict, key_ws: dict, key_denoms: dict,
             np.add.at(agg, inv, scores)
             if mode == "and":
                 keep = counts >= n_keys
+                uniq, agg = uniq[keep], agg[keep]
+            elif msm:
+                # minimumNumberShouldMatch over an all-SHOULD flat
+                # boolean: counts = matched DISTINCT pairs per doc
+                # (each block decodes once per pair — the router
+                # guarantees distinct clause pairs, matching the
+                # DataFrame tally's contract). Sound under block
+                # skipping for the same reason 'and' is: a doc inside
+                # any skipped block can't beat theta, so an undercount
+                # only ever drops docs already out of the top-k.
+                keep = counts >= msm
                 uniq, agg = uniq[keep], agg[keep]
             _push_topk(heap, k, uniq, agg, search_after, excluded)
 
@@ -953,6 +965,7 @@ def _eval_span_near_chunk(
     w_idf_sum: float,
     denom_cache: np.ndarray,
     key_col: str = "term",
+    phrase_shift: bool = False,
 ):
     """Evaluate one span-near query over one chunk's block rows
     (caller guarantees every clause term is present in ``rows``).
@@ -963,7 +976,14 @@ def _eval_span_near_chunk(
     (``_span_near_ordered_freq`` / ``_sloppy_freq_py`` with the span
     bias), over the gathered ascending position runs — scores stay
     bit-identical to search._scored_span_near. Candidates are bounded
-    by the rarest clause's df within the chunk."""
+    by the rarest clause's df within the chunk.
+
+    ``phrase_shift=True`` switches the matcher to SLOPPY-PHRASE
+    semantics (search._scored_sloppy_phrase): each clause's positions
+    are offset-adjusted by its phrase slot (``pos - slot``, exactly
+    the DataFrame path's ``_shift(i)`` transform) and the greedy runs
+    with ``bias=0`` — phrase slop arithmetic instead of the span
+    covering-interval form. ``in_order`` is ignored in that mode."""
     per_term = _index_chunk_terms(rows, {t: t for t in terms}, key_col)
     cands = None
     for t in sorted(terms, key=lambda t: per_term[t][0].size):
@@ -987,6 +1007,10 @@ def _eval_span_near_chunk(
         )
         order = np.argsort(cidx_all, kind="stable")
         pos_s = pos_all[order]
+        if phrase_shift and ti:
+            # phrase-offset normalization (pos - slot): a constant
+            # per-clause shift, so each candidate's run stays sorted
+            pos_s = pos_s - ti
         cidx_s = cidx_all[order]
         starts = np.searchsorted(cidx_s, grid)
         ends = np.searchsorted(cidx_s, grid + 1)
@@ -995,7 +1019,9 @@ def _eval_span_near_chunk(
     freq = np.zeros(n_c, dtype=np.float64)
     for c in range(n_c):
         pls = [ps[st[c]:en[c]] for ps, st, en in runs]
-        if in_order:
+        if phrase_shift:
+            freq[c] = _sloppy_freq_py(pls, slop)
+        elif in_order:
             freq[c] = _span_near_ordered_freq(pls, slop)
         else:
             freq[c] = _sloppy_freq_py(pls, slop, bias=bias)
@@ -1082,6 +1108,96 @@ def span_near_topk(
                 return
             ids_a, sc_a = _eval_span_near_chunk(
                 cpdf, terms, slop_i, in_o, w_idf_sum, denom_cache
+            )
+            _push_topk(heap, k, ids_a, sc_a, search_after, excluded)
+
+        _stream_chunks(batches, process)
+        yield _heap_frame(heap)
+
+    npart = n_partitions or index.spark.sparkContext.defaultParallelism
+    co = _co_located(
+        blocks,
+        ["chunk", "term", "block_max_score", "doc_deltas", "tfs",
+         "norms", "positions"],
+        npart,
+    )
+    local = co.mapInPandas(kernel, "doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def sloppy_phrase_topk(
+    index,
+    field: str,
+    terms: list[str],
+    slop: int,
+    k: int = 10,
+    n_partitions: int | None = None,
+    search_after: tuple[float, int] | None = None,
+    weight: float = 1.0,
+) -> DataFrame:
+    """Sloppy phrase (``"a b"~N``) top-k over the compressed segments
+    — the last scored query shape that previously lived on the
+    DataFrame path only. Result-identical to
+    search._scored_sloppy_phrase: the SAME greedy
+    (spans._sloppy_freq_py, bias=0) runs over the same offset-adjusted
+    (``pos - slot``) ascending position runs, idf_sum folds in phrase
+    slot order, and the BM25 denominator comes from the shared norm
+    cache — scores stay bit-equal.
+
+    Chunk-level skip bound: the greedy advances one position of one
+    clause per counted match and each match contributes
+    ``1/(1+matchLength) <= 1``, so ``freq <= sum_t tf_t``; BM25's tf
+    saturation ``f(x) = x/(x+d)`` is concave with f(0)=0 hence
+    subadditive, so ``score <= w_idf_sum * sum_t(chunk_max_t/idf_t)``
+    and also < w_idf_sum (f < 1) — the same bound family as unordered
+    span-near. Inflated by 1e-12 relative so float rounding in the
+    ``chunk_max/idf`` fold can never prune a true top-k doc. Chunks
+    missing ANY phrase term skip without decoding (conjunction
+    semantics — the dominant pruning at scale)."""
+    if weight <= 0:
+        raise ValueError("sloppy-phrase kernel weight must be positive "
+                         "(non-positive weights invert the skip bounds)")
+    terms = list(terms)
+    pairs = [(field, t) for t in terms]
+    key_idfs, _ws, blocks = _segment_scan(index, pairs)
+    if blocks is None or len(key_idfs) < len(terms):
+        # any phrase term absent from the dictionary -> no match
+        return index.spark.createDataFrame([], "doc_id long, score double")
+    term_idfs = {t: key_idfs[f"{field}\x1f{t}"] for t in terms}
+    # idf_sum accumulated in PHRASE SLOT order — the DataFrame path
+    # folds its idf literals left-associatively in slot order and
+    # float addition is order-sensitive; matching keeps scores
+    # bit-equal
+    idf_sum = 0.0
+    for t in terms:
+        idf_sum += term_idfs[t]
+    w_idf_sum = float(weight) * idf_sum if weight != 1.0 else idf_sum
+    avgdl = float(index.field_stats(field)["avgdl"])
+    uniq_terms = list(dict.fromkeys(terms))
+    slop_i = int(slop)
+    excluded = _excluded_ids(index)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        denom_cache = _denom_cache(avgdl)
+        heap: list[tuple[float, int]] = []
+
+        def theta() -> float:
+            return heap[0][0] if len(heap) >= k else -math.inf
+
+        def process(cpdf: pd.DataFrame) -> None:
+            tmax = cpdf.groupby("term")["block_max_score"].max()
+            # chunks missing any phrase term can't match at all
+            if not all(t in tmax.index for t in uniq_terms):
+                return
+            ratio = sum(
+                float(tmax[t]) / term_idfs[t] for t in uniq_terms
+            )
+            upper = w_idf_sum * min(1.0, ratio) * (1.0 + 1e-12)
+            if len(heap) >= k and upper < theta():
+                return
+            ids_a, sc_a = _eval_span_near_chunk(
+                cpdf, terms, slop_i, False, w_idf_sum, denom_cache,
+                phrase_shift=True,
             )
             _push_topk(heap, k, ids_a, sc_a, search_after, excluded)
 
@@ -1299,13 +1415,17 @@ def wand_pairs_topk(
     n_partitions: int | None = None,
     weights: dict | None = None,
     search_after: tuple[float, int] | None = None,
+    msm: int = 0,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a (field, term) set — possibly
     spanning SEVERAL fields — over the compressed segments, via the
     streaming block-max kernel. ``mode`` = 'or' (SHOULD sum) or 'and'
     (MUST intersection, scores summed). ``weights`` maps
     (field, term) -> boost: scores and skip bounds both scale linearly,
-    so pruning stays exact."""
+    so pruning stays exact. ``msm`` (mode='or' only) keeps docs
+    matching at least that many distinct pairs —
+    minimumNumberShouldMatch for all-SHOULD flat booleans, the same
+    matched-pair tally search._scored_term_group filters on."""
     key_idfs, key_ws, blocks = _segment_scan(index, pairs, weights)
     if blocks is None:
         return index.spark.createDataFrame([], "doc_id long, score double")
@@ -1319,6 +1439,7 @@ def wand_pairs_topk(
         key_idfs, key_ws, _key_denoms(index, key_idfs), k, mode,
         search_after=search_after,
         excluded=_excluded_ids(index),
+        msm=msm,
     )
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

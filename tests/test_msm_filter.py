@@ -207,9 +207,21 @@ def test_msm_falls_off_wand_route(spark, tmp_path):
     assert {d for d, _ in auto} == {
         i for i in range(8) if bin(i).count("1") >= 2
     }
+    # round 5: the flat all-SHOULD msm shape RIDES the or-kernel now
+    # (its matched-pair tally is the _scored_term_group tally);
+    # strategy='wand' accepts it and stays bit-identical
+    wand_path = ids_scores(idx.search(q, min_should_match=2,
+                                      results_per_page=100,
+                                      with_hit=False, strategy="wand"))
+    assert wand_path == df_path
+    # mixed MUST/SHOULD msm still falls off the route (the kernels
+    # carry no per-group tally) ...
+    mixed = BoolQ(1.0, ((MUST, TermQ(1.0, "t", "alpha")),
+                        (SHOULD, TermQ(1.0, "t", "beta")),
+                        (SHOULD, TermQ(1.0, "t", "gamma"))), 1)
     with pytest.raises(ValidationError):
-        idx.search(q, min_should_match=2, strategy="wand",
-                   with_hit=False)
+        idx.search(mixed, strategy="wand", with_hit=False)
+    # ... and so do FILTER clauses
     node = BoolQ(1.0, ((MUST, TermQ(1.0, "t", "alpha")),
                        (FILTER, TermQ(1.0, "t", "beta"))))
     with pytest.raises(ValidationError):

@@ -2556,3 +2556,202 @@ def test_span_near_kernel_fuzz_random_shapes(disk_index):
         assert [(r["doc_id"], r["score"]) for r in a] == [
             (r["doc_id"], r["score"]) for r in b
         ], (trial, terms, slop, in_order, boost)
+
+
+# --- sloppy-phrase kernel (round 5): the last DataFrame-only shape ---
+
+
+def test_sloppy_phrase_kernel_matches_dataframe(disk_index):
+    """The positions-decoding sloppy-phrase kernel
+    (wand.sloppy_phrase_topk, auto-routed for PhraseQ slop>0) must be
+    BIT-identical to search._scored_sloppy_phrase: the SAME greedy
+    (spans._sloppy_freq_py, bias=0) over the same offset-adjusted
+    position runs, idf folded in slot order, shared norm cache.
+    Covers slop range, boosts, 3-term phrases, reversed order (phrase
+    offsets are asymmetric), and an absent term (empty on both
+    paths)."""
+    from lucene_clj_spark.query import PhraseQ
+
+    shapes = [
+        PhraseQ(1.0, "text", ("merge", "window"), 1),
+        PhraseQ(1.0, "text", ("merge", "window"), 3),
+        PhraseQ(1.0, "text", ("window", "merge"), 3),
+        PhraseQ(2.5, "text", ("the", "merge"), 2),
+        PhraseQ(0.5, "text", ("row", "column", "sort"), 5),
+        PhraseQ(1.0, "text", ("merge", "zzzznotaterm"), 4),
+    ]
+    for q in shapes:
+        a = disk_index.search(q, with_hit=False,
+                              strategy="dataframe").collect()
+        b = disk_index.search(q, with_hit=False,
+                              strategy="wand").collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], (q.terms, q.slop)
+
+
+def test_sloppy_phrase_kernel_keyset(disk_index):
+    from lucene_clj_spark.query import PhraseQ
+
+    q = PhraseQ(1.0, "text", ("the", "merge"), 2)
+    first = disk_index.search(q, with_hit=False,
+                              strategy="wand").collect()
+    assert first  # slop-2 "the merge" matches at sf0.01
+    sa = {"score": first[-1]["score"], "doc_id": first[-1]["doc_id"]}
+    ka = disk_index.search(q, with_hit=False, strategy="wand",
+                           search_after=sa).collect()
+    da = disk_index.search(q, with_hit=False, strategy="dataframe",
+                           search_after=sa).collect()
+    assert [(r["doc_id"], r["score"]) for r in ka] == [
+        (r["doc_id"], r["score"]) for r in da
+    ]
+
+
+def test_sloppy_phrase_auto_route_and_fallbacks(disk_index):
+    """slop>0 distinct-term phrases auto-route to the kernel (plan
+    shows MapInPandas); single-term sloppy phrases route as the term
+    kernel (Lucene's TermQuery rewrite); repeated-term sloppy phrases
+    fall back so the DataFrame path raises its repeat-group error."""
+    from lucene_clj_spark.errors import ValidationError
+    from lucene_clj_spark.query import PhraseQ
+
+    q = PhraseQ(1.0, "text", ("merge", "window"), 2)
+    auto = disk_index.search(q, with_hit=False)
+    s = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in s
+
+    one = PhraseQ(2.0, "text", ("merge",), 3)
+    a = disk_index.search(one, with_hit=False,
+                          strategy="dataframe").collect()
+    b = disk_index.search(one, with_hit=False,
+                          strategy="wand").collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+    rep = PhraseQ(1.0, "text", ("merge", "merge"), 2)
+    with pytest.raises(ValidationError):
+        disk_index.search(rep, with_hit=False).collect()
+
+
+def test_sloppy_phrase_kernel_fuzz_random_shapes(disk_index):
+    """Seeded fuzz over real-vocabulary phrases and random slops:
+    kernel and DataFrame paths must stay bit-identical everywhere —
+    the subadditive pruning bound has to hold for any common/rare term
+    mix, not just hand-picked shapes."""
+    import random
+
+    from lucene_clj_spark.query import PhraseQ
+
+    rng = random.Random(20260821)
+    vocab = sorted(
+        r["term"]
+        for r in disk_index.terms.filter("field = 'text'")
+        .select("term").distinct().collect()
+    )
+    for trial in range(10):
+        n_terms = rng.randint(2, 4)
+        terms = tuple(rng.sample(vocab, min(n_terms, len(vocab))))
+        slop = rng.randint(1, 8)
+        boost = rng.choice([0.25, 1.0, 3.5])
+        q = PhraseQ(boost, "text", terms, slop)
+        a = disk_index.search(q, with_hit=False,
+                              strategy="dataframe").collect()
+        b = disk_index.search(q, with_hit=False,
+                              strategy="wand").collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], (trial, terms, slop, boost)
+
+
+# --- msm or-kernel (round 5): minimumNumberShouldMatch rides WAND ---
+
+
+def test_msm_kernel_matches_dataframe(disk_index):
+    """All-SHOULD flat term booleans with minimumNumberShouldMatch
+    auto-route to the or-kernel: its per-doc matched-pair count IS the
+    tally _scored_term_group filters on, so results stay bit-identical
+    — including the msm > matched-possible empty case and absent
+    terms shrinking the matchable set."""
+    shapes = [
+        ({"text": {"merge", "dup", "vector"}}, 2),
+        ({"text": {"merge", "dup", "vector"}}, 3),
+        ({"text": {"merge", "window", "sort", "row"}}, 2),
+        ({"text": {"merge", "window", "sort", "row"}}, 4),
+        ({"text": {"merge", "zzzznotaterm", "dup"}}, 2),
+        ({"text": {"merge", "zzzznotaterm", "dup"}}, 3),  # absent term
+        ({"text": {"merge", "dup"}}, 5),  # msm > n clauses -> empty
+    ]
+    for q, m in shapes:
+        a = disk_index.search(q, min_should_match=m, with_hit=False,
+                              strategy="dataframe").collect()
+        b = disk_index.search(q, min_should_match=m, with_hit=False,
+                              strategy="wand").collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], (q, m)
+
+
+def test_msm_kernel_auto_route_plan(disk_index):
+    """The flat-SHOULD msm shape shows the kernel plan (MapInPandas);
+    mixed MUST/SHOULD msm stays on the counting compiler."""
+    from lucene_clj_spark.query import BoolQ, TermQ
+
+    auto = disk_index.search({"text": {"merge", "dup", "vector"}},
+                             min_should_match=2, with_hit=False)
+    s = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in s
+
+    mixed = BoolQ(1.0, (
+        ("MUST", TermQ(1.0, "text", "merge")),
+        ("SHOULD", TermQ(1.0, "text", "dup")),
+        ("SHOULD", TermQ(1.0, "text", "vector")),
+    ), 1)
+    s2 = disk_index.search(
+        mixed, with_hit=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in s2
+
+
+def test_msm_kernel_keyset_and_fuzz(disk_index):
+    """search_after keyset parity on the msm kernel, plus seeded fuzz
+    over random SHOULD sets / msm values / boosts."""
+    import random
+
+    q = {"text": {"merge", "dup", "vector", "window"}}
+    first = disk_index.search(q, min_should_match=2, with_hit=False,
+                              strategy="wand").collect()
+    assert first
+    sa = {"score": first[-1]["score"], "doc_id": first[-1]["doc_id"]}
+    ka = disk_index.search(q, min_should_match=2, with_hit=False,
+                           strategy="wand", search_after=sa).collect()
+    da = disk_index.search(q, min_should_match=2, with_hit=False,
+                           strategy="dataframe", search_after=sa).collect()
+    assert [(r["doc_id"], r["score"]) for r in ka] == [
+        (r["doc_id"], r["score"]) for r in da
+    ]
+
+    from lucene_clj_spark.query import BoolQ, TermQ
+
+    rng = random.Random(20260821)
+    vocab = sorted(
+        r["term"]
+        for r in disk_index.terms.filter("field = 'text'")
+        .select("term").distinct().collect()
+    )
+    for trial in range(8):
+        n_terms = rng.randint(2, 5)
+        terms = rng.sample(vocab, min(n_terms, len(vocab)))
+        msm = rng.randint(1, n_terms)
+        clauses = tuple(
+            ("SHOULD", TermQ(rng.choice([0.5, 1.0, 2.0]), "text", t))
+            for t in terms
+        )
+        bq = BoolQ(1.0, clauses, msm)
+        a = disk_index.search(bq, with_hit=False,
+                              strategy="dataframe").collect()
+        b = disk_index.search(bq, with_hit=False,
+                              strategy="wand").collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], (trial, terms, msm)
