@@ -661,6 +661,35 @@ def q_wand_span_or_topk(spark, sf_dir):
     return _round6(out.select("doc_id", "score"), "score")
 
 
+def q_wand_sloppy_phrase_topk(spark, sf_dir):
+    """Sloppy phrase '"the merge"~2' on the segment kernel
+    (wand.sloppy_phrase_topk, round 5): the SAME SloppyPhraseScorer
+    greedy as the DataFrame path runs over lazily-decoded per-chunk
+    position streams with subadditive block-max skipping — same
+    oracle as dsl_sloppy_phrase_topk (bit-identical strategies)."""
+    from lucene_clj_spark.wand import sloppy_phrase_topk
+
+    idx = _wand_index(spark, sf_dir)
+    out = sloppy_phrase_topk(idx, "text", ["the", "merge"], slop=2,
+                             k=10)
+    return _round6(out.select("doc_id", "score"), "score")
+
+
+def q_wand_msm_topk(spark, sf_dir):
+    """minimumNumberShouldMatch on the or-kernel (round 5): >=2 of
+    {merge, dup, vector} via the kernel's per-doc matched-pair count
+    — same oracle as bool_msm_topk (bit-identical strategies)."""
+    from lucene_clj_spark.wand import wand_pairs_topk
+
+    idx = _wand_index(spark, sf_dir)
+    out = wand_pairs_topk(
+        idx,
+        [("text", "merge"), ("text", "dup"), ("text", "vector")],
+        k=10, mode="or", msm=2,
+    )
+    return _round6(out.select("doc_id", "score"), "score")
+
+
 def q_wand_group_topk(spark, sf_dir):
     """Boolean GROUP TREE on the segment kernel: '(merge OR window)
     AND dup' parsed by the DSL, forced through strategy='wand' (raises
@@ -1535,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_or_topk": q_span_or_topk,
         "wand_span_or_topk": q_wand_span_or_topk,
         "shuffle_head": q_shuffle_head,
+        "wand_sloppy_phrase_topk": q_wand_sloppy_phrase_topk,
+        "wand_msm_topk": q_wand_msm_topk,
     }
 
 
@@ -3627,6 +3658,8 @@ ORDER BY d.n_chars DESC, m.doc_id ASC LIMIT 10""",
             "merge", "window", 3),
         "span_or_topk": _span_or_sql("merge", "window"),
         "wand_span_or_topk": _span_or_sql("merge", "window"),
+        "wand_sloppy_phrase_topk": _dsl_sloppy_sql("the", "merge", 2),
+        "wand_msm_topk": _bool_msm_sql(),
         "span_not_topk": _span_not_sql("merge", "window", 2, 2),
         "function_score_topk": _function_score_sql("merge"),
         "sample_mix_stats": _sample_mix_sql(),
