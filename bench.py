@@ -412,6 +412,21 @@ def run(cpus: int = CPUS, sf_dir: str = SF_DIR, cycles: int = CYCLES,
                     with_hit=False,
                     strategy="wand").collect(),
                     name="q_seg_span_first"), 4)
+            # late round-5 kernels: sloppy phrase + flat-SHOULD msm
+            from lucene_clj_spark.query import PhraseQ as _PhraseQ
+
+            queries["q_seg_sloppy_phrase"] = round(
+                timed(lambda: didx.search(
+                    _PhraseQ(1.0, "text", ("the", "merge"), 2),
+                    with_hit=False,
+                    strategy="wand").collect(),
+                    name="q_seg_sloppy_phrase"), 4)
+            queries["q_seg_bool_msm"] = round(
+                timed(lambda: didx.search(
+                    {"text": {"merge", "dup", "vector"}},
+                    min_should_match=2, with_hit=False,
+                    strategy="wand").collect(),
+                    name="q_seg_bool_msm"), 4)
             # the delta path: append one source-table batch (1/32 of
             # the corpus) as DELTA segment blocks, query across
             # base+delta, then compact via merge_segments — tracks
