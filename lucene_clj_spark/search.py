@@ -2223,40 +2223,54 @@ def _wand_route(
         # non-positive root boosts invert the kernels' skip bounds
         return None
     if node.min_should_match:
-        # minimumNumberShouldMatch: the flat all-SHOULD term shape
-        # (Lucene's canonical "match >= m of these optional terms")
-        # rides the or-kernel, whose per-doc matched-pair tally is
-        # exactly the tally _scored_term_group filters on. Everything
-        # else (mixed MUST/SHOULD, fuzzy clauses, duplicate pairs —
-        # where the DataFrame path itself switches to the
-        # joins compiler) stays on the counting compiler.
+        # minimumNumberShouldMatch: flat term booleans ride the
+        # kernels — all-SHOULD on the or-kernel (its per-doc
+        # matched-pair tally is exactly the tally _scored_term_group
+        # filters on), mixed MUST/SHOULD on the group kernel (per-doc
+        # distinct-SHOULD-group tally, one clause per group).
+        # Everything else (MUST_NOT/FILTER occurrences, fuzzy clauses,
+        # duplicate pairs — where the DataFrame fast path itself
+        # switches to the joins compiler) stays on the counting
+        # compiler.
         msm = node.min_should_match
         if (
             msm < 0
             or node.boost != 1.0
-            or any(occ != SHOULD for occ, _ in node.clauses)
+            or any(occ not in (MUST, SHOULD) for occ, _ in node.clauses)
         ):
             return None
-        pairs, weights = [], {}
-        for _, n in node.clauses:
+        term_clauses, seen = [], set()
+        for occ, n in node.clauses:
             t = _as_term(n)
             if t is None or t.boost <= 0 or t.field not in index.stats:
                 return None
             pair = (t.field, t.term)
-            if pair in weights:
-                # duplicate SHOULD pairs merge into one scan row and
-                # break the clause tally — the DataFrame fast path
-                # falls back to _scored_bool_joins for the same reason
+            if pair in seen:
+                # duplicate pairs merge into one scan row and break
+                # the clause tally — the DataFrame fast path falls
+                # back to _scored_bool_joins for the same reason
                 return None
-            pairs.append(pair)
-            weights[pair] = t.boost
-        if msm > len(pairs):
+            seen.add(pair)
+            term_clauses.append((occ, t))
+        n_shoulds = sum(1 for occ, _ in term_clauses if occ == SHOULD)
+        if msm > n_shoulds:
             # more required matches than SHOULD clauses: nothing can
             # satisfy it (the DataFrame filter is empty too)
             return (None, None, "empty", None)
-        if all(w == 1.0 for w in weights.values()):
-            weights = None
-        return (None, (pairs, msm), "or_msm", weights)
+        if all(occ == SHOULD for occ, _ in term_clauses):
+            pairs = [(t.field, t.term) for _, t in term_clauses]
+            weights = {(t.field, t.term): t.boost
+                       for _, t in term_clauses}
+            if all(w == 1.0 for w in weights.values()):
+                weights = None
+            return (None, (pairs, msm), "or_msm", weights)
+        # mixed MUST/SHOULD: one singleton group per clause so the
+        # kernel's distinct-SHOULD-group count == the clause tally
+        groups = [
+            (occ, [(t.field, t.term, t.boost)])
+            for occ, t in term_clauses
+        ]
+        return (None, (groups, msm), "group_msm", None)
     # fuzzy clauses expand driver-side (memoized) into weighted OR
     # groups of terms, making booleans-with-fuzzy kernel-eligible;
     # a MUST fuzzy with no expansions short-circuits to an empty result
@@ -2675,6 +2689,12 @@ def search(
                 scores = wand_pairs_topk(
                     index, pairs_, k=kernel_k, mode="or",
                     weights=weights_, msm=msm_, search_after=sa_key,
+                )
+            elif mode_ == "group_msm":
+                groups_, msm_ = terms_
+                scores = wand_group_topk(
+                    index, groups_, k=kernel_k, search_after=sa_key,
+                    msm=msm_,
                 )
             else:
                 scores = wand_pairs_topk(

@@ -1945,6 +1945,7 @@ def _group_kernel_factory(
     phrases: list | None = None,
     phrase_fkeys: frozenset = frozenset(),
     dismax_tie: float | None = None,
+    msm: int = 0,
 ):
     """Per-partition streaming kernel for one-level boolean GROUP
     trees — the segment analogue of search._scored_group_tree. Lucene
@@ -1987,7 +1988,16 @@ def _group_kernel_factory(
     and 0 <= tie <= 1). Every chunk/block bound in this kernel is an
     upper bound of the SUM of group scores, and for tie <= 1 the
     dismax combine is <= that sum, so all skip decisions stay sound —
-    merely conservative by the (1 - tie) * (sum - max) slack."""
+    merely conservative by the (1 - tie) * (sum - max) slack.
+
+    ``msm`` keeps only docs matching at least that many distinct
+    SHOULD (scored, non-MUST) groups — minimumNumberShouldMatch for
+    mixed MUST/SHOULD booleans (the caller guarantees one clause per
+    group and distinct pairs, so matched groups == matched clauses,
+    the tally search._scored_term_group filters on). Sound under
+    block skipping exactly like the MUST tally: a doc inside any
+    skipped block cannot beat theta, so an undercount only drops docs
+    already out of the top-k."""
     phrases = phrases or []
     n_must = len(must_gids)
     all_gids = [g for occs in key_occs.values() for g, _ in occs] + [
@@ -1997,6 +2007,16 @@ def _group_kernel_factory(
     is_must_gid = np.zeros(max_gid, dtype=bool)
     for g in must_gids:
         is_must_gid[g] = True
+    # msm tally domain: scored (non-NOT) gids that are not MUST groups
+    is_opt_gid = np.zeros(max_gid, dtype=bool)
+    if msm:
+        for occs in key_occs.values():
+            for g, _ in occs:
+                is_opt_gid[g] = True
+        for p in phrases:
+            if not p["is_not"]:
+                is_opt_gid[p["gid"]] = True
+        is_opt_gid &= ~is_must_gid
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
@@ -2132,6 +2152,13 @@ def _group_kernel_factory(
                 pair = np.unique(inv[mm] * max_gid + gids[mm])
                 cnt = np.bincount(pair // max_gid, minlength=uniq.size)
                 keep &= cnt == n_must
+            if msm:
+                om = is_opt_gid[gids]
+                # distinct (doc, should-group) pairs per doc
+                pair_o = np.unique(inv[om] * max_gid + gids[om])
+                cnt_o = np.bincount(pair_o // max_gid,
+                                    minlength=uniq.size)
+                keep &= cnt_o >= msm
             if neg is not None and len(neg):
                 ex_parts.extend(
                     codec.delta_decode(codec.decode_block(r.doc_deltas))
@@ -2155,6 +2182,7 @@ def wand_group_topk(
     n_partitions: int | None = None,
     search_after: tuple[float, int] | None = None,
     dismax_tie: float | None = None,
+    msm: int = 0,
 ) -> DataFrame:
     """Top-k (doc_id, score) for a one-level boolean GROUP tree over
     the compressed segments — ``groups`` is a list of
@@ -2187,7 +2215,12 @@ def wand_group_topk(
     group is one disjunct (caller passes all-SHOULD groups, boosts
     pre-folded), per-doc score = max(group scores) + tie * (sum -
     max). Bounds stay the sum-combine bounds — sound for tie <= 1
-    (see _group_kernel_factory)."""
+    (see _group_kernel_factory).
+
+    ``msm`` keeps only docs matching >= that many distinct SHOULD
+    groups (minimumNumberShouldMatch; the router passes one clause
+    per group with distinct pairs so groups == clauses — see
+    _group_kernel_factory for the tally and its soundness)."""
     empty = lambda: index.spark.createDataFrame(  # noqa: E731
         [], "doc_id long, score double"
     )
@@ -2307,6 +2340,7 @@ def wand_group_topk(
         phrases=phrases,
         phrase_fkeys=phrase_fkeys,
         dismax_tie=dismax_tie,
+        msm=msm,
     )
     local = co.mapInPandas(kernel, "doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -214,14 +214,17 @@ def test_msm_falls_off_wand_route(spark, tmp_path):
                                       results_per_page=100,
                                       with_hit=False, strategy="wand"))
     assert wand_path == df_path
-    # mixed MUST/SHOULD msm still falls off the route (the kernels
-    # carry no per-group tally) ...
+    # mixed MUST/SHOULD msm rides the GROUP kernel (late round 5:
+    # distinct-SHOULD-group tally) — also bit-identical
     mixed = BoolQ(1.0, ((MUST, TermQ(1.0, "t", "alpha")),
                         (SHOULD, TermQ(1.0, "t", "beta")),
                         (SHOULD, TermQ(1.0, "t", "gamma"))), 1)
-    with pytest.raises(ValidationError):
-        idx.search(mixed, strategy="wand", with_hit=False)
-    # ... and so do FILTER clauses
+    mw = ids_scores(idx.search(mixed, strategy="wand",
+                               results_per_page=100, with_hit=False))
+    md = ids_scores(idx.search(mixed, strategy="dataframe",
+                               results_per_page=100, with_hit=False))
+    assert mw == md
+    # FILTER clauses still fall off the route
     node = BoolQ(1.0, ((MUST, TermQ(1.0, "t", "alpha")),
                        (FILTER, TermQ(1.0, "t", "beta"))))
     with pytest.raises(ValidationError):

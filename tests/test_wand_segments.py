@@ -2693,8 +2693,9 @@ def test_msm_kernel_matches_dataframe(disk_index):
 
 
 def test_msm_kernel_auto_route_plan(disk_index):
-    """The flat-SHOULD msm shape shows the kernel plan (MapInPandas);
-    mixed MUST/SHOULD msm stays on the counting compiler."""
+    """Flat msm shapes show the kernel plan (MapInPandas): all-SHOULD
+    rides the or-kernel, mixed MUST/SHOULD the group kernel; a
+    duplicate pair (broken tally) stays on the counting compiler."""
     from lucene_clj_spark.query import BoolQ, TermQ
 
     auto = disk_index.search({"text": {"merge", "dup", "vector"}},
@@ -2710,7 +2711,53 @@ def test_msm_kernel_auto_route_plan(disk_index):
     s2 = disk_index.search(
         mixed, with_hit=False
     )._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in s2
+    assert "MapInPandas" in s2
+
+    dup = BoolQ(1.0, (
+        ("SHOULD", TermQ(1.0, "text", "merge")),
+        ("SHOULD", TermQ(2.0, "text", "merge")),
+        ("SHOULD", TermQ(1.0, "text", "dup")),
+    ), 2)
+    s3 = disk_index.search(
+        dup, with_hit=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in s3
+
+
+def test_msm_mixed_kernel_matches_dataframe(disk_index):
+    """Mixed MUST/SHOULD msm booleans on the group kernel: the
+    distinct-SHOULD-group tally must reproduce _scored_term_group's
+    opts count while the MUST gate and score fold stay as before —
+    bit-identical to the DataFrame path in every mix."""
+    from lucene_clj_spark.query import BoolQ, TermQ
+
+    shapes = [
+        # one MUST + three SHOULDs, msm 1 and 2
+        [("MUST", "merge", 1.0), ("SHOULD", "dup", 1.0),
+         ("SHOULD", "vector", 1.0), ("SHOULD", "window", 1.0)],
+        # two MUSTs + two SHOULDs with boosts
+        [("MUST", "merge", 1.0), ("MUST", "the", 2.0),
+         ("SHOULD", "dup", 0.5), ("SHOULD", "sort", 1.5)],
+        # absent SHOULD term shrinks the matchable set
+        [("MUST", "merge", 1.0), ("SHOULD", "zzzznotaterm", 1.0),
+         ("SHOULD", "dup", 1.0)],
+        # absent MUST term -> empty on both paths
+        [("MUST", "zzzznotaterm", 1.0), ("SHOULD", "merge", 1.0),
+         ("SHOULD", "dup", 1.0)],
+    ]
+    for spec in shapes:
+        n_should = sum(1 for occ, _, _ in spec if occ == "SHOULD")
+        for msm in range(1, n_should + 1):
+            bq = BoolQ(1.0, tuple(
+                (occ, TermQ(b, "text", t)) for occ, t, b in spec
+            ), msm)
+            a = disk_index.search(bq, with_hit=False,
+                                  strategy="dataframe").collect()
+            b = disk_index.search(bq, with_hit=False,
+                                  strategy="wand").collect()
+            assert [(r["doc_id"], r["score"]) for r in a] == [
+                (r["doc_id"], r["score"]) for r in b
+            ], (spec, msm)
 
 
 def test_msm_kernel_keyset_and_fuzz(disk_index):
