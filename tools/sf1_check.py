@@ -74,6 +74,10 @@ INDEX_QUERIES = [
     # value boosting, and the BPE-ish token-count estimators
     "span_or_topk", "wand_span_or_topk", "span_not_topk",
     "function_score_topk",
+    # round-5 late kernels: sloppy phrase + minimumNumberShouldMatch
+    # on the segment kernels (same oracles as their DataFrame twins —
+    # the sloppy CTE replays 1.6M greedy state machines a second time)
+    "wand_sloppy_phrase_topk", "wand_msm_topk",
     "token_counts", "quality_flags", "url_parts", "host_stats",
     "tfidf_top_terms",
     "sample_mix_stats", "shuffle_head",
