@@ -32,7 +32,14 @@ from lucene_clj_spark.functions.text import portable_hash, tokens_col
 
 MERSENNE_P = 2147483647  # 2^31 - 1
 
-# fixed, documented permutation parameters (odd a, arbitrary b < p)
+# fixed, documented permutation parameters (odd a, arbitrary b < p).
+# The first 8 are the classic LCG multiplier/increment pairs the
+# round-2 signatures shipped with — they must NEVER change or reorder
+# (signatures and their DuckDB twins are derived from the prefix).
+# Entries 9-16 (added round 5 for higher-recall k=16/bands=8 LSH:
+# rows-per-band stays 2, band count doubles) are from the published
+# Numerical Recipes "quick and dirty" LCG table; multipliers stay
+# small enough that a * portable_hash never overflows int64.
 MINHASH_PARAMS = [
     (1_103_515_245, 12_345),
     (69_069, 362_437),
@@ -42,6 +49,14 @@ MINHASH_PARAMS = [
     (1_664_525, 1_013_904_223),
     (48_271, 399_268_537),
     (16_807, 49_297),
+    (8_121, 28_411),
+    (4_561, 51_349),
+    (7_141, 54_773),
+    (9_301, 49_297),
+    (741, 66_037),
+    (1_277, 24_749),
+    (2_661, 36_979),
+    (1_021, 25_673),
 ]
 
 

@@ -204,7 +204,12 @@ def bench_dedup() -> dict:
 
     n_docs = int(os.environ.get("SPARK_GRAFT_ZIPF_DEDUP_DOCS",
                                 "1000000"))
-    k, bands = 8, 4
+    # k=8/bands=4 is the committed round-5 default; k=16/bands=8
+    # doubles the band count at the same rows-per-band (2) for the
+    # higher-recall capture (threshold curve shifts left, recall at
+    # J~0.77 rises from ~82% -> ~97% theory)
+    k = int(os.environ.get("SPARK_GRAFT_ZIPF_MINHASH_K", "8"))
+    bands = int(os.environ.get("SPARK_GRAFT_ZIPF_MINHASH_BANDS", "4"))
     spark = _session()
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {
